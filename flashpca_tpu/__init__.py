@@ -1,0 +1,14 @@
+"""flashpca_tpu: TPU-native biobank-scale genotype PCA / SCCA / UCCA.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+gabraham/flashpca (FlashPCA2): memory-bounded partial PCA of PLINK
+.bed genotype data via a matrix-free standardized-genotype operator
+and a thick-restart Lanczos eigensolver, plus projection of new
+samples, decomposition checking, sparse CCA, and per-SNP multivariate
+ANOVA (UCCA).
+"""
+
+__version__ = "0.1.0"
+
+from .io import PlinkDataset
+from .ops import standardize, scale2, PackedOperator, DenseOperator

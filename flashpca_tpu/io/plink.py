@@ -1,0 +1,266 @@
+"""PLINK .bed/.bim/.fam reading, host side.
+
+Layout facts (reference: data.h:24-45, data.cpp:41-58,150-176):
+
+* .bed is SNP-major: 3 magic bytes, then ``ceil(N/4)`` bytes per SNP.
+* Each byte packs 4 samples, 2 bits each, sample ``4*b + s`` in bits
+  ``[2s, 2s+1]`` of byte ``b``.
+* 2-bit code -> minor-allele dosage: ``0 -> 2``, ``2 -> 1``, ``3 -> 0``,
+  ``1 -> missing`` (NA).
+* The number of SNPs is inferred from the file size: ``(len-3) / ceil(N/4)``
+  (the reference does not validate the magic bytes; we warn only).
+
+This module is pure numpy (float64) so that per-SNP statistics used for
+standardization are exact, independent of device dtype.  An optional
+C++ fast path (csrc/bedio.cpp) accelerates the decode/stats loops.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+
+PACK_DENSITY = 4
+PLINK_NA_CODE = 1  # 2-bit code '01' denotes missing
+BED_MAGIC = b"\x6c\x1b\x01"
+
+# 2-bit code -> dosage; NA marked separately.  code 1 mapped to 0 here and
+# masked via PLINK_NA_CODE (reference: decode_plink, data.cpp:65-126).
+CODE_TO_DOSAGE = np.array([2.0, 0.0, 1.0, 0.0], dtype=np.float64)
+CODE_IS_NA = np.array([False, True, False, False])
+
+_SHIFTS = np.array([0, 2, 4, 6], dtype=np.uint8)
+
+
+def bytes_per_snp(n_samples: int) -> int:
+    return (n_samples + PACK_DENSITY - 1) // PACK_DENSITY
+
+
+def unpack_codes(packed: np.ndarray, n_samples: int) -> np.ndarray:
+    """(m, nbytes) packed uint8 -> (m, n_samples) 2-bit codes (uint8).
+
+    Equivalent of ``decode_plink_simple`` (reference: data.cpp:128-148).
+    """
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    m, nb = packed.shape
+    codes = (packed[:, :, None] >> _SHIFTS[None, None, :]) & np.uint8(3)
+    return codes.reshape(m, nb * PACK_DENSITY)[:, :n_samples]
+
+
+def codes_to_dosage(codes: np.ndarray) -> np.ndarray:
+    """2-bit codes -> float64 dosage with NaN for missing."""
+    out = CODE_TO_DOSAGE[codes]
+    out[CODE_IS_NA[codes]] = np.nan
+    return out
+
+
+def snp_stats_from_codes(
+    codes: np.ndarray, method: str = "binom2"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-SNP (mean, sd) over non-missing dosages, exact float64.
+
+    Mirrors the streaming standardizer's first-visit computation
+    (reference: data.cpp:262-291): mean over non-missing; ``P = mean/2``;
+    ``sd = sqrt(P(1-P))`` for binom or ``sqrt(2P(1-P))`` for binom2.
+    """
+    if method not in ("binom", "binom2"):
+        raise ValueError(f"unknown standardisation method: {method}")
+    na = CODE_IS_NA[codes]
+    dosage = CODE_TO_DOSAGE[codes]
+    ngood = codes.shape[1] - na.sum(axis=1)
+    total = np.where(na, 0.0, dosage).sum(axis=1)
+    mean = total / ngood
+    p_hat = mean / 2.0
+    mult = 1.0 if method == "binom" else 2.0
+    sd = np.sqrt(mult * p_hat * (1.0 - p_hat))
+    return mean, sd
+
+
+@dataclass
+class PlinkDataset:
+    """A PLINK fileset opened for block reads.
+
+    Equivalent of ``class Data`` (reference: data.h:60-101) minus the
+    standardization cache, which lives on-device in this framework.
+    """
+
+    bed_path: str
+    bim_path: str
+    fam_path: str
+
+    n_samples: int = 0
+    n_snps: int = 0
+    snp_ids: list = field(default_factory=list)
+    ref_alleles: list = field(default_factory=list)
+    alt_alleles: list = field(default_factory=list)
+    bp: list = field(default_factory=list)
+    fam_ids: list = field(default_factory=list)
+    indiv_ids: list = field(default_factory=list)
+
+    _mmap: np.ndarray | None = None
+
+    @classmethod
+    def open(cls, root_or_bed: str, bim: str | None = None, fam: str | None = None):
+        """Open from a ``--bfile`` root or explicit bed/bim/fam paths."""
+        if bim is None and fam is None and not root_or_bed.endswith(".bed"):
+            bed = root_or_bed + ".bed"
+            bim = root_or_bed + ".bim"
+            fam = root_or_bed + ".fam"
+        else:
+            bed = root_or_bed
+            if bim is None or fam is None:
+                raise ValueError("must give bim and fam when passing a .bed path")
+        ds = cls(bed_path=bed, bim_path=bim, fam_path=fam)
+        ds.read_fam()
+        ds.read_bim()
+        ds.get_size()
+        return ds
+
+    # -- metadata ----------------------------------------------------------
+    def read_fam(self) -> None:
+        """Read .fam: first two columns are FID and IID; N = row count
+        (reference: data.cpp:639-672 and read_pheno data.cpp:408-413)."""
+        fam_ids, indiv_ids = [], []
+        with open(self.fam_path, "r") as fh:
+            for line in fh:
+                tokens = line.split()
+                if not tokens:
+                    continue
+                fam_ids.append(tokens[0])
+                indiv_ids.append(tokens[1])
+        self.fam_ids = fam_ids
+        self.indiv_ids = indiv_ids
+        self.n_samples = len(fam_ids)
+
+    def read_bim(self) -> None:
+        """Read .bim: snp id (col 2), bp (col 4), ref/alt alleles (cols 5,6)
+        (reference: data.cpp:589-637)."""
+        snp_ids, ref_a, alt_a, bp = [], [], [], []
+        with open(self.bim_path, "r") as fh:
+            for line in fh:
+                tokens = line.split()
+                if not tokens:
+                    continue
+                snp_ids.append(tokens[1])
+                bp.append(int(tokens[3]))
+                ref_a.append(tokens[4])
+                alt_a.append(tokens[5])
+        self.snp_ids = snp_ids
+        self.ref_alleles = ref_a
+        self.alt_alleles = alt_a
+        self.bp = bp
+
+    def get_size(self) -> None:
+        """Infer n_snps from file size (reference: data.cpp:150-176)."""
+        if self.n_samples == 0:
+            raise RuntimeError("read_fam() must run before get_size()")
+        length = os.path.getsize(self.bed_path) - 3
+        nb = bytes_per_snp(self.n_samples)
+        self.n_snps = length // nb
+        with open(self.bed_path, "rb") as fh:
+            magic = fh.read(3)
+        if magic != BED_MAGIC:
+            warnings.warn(
+                f"{self.bed_path}: unexpected .bed magic bytes {magic!r}; "
+                "proceeding (the reference does not validate them either)"
+            )
+
+    # -- packed access -----------------------------------------------------
+    @property
+    def nbytes_per_snp(self) -> int:
+        return bytes_per_snp(self.n_samples)
+
+    def _map(self) -> np.ndarray:
+        if self._mmap is None:
+            nb = self.nbytes_per_snp
+            self._mmap = np.memmap(
+                self.bed_path, dtype=np.uint8, mode="r", offset=3,
+                shape=(self.n_snps, nb),
+            )
+        return self._mmap
+
+    def read_packed(self, start: int = 0, stop: int | None = None) -> np.ndarray:
+        """Packed bytes for SNPs [start, stop) as (m, nbytes) uint8."""
+        stop = self.n_snps if stop is None else stop
+        return np.asarray(self._map()[start:stop])
+
+    def byte_range(self, start: int, stop: int) -> tuple[int, int]:
+        """File byte offsets [lo, hi) holding SNPs [start, stop).
+
+        This is the shard-planning primitive for multi-host reading:
+        SNP j lives at offset ``3 + j * ceil(N/4)``.
+        """
+        nb = self.nbytes_per_snp
+        return 3 + start * nb, 3 + stop * nb
+
+    # -- dense access ------------------------------------------------------
+    def read_codes(self, start: int = 0, stop: int | None = None) -> np.ndarray:
+        """(m, N) 2-bit codes for SNPs [start, stop)."""
+        return unpack_codes(self.read_packed(start, stop), self.n_samples)
+
+    def read_matrix(self, impute_mean: bool = True) -> np.ndarray:
+        """Load the full (N, p) dosage matrix, mean-imputing missing values.
+
+        Equivalent of the batch loader ``Data::read_bed`` (reference:
+        data.cpp:339-406): dosage-valued, *not* standardized.
+        """
+        codes = self.read_codes()
+        dosage = codes_to_dosage(codes)  # (p, N) with NaN
+        if impute_mean:
+            means = np.nanmean(dosage, axis=1)
+            na = np.isnan(dosage)
+            dosage[na] = np.broadcast_to(means[:, None], dosage.shape)[na]
+        return np.ascontiguousarray(dosage.T)
+
+    def snp_stats(self, method: str = "binom2",
+                  block_size: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+        """Exact per-SNP (mean, sd) computed blockwise over the file."""
+        means = np.empty(self.n_snps, dtype=np.float64)
+        sds = np.empty(self.n_snps, dtype=np.float64)
+        for start in range(0, self.n_snps, block_size):
+            stop = min(start + block_size, self.n_snps)
+            codes = self.read_codes(start, stop)
+            means[start:stop], sds[start:stop] = snp_stats_from_codes(codes, method)
+        return means, sds
+
+
+def write_bed(path_root: str, genotypes: np.ndarray,
+              snp_ids: list | None = None,
+              fam_ids: list | None = None) -> None:
+    """Write a PLINK fileset from an (N, p) dosage matrix (0/1/2, NaN=missing).
+
+    Test/benchmark helper (the reference ships pre-made filesets only).
+    """
+    geno = np.asarray(genotypes, dtype=np.float64)
+    n, p = geno.shape
+    # dosage -> 2-bit code: 2->0, 1->2, 0->3, NaN->1
+    codes = np.full((p, n), 3, dtype=np.uint8)
+    gt = geno.T
+    codes[gt == 2] = 0
+    codes[gt == 1] = 2
+    codes[np.isnan(gt)] = 1
+    nb = bytes_per_snp(n)
+    padded = np.zeros((p, nb * PACK_DENSITY), dtype=np.uint8)
+    padded[:, :n] = codes
+    shaped = padded.reshape(p, nb, PACK_DENSITY)
+    packed = (
+        shaped[:, :, 0]
+        | (shaped[:, :, 1] << 2)
+        | (shaped[:, :, 2] << 4)
+        | (shaped[:, :, 3] << 6)
+    ).astype(np.uint8)
+    with open(path_root + ".bed", "wb") as fh:
+        fh.write(BED_MAGIC)
+        fh.write(packed.tobytes())
+    snp_ids = snp_ids or [f"snp{j+1}" for j in range(p)]
+    fam_ids = fam_ids or [f"id{i+1}" for i in range(n)]
+    with open(path_root + ".bim", "w") as fh:
+        for j, sid in enumerate(snp_ids):
+            fh.write(f"1\t{sid}\t0\t{j+1}\tA\tC\n")
+    with open(path_root + ".fam", "w") as fh:
+        for i, fid in enumerate(fam_ids):
+            fh.write(f"{fid}\t{fid}\t0\t0\t0\t-9\n")

@@ -1,0 +1,15 @@
+from .standardize import (
+    standardize,
+    scale2,
+    lookup_tables,
+    VAR_TOL,
+    METHOD_CODES,
+)
+from .genotypes import (
+    permute_samples,
+    unpermute_samples,
+    decode_standardized,
+    dense_standardized_np,
+    valid_mask_permuted,
+)
+from .operator import PackedOperator, DenseOperator

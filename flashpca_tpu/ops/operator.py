@@ -1,0 +1,372 @@
+"""Matrix-free genotype operators (the heart of the framework).
+
+TPU-native equivalents of the reference's ``SVDWide`` / ``SVDWideOnline``
+(svdwide.h:11-107): blocked products against the implicitly-standardized
+genotype matrix X (N samples x p SNPs), where X never materializes --
+the packed 2-bit bytes decode to standardized floats on the fly, block
+by block, inside a ``lax.scan``.
+
+Products provided (reference naming in parens):
+
+* ``perform_op(x)``  : y = X Xt x        (perform_op / perform_op_mat)
+* ``crossprod(x)``   : z = Xt x          (crossprod / crossprod2)
+* ``prod(v)``        : y = X v           (prod / prod3)
+* ``snp_sumsq``      : per-SNP sum X_ij^2; ``trace`` = their sum
+  (trace accumulation, svdwide.cpp:44-45)
+
+Multi-chip: with a ``jax.sharding.Mesh`` the SNP axis is sharded across
+devices (1-D feature sharding -- SURVEY.md section 2.4): each device
+holds a contiguous SNP range of packed bytes; ``X Xt x`` and ``X v``
+form local partial products and ``psum`` them over ICI; ``Xt x`` writes
+its SNP segment locally (sharded output).  The length-N iterate stays
+replicated.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io.plink import PACK_DENSITY, bytes_per_snp
+from .genotypes import (
+    decode_standardized,
+    permute_samples,
+    unpermute_samples,
+    valid_mask_permuted,
+)
+from .standardize import lookup_tables
+
+
+# ---------------------------------------------------------------------------
+# Functional core: blocked products in permuted sample space.
+# All are pure and shard_map/jit friendly; block_size is static.
+# ---------------------------------------------------------------------------
+
+def _nblocks(p_pad: int, block_size: int) -> int:
+    assert p_pad % block_size == 0
+    return p_pad // block_size
+
+
+def _slice_block(arrs, i, block_size):
+    packed, mean, invsd = arrs
+    start = i * block_size
+    pb = lax.dynamic_slice_in_dim(packed, start, block_size, axis=0)
+    mb = lax.dynamic_slice_in_dim(mean, start, block_size, axis=0)
+    ib = lax.dynamic_slice_in_dim(invsd, start, block_size, axis=0)
+    return pb, mb, ib
+
+
+def gram_matvec_p(packed, mean, invsd, xp, *, block_size):
+    """yp = W^T (W xp): (n4, k) -> (n4, k), permuted space.
+
+    W is the (p_pad, n4) standardized matrix, decoded blockwise."""
+    dtype = xp.dtype
+    nb = _nblocks(packed.shape[0], block_size)
+
+    def body(y, i):
+        pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
+        W = decode_standardized(pb, mb, ib, dtype)
+        z = jnp.dot(W, xp, preferred_element_type=dtype)
+        return y + jnp.dot(W.T, z, preferred_element_type=dtype), None
+
+    # Block 0 runs outside the scan so the carry starts with the right
+    # sharding/varying type under shard_map (and nb==1 skips scan overhead).
+    y, _ = body(jnp.zeros_like(xp), 0)
+    if nb > 1:
+        y, _ = lax.scan(body, y, jnp.arange(1, nb))
+    return y
+
+
+def crossprod_p(packed, mean, invsd, xp, *, block_size):
+    """z = W xp: (n4, k) -> (p_pad, k). Output is SNP-space (sharded-out
+    under a mesh, like the reference's y.segment writes, svdwide.cpp:136-150)."""
+    dtype = xp.dtype
+    nb = _nblocks(packed.shape[0], block_size)
+
+    def body(_, i):
+        pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
+        W = decode_standardized(pb, mb, ib, dtype)
+        return None, jnp.dot(W, xp, preferred_element_type=dtype)
+
+    if nb == 1:
+        return body(None, 0)[1]
+    _, zs = lax.scan(body, None, jnp.arange(nb))
+    return zs.reshape(packed.shape[0], xp.shape[1])
+
+
+def matvec_p(packed, mean, invsd, v, *, block_size):
+    """yp = W^T v: (p_pad, k) -> (n4, k) (y = X v in sample space)."""
+    dtype = v.dtype
+    p_pad, nbytes = packed.shape
+    nb = _nblocks(p_pad, block_size)
+    n4 = nbytes * PACK_DENSITY
+
+    def body(y, i):
+        pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
+        W = decode_standardized(pb, mb, ib, dtype)
+        vb = lax.dynamic_slice_in_dim(v, i * block_size, block_size, axis=0)
+        return y + jnp.dot(W.T, vb, preferred_element_type=dtype), None
+
+    y, _ = body(jnp.zeros((n4, v.shape[1]), dtype), 0)
+    if nb > 1:
+        y, _ = lax.scan(body, y, jnp.arange(1, nb))
+    return y
+
+
+def snp_sumsq_p(packed, mean, invsd, valid, *, block_size):
+    """Per-SNP sum of squared standardized genotypes, (p_pad,).
+    ``valid`` masks out byte-padding sample positions."""
+    dtype = valid.dtype
+    nb = _nblocks(packed.shape[0], block_size)
+    v2 = valid[:, None]
+
+    def body(_, i):
+        pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
+        W = decode_standardized(pb, mb, ib, dtype)
+        return None, jnp.dot(W * W, v2, preferred_element_type=dtype)[:, 0]
+
+    if nb == 1:
+        return body(None, 0)[1]
+    _, sq = lax.scan(body, None, jnp.arange(nb))
+    return sq.reshape(packed.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Operator classes
+# ---------------------------------------------------------------------------
+
+class LinearOperatorBase:
+    """Common vector<->matrix plumbing for the public products."""
+
+    n_samples: int
+    n_snps: int
+
+    def rows(self) -> int:
+        return self.n_samples
+
+    def cols(self) -> int:
+        return self.n_samples
+
+    def _as_2d(self, x, length, name):
+        x = jnp.asarray(x, dtype=self.dtype)
+        vec = x.ndim == 1
+        if vec:
+            x = x[:, None]
+        if x.shape[0] != length:
+            raise ValueError(f"{name}: expected leading dim {length}, got {x.shape[0]}")
+        return x, vec
+
+    # public API -----------------------------------------------------------
+    def perform_op(self, x):
+        """y = X X^T x; x is (N,) or (N, k)."""
+        x2, vec = self._as_2d(x, self.n_samples, "perform_op")
+        y = self._gram(x2)
+        return y[:, 0] if vec else y
+
+    def crossprod(self, x):
+        """z = X^T x; x is (N,) or (N, k) -> (p,) or (p, k)."""
+        x2, vec = self._as_2d(x, self.n_samples, "crossprod")
+        z = self._crossprod(x2)
+        return z[:, 0] if vec else z
+
+    def prod(self, v):
+        """y = X v; v is (p,) or (p, k) -> (N,) or (N, k)."""
+        v2, vec = self._as_2d(v, self.n_snps, "prod")
+        y = self._prod(v2)
+        return y[:, 0] if vec else y
+
+
+class PackedOperator(LinearOperatorBase):
+    """HBM-resident packed-genotype operator, optionally SNP-sharded
+    over a device mesh.
+
+    Parameters
+    ----------
+    packed : (p, nbytes) uint8, the raw .bed payload (no magic bytes).
+    mean, sd : per-SNP standardization stats (float64, exact).
+    n_samples : true N.
+    block_size : SNPs decoded per scan step.  Chosen so a decoded block
+        (block_size x n4 floats) fits comfortably in HBM scratch; this
+        is the analog of the reference's --blocksize / --memory budget
+        (flashpca.cpp:646-684).
+    mesh / axis_name : optional 1-D mesh; SNP dim sharded across it.
+    """
+
+    def __init__(
+        self,
+        packed: np.ndarray,
+        mean: np.ndarray,
+        sd: np.ndarray,
+        n_samples: int,
+        *,
+        block_size: int | None = None,
+        dtype=jnp.float32,
+        mesh: Mesh | None = None,
+        axis_name: str = "snps",
+    ):
+        p, nbytes = packed.shape
+        if nbytes != bytes_per_snp(n_samples):
+            raise ValueError("packed width does not match n_samples")
+        self.n_samples = int(n_samples)
+        self.n_snps = int(p)
+        self.nbytes = int(nbytes)
+        self.n4 = nbytes * PACK_DENSITY
+        self.dtype = dtype
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.nshards = mesh.shape[axis_name] if mesh is not None else 1
+
+        if block_size is None:
+            # target ~128 MiB decoded block per device
+            itemsize = jnp.dtype(dtype).itemsize
+            block_size = max(128, (128 << 20) // (self.n4 * itemsize))
+        block_size = min(block_size, max(1, math.ceil(p / self.nshards)))
+        # pad p so every shard holds a whole number of blocks
+        chunk = block_size * self.nshards
+        p_pad = ((p + chunk - 1) // chunk) * chunk
+        self.block_size = int(block_size)
+        self.p_pad = int(p_pad)
+
+        mean_f, invsd_f = lookup_tables(mean, sd, dtype=jnp.dtype(dtype).type)
+        packed_pad = np.zeros((p_pad, nbytes), dtype=np.uint8)
+        packed_pad[:p] = packed
+        mean_pad = np.zeros(p_pad, dtype=mean_f.dtype)
+        mean_pad[:p] = mean_f
+        invsd_pad = np.zeros(p_pad, dtype=invsd_f.dtype)  # 0 => pad rows inert
+        invsd_pad[:p] = invsd_f
+
+        if mesh is not None:
+            snp_sharding = NamedSharding(mesh, P(axis_name))
+            row_sharding = NamedSharding(mesh, P(axis_name, None))
+            self.packed = jax.device_put(packed_pad, row_sharding)
+            self.mean = jax.device_put(mean_pad, snp_sharding)
+            self.invsd = jax.device_put(invsd_pad, snp_sharding)
+        else:
+            self.packed = jnp.asarray(packed_pad)
+            self.mean = jnp.asarray(mean_pad)
+            self.invsd = jnp.asarray(invsd_pad)
+
+        self._valid = valid_mask_permuted(n_samples, nbytes, dtype)
+        self._build_fns()
+        self._sumsq = None
+        self.nops = 0
+
+    # -- jit/shard_map plumbing --------------------------------------------
+    def _build_fns(self):
+        bs = self.block_size
+        gram = partial(gram_matvec_p, block_size=bs)
+        cross = partial(crossprod_p, block_size=bs)
+        mv = partial(matvec_p, block_size=bs)
+        sumsq = partial(snp_sumsq_p, block_size=bs)
+
+        if self.mesh is not None:
+            ax = self.axis_name
+            mesh = self.mesh
+            snp = P(ax)
+            row = P(ax, None)
+            rep = P(None, None)
+            local_gram, local_cross, local_mv, local_sumsq = gram, cross, mv, sumsq
+
+            def gram_psum(packed, mean, invsd, xp):
+                return lax.psum(local_gram(packed, mean, invsd, xp), ax)
+
+            def prod_psum(packed, mean, invsd, v):
+                return lax.psum(local_mv(packed, mean, invsd, v), ax)
+
+            from jax import shard_map
+
+            gram = shard_map(
+                gram_psum, mesh=mesh,
+                in_specs=(row, snp, snp, rep), out_specs=rep,
+            )
+            cross = shard_map(
+                local_cross, mesh=mesh,
+                in_specs=(row, snp, snp, rep), out_specs=row,
+            )
+            mv = shard_map(
+                prod_psum, mesh=mesh,
+                in_specs=(row, snp, snp, row), out_specs=rep,
+            )
+            sumsq = shard_map(
+                local_sumsq, mesh=mesh,
+                in_specs=(row, snp, snp, P(None)), out_specs=snp,
+            )
+
+        self._gram_fn = jax.jit(gram)
+        self._cross_fn = jax.jit(cross)
+        self._mv_fn = jax.jit(mv)
+        self._sumsq_fn = jax.jit(sumsq)
+
+    # -- products ------------------------------------------------------------
+    def _gram(self, x2):
+        xp = permute_samples(x2, self.nbytes)
+        yp = self._gram_fn(self.packed, self.mean, self.invsd, xp)
+        self.nops += 1
+        return unpermute_samples(yp, self.n_samples)
+
+    def _crossprod(self, x2):
+        xp = permute_samples(x2, self.nbytes)
+        z = self._cross_fn(self.packed, self.mean, self.invsd, xp)
+        self.nops += 1
+        return z[: self.n_snps]
+
+    def _prod(self, v2):
+        pad = self.p_pad - self.n_snps
+        if pad:
+            v2 = jnp.pad(v2, ((0, pad), (0, 0)))
+        yp = self._mv_fn(self.packed, self.mean, self.invsd, v2)
+        self.nops += 1
+        return unpermute_samples(yp, self.n_samples)
+
+    # -- trace ----------------------------------------------------------------
+    @property
+    def snp_sumsq(self) -> np.ndarray:
+        """Per-SNP sum of squared standardized genotypes (float64 host)."""
+        if self._sumsq is None:
+            sq = self._sumsq_fn(self.packed, self.mean, self.invsd, self._valid)
+            self._sumsq = np.asarray(sq, dtype=np.float64)[: self.n_snps]
+        return self._sumsq
+
+    @property
+    def trace(self) -> float:
+        """trace(X X^T) = sum of squares of X (svdwide.cpp:44-45)."""
+        return float(self.snp_sumsq.sum())
+
+
+class DenseOperator(LinearOperatorBase):
+    """Operator over an in-memory standardized dense matrix (N, p) --
+    the analog of ``SVDWide`` (svdwide.h:11-31), used for the
+    numeric-matrix API path and as a test oracle."""
+
+    def __init__(self, X_std: np.ndarray, *, dtype=jnp.float32):
+        X_std = np.asarray(X_std)
+        self.n_samples, self.n_snps = X_std.shape
+        self.dtype = dtype
+        self.X = jnp.asarray(X_std, dtype=dtype)
+        self._gram_fn = jax.jit(lambda X, x: X @ (X.T @ x))
+        self._cross_fn = jax.jit(lambda X, x: X.T @ x)
+        self._mv_fn = jax.jit(lambda X, v: X @ v)
+        self.nops = 0
+
+    def _gram(self, x2):
+        self.nops += 1
+        return self._gram_fn(self.X, x2)
+
+    def _crossprod(self, x2):
+        self.nops += 1
+        return self._cross_fn(self.X, x2)
+
+    def _prod(self, v2):
+        self.nops += 1
+        return self._mv_fn(self.X, v2)
+
+    @property
+    def trace(self) -> float:
+        return float(jnp.sum(self.X.astype(jnp.float32) ** 2))

@@ -1,0 +1,112 @@
+"""Column standardization of dense matrices, matching the reference exactly.
+
+Five methods (reference: util.h:34-38, util.cpp:24-192):
+
+* ``none``   (0): impute NaN -> column mean; no scaling. Returned sd is 1.
+* ``sd``     (1): (x - mean)/sd with the (n-1)-denominator sd over
+  non-missing values; NaN -> 0; columns with sd <= VAR_TOL are set to
+  their mean.
+* ``binom``  (2): mean = 2*p_hat, sd = sqrt(p_hat(1-p_hat)) ("old
+  Eigenstrat", Price 2006 eqn 3).
+* ``binom2`` (3): sd = sqrt(2*p_hat*(1-p_hat)).
+* ``center`` (4): x - mean; NaN -> 0. Returned sd is 1.
+
+Statistics are computed over non-missing entries only; imputation of a
+missing entry is to the mean (which is 0 after centering/scaling).
+
+Runs in numpy float64 on the host: the stats must be exact regardless of
+the device compute dtype, and this is a one-shot O(np) pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+VAR_TOL = 1e-9  # reference: util.h:33
+
+STAND_NONE = "none"
+STAND_SD = "sd"
+STAND_BINOM = "binom"
+STAND_BINOM2 = "binom2"
+STAND_CENTER = "center"
+
+_METHODS = (STAND_NONE, STAND_SD, STAND_BINOM, STAND_BINOM2, STAND_CENTER)
+
+# CLI/R integer codes (reference: util.h:34-38, flashpcaR/R/flashpca.R:148-155)
+METHOD_CODES = {"none": 0, "sd": 1, "binom": 2, "binom2": 3, "center": 4}
+
+
+def standardize(
+    X: np.ndarray, method: str = "binom2"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Standardize columns of X.
+
+    Returns ``(X_std, mean, sd)`` where X_std is a new float64 array and
+    mean/sd are the per-column statistics (sd is all-ones for methods
+    that don't scale), matching ``standardise`` (reference: util.cpp:24-192)
+    and the R oracle ``scale2`` (flashpcaR/R/scale2.R:21-41).
+    """
+    if method not in _METHODS:
+        raise ValueError(f"unknown standardization method: {method}")
+    X = np.array(X, dtype=np.float64, copy=True)
+    if X.ndim != 2:
+        raise ValueError("X must be 2-D")
+    n, p = X.shape
+    na = np.isnan(X)
+    ngood = n - na.sum(axis=0)
+    if np.any(ngood == 0):
+        raise ValueError("column with all values missing")
+    total = np.where(na, 0.0, X).sum(axis=0)
+    mean = total / ngood
+    sd = np.ones(p, dtype=np.float64)
+
+    if method == STAND_NONE:
+        X[na] = np.broadcast_to(mean, X.shape)[na]
+        return X, mean, sd
+
+    if method == STAND_CENTER:
+        X = X - mean
+        X[na] = 0.0
+        return X, mean, sd
+
+    if method == STAND_SD:
+        # shifted-data variance with K=1 and (n-1) denominator over
+        # non-missing entries (reference: util.cpp:75-95)
+        shifted = np.where(na, 0.0, X - 1.0)
+        ssum = shifted.sum(axis=0)
+        ssum_sqr = (shifted * shifted).sum(axis=0)
+        var = (ssum_sqr - (ssum * ssum) / ngood) / (ngood - 1)
+        sd = np.sqrt(var)
+    else:  # binom / binom2
+        p_hat = mean / 2.0
+        mult = 1.0 if method == STAND_BINOM else 2.0
+        sd = np.sqrt(mult * p_hat * (1.0 - p_hat))
+
+    scaled = np.where(sd > VAR_TOL, (X - mean) / np.where(sd > VAR_TOL, sd, 1.0),
+                      np.broadcast_to(mean, X.shape))
+    scaled[na] = 0.0
+    return scaled, mean, sd
+
+
+def scale2(X: np.ndarray, type: str = "2") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """R-package ``scale2`` equivalent (flashpcaR/R/scale2.R:21-41):
+    type "1" = binom, type "2" = binom2. Returns (scaled, center, scale)."""
+    method = STAND_BINOM if str(type) == "1" else STAND_BINOM2
+    return standardize(X, method)
+
+
+def lookup_tables(
+    mean: np.ndarray, sd: np.ndarray, dtype=np.float32
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-SNP decode constants (offset, inv_sd) for the packed operator.
+
+    The streaming reference caches 4 standardized values per SNP
+    (``scaled_geno_lookup``, data.cpp:316-320); we instead carry
+    ``inv_sd = 1/sd`` (0 where sd <= VAR_TOL, zeroing the column exactly
+    like the reference's zero-initialized lookup) and the mean, and
+    reconstruct ``(dosage - mean) * inv_sd`` in the decode kernel.
+    """
+    mean = np.asarray(mean, dtype=np.float64)
+    sd = np.asarray(sd, dtype=np.float64)
+    inv = np.where(sd > VAR_TOL, 1.0 / np.where(sd > VAR_TOL, sd, 1.0), 0.0)
+    return mean.astype(dtype), inv.astype(dtype)

@@ -1,0 +1,46 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh with x64.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers an 'axon' TPU backend and
+# overrides JAX_PLATFORMS; force CPU explicitly for the test suite.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+HM3_ROOT = "/root/reference/HapMap3/data"
+HM3_AVAILABLE = os.path.exists(HM3_ROOT + ".bed")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def small_plink(tmp_path_factory, rng):
+    """A small synthetic PLINK fileset with missing genotypes."""
+    from flashpca_tpu.io.plink import write_bed
+
+    n, p = 61, 37  # deliberately not multiples of 4 / block sizes
+    maf = rng.uniform(0.05, 0.5, size=p)
+    geno = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)
+    miss = rng.uniform(size=(n, p)) < 0.05
+    geno[miss] = np.nan
+    # one constant column to exercise the VAR_TOL path
+    geno[:, 5] = 0.0
+    root = str(tmp_path_factory.mktemp("plink") / "toy")
+    write_bed(root, geno)
+    return root, geno

@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from flashpca_tpu.io import (
+    PlinkDataset,
+    read_text,
+    read_maf,
+    maf2meansd,
+    save_text,
+    unpack_codes,
+    codes_to_dosage,
+    write_bed,
+    bytes_per_snp,
+)
+
+
+def test_roundtrip_write_read(small_plink):
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    n, p = geno.shape
+    assert ds.n_samples == n
+    assert ds.n_snps == p
+    X = ds.read_matrix(impute_mean=False)
+    # read_matrix imputes by default; use codes for NaN-preserving check
+    codes = ds.read_codes()
+    dosage = codes_to_dosage(codes).T  # (n, p)
+    assert dosage.shape == (n, p)
+    nan_match = np.isnan(geno) == np.isnan(dosage)
+    assert nan_match.all()
+    ok = ~np.isnan(geno)
+    np.testing.assert_array_equal(geno[ok], dosage[ok])
+
+
+def test_read_matrix_mean_impute(small_plink):
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    X = ds.read_matrix()
+    assert not np.isnan(X).any()
+    col = 0
+    na = np.isnan(geno[:, col])
+    if na.any():
+        expected = np.nanmean(geno[:, col])
+        np.testing.assert_allclose(X[na, col], expected)
+
+
+def test_byte_range(small_plink):
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    nb = bytes_per_snp(ds.n_samples)
+    lo, hi = ds.byte_range(3, 7)
+    assert lo == 3 + 3 * nb
+    assert hi == 3 + 7 * nb
+    with open(ds.bed_path, "rb") as fh:
+        fh.seek(lo)
+        raw = np.frombuffer(fh.read(hi - lo), dtype=np.uint8).reshape(4, nb)
+    np.testing.assert_array_equal(raw, ds.read_packed(3, 7))
+
+
+def test_snp_stats_match_reference_formula(small_plink):
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    for j in [0, 5, 11]:
+        col = geno[:, j]
+        m = np.nanmean(col)
+        np.testing.assert_allclose(mean[j], m, rtol=1e-12)
+        P = m / 2.0
+        np.testing.assert_allclose(sd[j], np.sqrt(2 * P * (1 - P)), rtol=1e-12)
+    mean1, sd1 = ds.snp_stats("binom")
+    P = mean1 / 2.0
+    np.testing.assert_allclose(sd1, np.sqrt(P * (1 - P)), rtol=1e-12)
+
+
+def test_text_roundtrip(tmp_path):
+    M = np.array([[1.234567890123, -2.5e-8], [3.0, 4.5]])
+    f = str(tmp_path / "t.txt")
+    save_text(M, f, colnames=["FID\tIID", "C1"], rownames=["f1\ti1", "f2\ti2"])
+    out = read_text(f, firstcol=3, skip=1)
+    np.testing.assert_allclose(out, M, rtol=1e-6)
+
+
+def test_format_matches_cpp_setprecision():
+    from flashpca_tpu.utils.formats import format_g
+
+    assert format_g(0.1234567890123) == "0.1234568"
+    assert format_g(1234567.89) == "1234568"
+    assert format_g(-2.5e-8) == "-2.5e-08"
+    assert format_g(1.0) == "1"
+
+
+def test_maf_reader(tmp_path):
+    snp_ids = ["rs1", "rs2", "rs3"]
+    f = str(tmp_path / "test.frq")
+    with open(f, "w") as fh:
+        fh.write(" CHR  SNP  A1 A2 MAF NCHROBS\n")
+        for i, s in enumerate(snp_ids):
+            fh.write(f" 1 {s} A C 0.{i+1} 100\n")
+    maf = read_maf(f, snp_ids)
+    np.testing.assert_allclose(maf, [0.1, 0.2, 0.3])
+    ms = maf2meansd(maf)
+    np.testing.assert_allclose(ms[:, 0], 2 * maf)
+    # sd slot stores the *variance* 2*maf*(1-maf) (reference quirk)
+    np.testing.assert_allclose(ms[:, 1], 2 * maf * (1 - maf))
+    with pytest.raises(ValueError):
+        read_maf(f, ["rs1", "rsX", "rs3"])
+
+
+def test_read_text_firstcol(tmp_path):
+    f = str(tmp_path / "pheno.txt")
+    with open(f, "w") as fh:
+        fh.write("fam1 id1 1.5 2.5\nfam2 id2 3.5 4.5\n")
+    M = read_text(f, firstcol=3)
+    np.testing.assert_allclose(M, [[1.5, 2.5], [3.5, 4.5]])

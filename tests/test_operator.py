@@ -1,0 +1,109 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flashpca_tpu.io import PlinkDataset
+from flashpca_tpu.ops import (
+    PackedOperator,
+    DenseOperator,
+    dense_standardized_np,
+    permute_samples,
+    unpermute_samples,
+)
+
+
+@pytest.fixture(scope="module")
+def packed_setup(small_plink):
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    codes = ds.read_codes()
+    W = dense_standardized_np(codes, mean, sd)  # (p, N) oracle
+    return ds, mean, sd, W
+
+
+def test_permutation_roundtrip():
+    n, nbytes = 61, 16
+    x = jnp.arange(n, dtype=jnp.float64)
+    xp = permute_samples(x, nbytes)
+    assert xp.shape == (64,)
+    back = unpermute_samples(xp, n)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # matrix case
+    xm = jnp.arange(n * 3, dtype=jnp.float64).reshape(n, 3)
+    back_m = unpermute_samples(permute_samples(xm, nbytes), n)
+    np.testing.assert_array_equal(np.asarray(back_m), np.asarray(xm))
+
+
+@pytest.mark.parametrize("block_size", [5, 37, 64])
+def test_packed_products_match_dense(packed_setup, block_size, rng):
+    ds, mean, sd, W = packed_setup
+    op = PackedOperator(
+        ds.read_packed(), mean, sd, ds.n_samples,
+        block_size=block_size, dtype=jnp.float64,
+    )
+    n, p = ds.n_samples, ds.n_snps
+    X = W.T  # (N, p)
+
+    x = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(op.perform_op(x)), X @ (X.T @ x), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.crossprod(x)), X.T @ x, rtol=1e-10)
+
+    v = rng.normal(size=p)
+    np.testing.assert_allclose(np.asarray(op.prod(v)), X @ v, rtol=1e-10)
+
+    # matrix variants
+    Xk = rng.normal(size=(n, 3))
+    np.testing.assert_allclose(
+        np.asarray(op.perform_op(Xk)), X @ (X.T @ Xk), rtol=1e-10
+    )
+    Vk = rng.normal(size=(p, 2))
+    np.testing.assert_allclose(np.asarray(op.prod(Vk)), X @ Vk, rtol=1e-10)
+
+    # trace and per-SNP sum of squares
+    np.testing.assert_allclose(op.trace, (X ** 2).sum(), rtol=1e-10)
+    np.testing.assert_allclose(op.snp_sumsq, (W ** 2).sum(axis=1), rtol=1e-10)
+
+
+def test_constant_column_zeroed(packed_setup):
+    ds, mean, sd, W = packed_setup
+    # column 5 of the fixture is constant 0 -> sd == 0 -> zeroed
+    assert sd[5] <= 1e-9
+    assert np.all(W[5] == 0.0)
+    op = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples, dtype=jnp.float64)
+    v = np.zeros(ds.n_snps)
+    v[5] = 1.0
+    np.testing.assert_array_equal(np.asarray(op.prod(v)), 0.0)
+
+
+def test_dense_operator_matches(packed_setup, rng):
+    ds, mean, sd, W = packed_setup
+    X = W.T
+    op = DenseOperator(X, dtype=jnp.float64)
+    x = rng.normal(size=ds.n_samples)
+    np.testing.assert_allclose(np.asarray(op.perform_op(x)), X @ (X.T @ x), rtol=1e-10)
+
+
+def test_sharded_operator_matches_single(packed_setup, rng):
+    from jax.sharding import Mesh
+
+    ds, mean, sd, W = packed_setup
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("snps",))
+    op1 = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                         block_size=7, dtype=jnp.float64)
+    opm = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                         block_size=7, dtype=jnp.float64, mesh=mesh)
+    x = rng.normal(size=ds.n_samples)
+    np.testing.assert_allclose(
+        np.asarray(opm.perform_op(x)), np.asarray(op1.perform_op(x)), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(opm.crossprod(x)), np.asarray(op1.crossprod(x)), rtol=1e-10
+    )
+    v = rng.normal(size=ds.n_snps)
+    np.testing.assert_allclose(
+        np.asarray(opm.prod(v)), np.asarray(op1.prod(v)), rtol=1e-10
+    )
+    np.testing.assert_allclose(opm.trace, op1.trace, rtol=1e-10)
