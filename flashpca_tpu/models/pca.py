@@ -1,0 +1,224 @@
+"""PCA driver: top-k PCs of standardized genotype data.
+
+Equivalent of ``RandomPCA::pca_fast`` (reference: randompca.cpp:121-218),
+both the in-RAM matrix overload and the streaming PLINK overload, with
+identical post-processing:
+
+* ``values  d   = eigenvalues(X X^T) / div``  (div in {p, n-1, 1})
+* ``vectors U   = eigenvectors``               (N x k)
+* ``projection  Px = U diag(sqrt(d))``
+* ``loadings V  = X^T U diag(1/sqrt(d)) / sqrt(div)``
+* ``trace = sum X^2 / div``, ``pve = d / trace``
+
+plus the Spectra ncv rule ``ncv = 2*ndim + 1`` and the dimension cap
+``ndim <= (min(N, p) - 1) / 2`` (flashpca.cpp:614-633).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..io.plink import PlinkDataset
+from ..ops.operator import DenseOperator, PackedOperator
+from ..ops.standardize import standardize
+from ..solvers.lanczos import eigsh
+
+DIVISORS = ("p", "n1", "none")
+
+
+@dataclass
+class PCAResult:
+    values: np.ndarray
+    vectors: np.ndarray
+    projection: np.ndarray
+    pve: np.ndarray
+    trace: float
+    center: np.ndarray
+    scale: np.ndarray
+    loadings: np.ndarray | None = None
+    converged: bool = True
+    n_ops: int = 0
+    n_restarts: int = 0
+    residuals: np.ndarray | None = None
+
+    def __repr__(self):
+        return f"PCAResult(ndim={len(self.values)}, converged={self.converged})"
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _resolve_divisor(divisor: str, n: int, p: int) -> float:
+    if divisor == "p":
+        return float(p)
+    if divisor == "n1":
+        return float(n - 1)
+    if divisor == "none":
+        return 1.0
+    raise ValueError(f"unknown divisor: {divisor}")
+
+
+def _check_ndim(ndim: int, n: int, p: int) -> None:
+    if ndim < 1:
+        raise ValueError("ndim can't be less than 1")
+    max_dim = int((min(n, p) - 1) / 2.0)
+    if ndim > max_dim:
+        raise ValueError(
+            f"You asked for {ndim} dimensions, but only {max_dim} allowed"
+        )
+
+
+def pca(
+    data,
+    ndim: int = 10,
+    *,
+    stand: str = "binom2",
+    divisor: str = "p",
+    maxiter: int = 500,
+    tol: float = 1e-6,
+    seed: int = 1,
+    block_size: int | None = None,
+    do_loadings: bool = False,
+    dtype=None,
+    mesh=None,
+    batch: bool = False,
+    check_geno: bool = True,
+    ncv: int | None = None,
+    verbose: bool = False,
+) -> PCAResult:
+    """Compute the top ``ndim`` principal components.
+
+    ``data`` may be a PLINK root path / :class:`PlinkDataset` (streaming
+    packed path, stand must be binom/binom2) or a numeric (N, p) matrix
+    (batch path, any standardization; NaN = missing, mean-imputed).
+    """
+    dtype = dtype or _default_dtype()
+
+    if isinstance(data, str):
+        data = PlinkDataset.open(data)
+
+    if isinstance(data, PlinkDataset):
+        if stand not in ("binom", "binom2"):
+            raise ValueError(
+                "When using PLINK data, you must use stand='binom' or 'binom2'"
+            )
+        n, p = data.n_samples, data.n_snps
+        _check_ndim(ndim, n, p)
+        if batch:
+            X = data.read_matrix()
+            return _pca_matrix(
+                X, ndim, stand, divisor, maxiter, tol, seed,
+                do_loadings, dtype, ncv, check_geno=False,
+            )
+        mean, sd = data.snp_stats(stand)
+        op = PackedOperator(
+            data.read_packed(), mean, sd, n,
+            block_size=block_size, dtype=dtype, mesh=mesh,
+        )
+        return _pca_operator(
+            op, ndim, divisor, maxiter, tol, seed, do_loadings,
+            dtype, ncv, mean, sd,
+        )
+
+    X = np.asarray(data, dtype=np.float64)
+    if X.ndim != 2:
+        raise ValueError("X must be a 2-D matrix")
+    if X.shape[1] < 2 or X.shape[0] < 2:
+        raise ValueError("X must have at least two rows and columns")
+    if stand in ("binom", "binom2") and check_geno:
+        ok = np.isnan(X) | np.isin(X, (0.0, 1.0, 2.0))
+        if not ok.all():
+            raise ValueError(
+                "Your data contains values other than {0, 1, 2}, "
+                "stand='binom'/'binom2' can't be used here"
+            )
+    _check_ndim(ndim, X.shape[0], X.shape[1])
+    return _pca_matrix(
+        X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
+        dtype, ncv, check_geno=False,
+    )
+
+
+def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
+                dtype, ncv, check_geno):
+    X_std, mean, sd = standardize(X, stand)
+    op = DenseOperator(X_std, dtype=dtype)
+    return _pca_operator(
+        op, ndim, divisor, maxiter, tol, seed, do_loadings, dtype, ncv,
+        mean, sd,
+    )
+
+
+def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
+                  dtype, ncv, mean, sd) -> PCAResult:
+    n, p = op.n_samples, op.n_snps
+    div = _resolve_divisor(divisor, n, p)
+
+    # build v0 in sample space so byte-padding coordinates start at zero
+    rng = np.random.default_rng(seed)
+    v0_n = rng.standard_normal(n)
+    v0 = np.asarray(op.permute(jnp.asarray(v0_n, dtype=dtype)))
+
+    res = eigsh(
+        op.gram_permuted,
+        op.op_dim,
+        ndim,
+        ncv=ncv,
+        maxiter=maxiter,
+        tol=tol,
+        dtype=dtype,
+        seed=seed,
+        v0=v0,
+    )
+    if not res.converged:
+        raise RuntimeError(
+            "eigen-decomposition was not successful: "
+            f"{int(np.sum(res.residuals <= tol))} of {ndim} eigenpairs "
+            f"converged in {res.n_restarts} restarts"
+        )
+
+    U = np.asarray(op.unpermute(res.eigenvectors), dtype=np.float64)
+    d = res.eigenvalues / div
+
+    loadings = None
+    if do_loadings:
+        Vt = np.asarray(op.crossprod(jnp.asarray(U, dtype=dtype)),
+                        dtype=np.float64)
+        loadings = Vt * (1.0 / np.sqrt(d) / np.sqrt(div))[None, :]
+
+    trace = op.trace / div
+    pve = d / trace
+    Px = U * np.sqrt(d)[None, :]
+
+    return PCAResult(
+        values=d,
+        vectors=U,
+        projection=Px,
+        pve=pve,
+        trace=trace,
+        center=np.asarray(mean, dtype=np.float64),
+        scale=np.asarray(sd, dtype=np.float64),
+        loadings=loadings,
+        converged=res.converged,
+        n_ops=res.n_ops,
+        n_restarts=res.n_restarts,
+        residuals=res.residuals,
+    )
+
+
+# R-package-compatible alias (flashpcaR::flashpca)
+def flashpca(X, ndim=10, stand="binom2", divisor="p", maxiter=100,
+             tol=1e-4, seed=1, block_size=1000, verbose=False,
+             do_loadings=False, check_geno=True, **kw) -> PCAResult:
+    """Alias with the R package's defaults (flashpcaR/R/flashpca.R:99-103)."""
+    return pca(
+        X, ndim, stand=stand, divisor=divisor, maxiter=maxiter, tol=tol,
+        seed=seed, block_size=block_size, do_loadings=do_loadings,
+        check_geno=check_geno, verbose=verbose, **kw,
+    )

@@ -261,9 +261,18 @@ class PackedOperator(LinearOperatorBase):
     # -- jit/shard_map plumbing --------------------------------------------
     def _build_fns(self):
         bs = self.block_size
-        gram = partial(gram_matvec_p, block_size=bs)
+        raw_gram = partial(gram_matvec_p, block_size=bs)
+        raw_mv = partial(matvec_p, block_size=bs)
+
+        # Mask byte-padding sample positions so permuted-space outputs are
+        # exactly zero there (pad codes in the .bed are arbitrary bits).
+        def gram(packed, mean, invsd, xp, valid):
+            return raw_gram(packed, mean, invsd, xp) * valid[:, None]
+
+        def mv(packed, mean, invsd, v, valid):
+            return raw_mv(packed, mean, invsd, v) * valid[:, None]
+
         cross = partial(crossprod_p, block_size=bs)
-        mv = partial(matvec_p, block_size=bs)
         sumsq = partial(snp_sumsq_p, block_size=bs)
 
         if self.mesh is not None:
@@ -272,19 +281,22 @@ class PackedOperator(LinearOperatorBase):
             snp = P(ax)
             row = P(ax, None)
             rep = P(None, None)
-            local_gram, local_cross, local_mv, local_sumsq = gram, cross, mv, sumsq
+            local_gram, local_cross, local_mv, local_sumsq = (
+                raw_gram, cross, raw_mv, sumsq)
 
-            def gram_psum(packed, mean, invsd, xp):
-                return lax.psum(local_gram(packed, mean, invsd, xp), ax)
+            def gram_psum(packed, mean, invsd, xp, valid):
+                y = lax.psum(local_gram(packed, mean, invsd, xp), ax)
+                return y * valid[:, None]
 
-            def prod_psum(packed, mean, invsd, v):
-                return lax.psum(local_mv(packed, mean, invsd, v), ax)
+            def prod_psum(packed, mean, invsd, v, valid):
+                y = lax.psum(local_mv(packed, mean, invsd, v), ax)
+                return y * valid[:, None]
 
             from jax import shard_map
 
             gram = shard_map(
                 gram_psum, mesh=mesh,
-                in_specs=(row, snp, snp, rep), out_specs=rep,
+                in_specs=(row, snp, snp, rep, P(None)), out_specs=rep,
             )
             cross = shard_map(
                 local_cross, mesh=mesh,
@@ -292,7 +304,7 @@ class PackedOperator(LinearOperatorBase):
             )
             mv = shard_map(
                 prod_psum, mesh=mesh,
-                in_specs=(row, snp, snp, row), out_specs=rep,
+                in_specs=(row, snp, snp, row, P(None)), out_specs=rep,
             )
             sumsq = shard_map(
                 local_sumsq, mesh=mesh,
@@ -304,10 +316,32 @@ class PackedOperator(LinearOperatorBase):
         self._mv_fn = jax.jit(mv)
         self._sumsq_fn = jax.jit(sumsq)
 
+    # -- permuted-space interface (used by the eigensolver; no per-call
+    #    permutes or host transfers) ------------------------------------------
+    def permute(self, x):
+        return permute_samples(jnp.asarray(x, self.dtype), self.nbytes)
+
+    def unpermute(self, yp):
+        return unpermute_samples(yp, self.n_samples)
+
+    def gram_permuted(self, xp):
+        """yp = X X^T xp in permuted space; (n4,) or (n4,k) -> same.
+        Byte-padding positions are masked to exactly zero."""
+        vec = xp.ndim == 1
+        xp2 = xp[:, None] if vec else xp
+        yp = self._gram_fn(self.packed, self.mean, self.invsd, xp2, self._valid)
+        self.nops += 1
+        return yp[:, 0] if vec else yp
+
+    @property
+    def op_dim(self) -> int:
+        """Length of permuted-space vectors."""
+        return self.n4
+
     # -- products ------------------------------------------------------------
     def _gram(self, x2):
         xp = permute_samples(x2, self.nbytes)
-        yp = self._gram_fn(self.packed, self.mean, self.invsd, xp)
+        yp = self._gram_fn(self.packed, self.mean, self.invsd, xp, self._valid)
         self.nops += 1
         return unpermute_samples(yp, self.n_samples)
 
@@ -321,7 +355,7 @@ class PackedOperator(LinearOperatorBase):
         pad = self.p_pad - self.n_snps
         if pad:
             v2 = jnp.pad(v2, ((0, pad), (0, 0)))
-        yp = self._mv_fn(self.packed, self.mean, self.invsd, v2)
+        yp = self._mv_fn(self.packed, self.mean, self.invsd, v2, self._valid)
         self.nops += 1
         return unpermute_samples(yp, self.n_samples)
 
@@ -355,6 +389,25 @@ class DenseOperator(LinearOperatorBase):
         self._mv_fn = jax.jit(lambda X, v: X @ v)
         self.nops = 0
 
+    # identity "permutation" so the eigensolver can treat both operators
+    # uniformly
+    def permute(self, x):
+        return jnp.asarray(x, self.dtype)
+
+    def unpermute(self, yp):
+        return yp
+
+    def gram_permuted(self, xp):
+        vec = xp.ndim == 1
+        x2 = xp[:, None] if vec else xp
+        self.nops += 1
+        y = self._gram_fn(self.X, x2)
+        return y[:, 0] if vec else y
+
+    @property
+    def op_dim(self) -> int:
+        return self.n_samples
+
     def _gram(self, x2):
         self.nops += 1
         return self._gram_fn(self.X, x2)
@@ -369,4 +422,5 @@ class DenseOperator(LinearOperatorBase):
 
     @property
     def trace(self) -> float:
-        return float(jnp.sum(self.X.astype(jnp.float32) ** 2))
+        X = np.asarray(self.X, dtype=np.float64)
+        return float(np.sum(X * X))

@@ -1,0 +1,87 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flashpca_tpu.solvers.lanczos import eigsh
+
+
+def _sign_align(A, B):
+    """Flip columns of B to match A's signs."""
+    s = np.sign(np.sum(A * B, axis=0))
+    s[s == 0] = 1.0
+    return B * s
+
+
+def _make_psd(rng, n, p):
+    X = rng.normal(size=(n, p))
+    return X @ X.T / p
+
+
+def test_eigsh_matches_numpy_f64(rng):
+    n = 120
+    A = _make_psd(rng, n, 300)
+    Ad = jnp.asarray(A)
+    res = eigsh(lambda v: Ad @ v, n, nev=5, tol=1e-10, dtype=jnp.float64)
+    w, Q = np.linalg.eigh(A)
+    w = w[::-1][:5]
+    Q = Q[:, ::-1][:, :5]
+    assert res.converged
+    np.testing.assert_allclose(res.eigenvalues, w, rtol=1e-10)
+    U = np.asarray(res.eigenvectors)
+    U = _sign_align(Q, U)
+    np.testing.assert_allclose(U, Q, atol=1e-7)
+
+
+def test_eigsh_needs_restarts(rng):
+    # clustered spectrum forces multiple restart cycles
+    n = 200
+    A = _make_psd(rng, n, 220)
+    Ad = jnp.asarray(A)
+    res = eigsh(lambda v: Ad @ v, n, nev=8, ncv=12, maxiter=200,
+                tol=1e-9, dtype=jnp.float64)
+    w = np.linalg.eigvalsh(A)[::-1][:8]
+    assert res.converged
+    assert res.n_restarts > 1
+    np.testing.assert_allclose(res.eigenvalues, w, rtol=1e-8)
+
+
+def test_eigsh_f32_accuracy(rng):
+    n = 150
+    A = _make_psd(rng, n, 400)
+    Ad = jnp.asarray(A, dtype=jnp.float32)
+    res = eigsh(lambda v: Ad @ v, n, nev=4, tol=1e-6, dtype=jnp.float32)
+    w, Q = np.linalg.eigh(A)
+    w = w[::-1][:4]
+    Q = Q[:, ::-1][:, :4]
+    np.testing.assert_allclose(res.eigenvalues, w, rtol=1e-4)
+    U = _sign_align(Q, np.asarray(res.eigenvectors, dtype=np.float64))
+    # sign-aligned correlation > 0.999 (the parity gate)
+    corr = np.abs(np.sum(U * Q, axis=0)) / (
+        np.linalg.norm(U, axis=0) * np.linalg.norm(Q, axis=0))
+    assert (corr > 0.999).all()
+
+
+def test_eigsh_low_rank_deflation(rng):
+    # rank-3 operator with nev=5: exact invariant subspace mid-run
+    n = 80
+    B = rng.normal(size=(n, 3))
+    A = B @ B.T
+    Ad = jnp.asarray(A)
+    res = eigsh(lambda v: Ad @ v, n, nev=5, tol=1e-9, dtype=jnp.float64)
+    w = np.linalg.eigvalsh(A)[::-1][:5]
+    np.testing.assert_allclose(res.eigenvalues, w, atol=1e-7 * w[0])
+
+
+def test_eigsh_v0_deterministic(rng):
+    n = 60
+    A = _make_psd(rng, n, 100)
+    Ad = jnp.asarray(A)
+    v0 = rng.normal(size=n)
+    r1 = eigsh(lambda v: Ad @ v, n, nev=3, dtype=jnp.float64, v0=v0)
+    r2 = eigsh(lambda v: Ad @ v, n, nev=3, dtype=jnp.float64, v0=v0)
+    np.testing.assert_array_equal(r1.eigenvalues, r2.eigenvalues)
+
+
+def test_eigsh_invalid_args(rng):
+    with pytest.raises(ValueError):
+        eigsh(lambda v: v, 10, nev=5, ncv=5)

@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from flashpca_tpu.models.pca import pca, flashpca
+from flashpca_tpu.io import PlinkDataset
+from flashpca_tpu.ops import standardize, dense_standardized_np
+
+
+def _sign_align(ref, est):
+    s = np.sign(np.sum(ref * est, axis=0))
+    s[s == 0] = 1.0
+    return est * s
+
+
+def _dense_pca_oracle(X_std, ndim, div):
+    """Independent oracle: full eigendecomposition of X X^T / div."""
+    G = X_std @ X_std.T
+    w, Q = np.linalg.eigh(G)
+    w = w[::-1][:ndim] / div
+    Q = Q[:, ::-1][:, :ndim]
+    return w, Q
+
+
+@pytest.fixture(scope="module")
+def geno(rng):
+    n, p = 150, 500
+    maf = rng.uniform(0.05, 0.5, size=p)
+    X = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)
+    X[rng.uniform(size=X.shape) < 0.02] = np.nan
+    return X
+
+
+@pytest.mark.parametrize("divisor", ["p", "n1", "none"])
+def test_pca_matrix_matches_eigh(geno, divisor):
+    n, p = geno.shape
+    ndim = 6
+    res = pca(geno, ndim, divisor=divisor, tol=1e-9)
+    X_std, _, _ = standardize(geno, "binom2")
+    div = {"p": p, "n1": n - 1, "none": 1.0}[divisor]
+    w, Q = _dense_pca_oracle(X_std, ndim, div)
+    np.testing.assert_allclose(res.values, w, rtol=1e-8)
+    U = _sign_align(Q, res.vectors)
+    np.testing.assert_allclose(U, Q, atol=1e-6)
+    # pve and trace
+    np.testing.assert_allclose(res.trace, (X_std ** 2).sum() / div, rtol=1e-10)
+    np.testing.assert_allclose(res.pve, w / res.trace, rtol=1e-8)
+    # projection = U * sqrt(d)
+    np.testing.assert_allclose(
+        _sign_align(Q * np.sqrt(w), res.projection), Q * np.sqrt(w), atol=1e-6
+    )
+
+
+def test_pca_loadings(geno):
+    n, p = geno.shape
+    res = pca(geno, 4, do_loadings=True, tol=1e-9)
+    X_std, _, _ = standardize(geno, "binom2")
+    V_ref = X_std.T @ res.vectors / np.sqrt(res.values)[None, :] / np.sqrt(p)
+    np.testing.assert_allclose(res.loadings, V_ref, atol=1e-8)
+    # loadings satisfy X V = U D (i.e. Px = X V / sqrt(div))
+    np.testing.assert_allclose(
+        X_std @ res.loadings / np.sqrt(p), res.projection, atol=1e-6
+    )
+
+
+def test_pca_plink_matches_matrix_path(small_plink):
+    root, geno_nan = small_plink
+    res_pl = pca(root, 4, tol=1e-10)
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    W = dense_standardized_np(ds.read_codes(), mean, sd)
+    w, Q = _dense_pca_oracle(W.T, 4, ds.n_snps)
+    np.testing.assert_allclose(res_pl.values, w, rtol=1e-8)
+    U = _sign_align(Q, res_pl.vectors)
+    np.testing.assert_allclose(U, Q, atol=1e-6)
+    np.testing.assert_allclose(res_pl.center, mean)
+    np.testing.assert_allclose(res_pl.scale, sd)
+
+
+def test_pca_plink_batch_mode(small_plink):
+    root, _ = small_plink
+    res_online = pca(root, 3, tol=1e-10)
+    res_batch = pca(root, 3, tol=1e-10, batch=True)
+    np.testing.assert_allclose(res_batch.values, res_online.values, rtol=1e-7)
+
+
+def test_pca_geno_check():
+    X = np.arange(100, dtype=np.float64).reshape(10, 10)
+    with pytest.raises(ValueError, match="values other than"):
+        pca(X, 2)
+    # works with stand="sd"
+    res = pca(X + np.random.default_rng(1).normal(size=(10, 10)), 2, stand="sd")
+    assert res.values.shape == (2,)
+
+
+def test_pca_ndim_cap(geno):
+    with pytest.raises(ValueError, match="only .* allowed"):
+        pca(geno, 80)
+
+
+def test_flashpca_alias(geno):
+    res = flashpca(geno, 3, tol=1e-6)
+    assert res.values.shape == (3,)
+
+
+def test_pca_sharded_matches(small_plink):
+    import jax
+    from jax.sharding import Mesh
+
+    root, _ = small_plink
+    mesh = Mesh(np.array(jax.devices()[:8]), ("snps",))
+    r1 = pca(root, 3, tol=1e-10)
+    r2 = pca(root, 3, tol=1e-10, mesh=mesh, block_size=4)
+    np.testing.assert_allclose(r2.values, r1.values, rtol=1e-9)
+    U = _sign_align(r1.vectors, r2.vectors)
+    np.testing.assert_allclose(U, r1.vectors, atol=1e-7)
