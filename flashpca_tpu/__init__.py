@@ -12,3 +12,10 @@ __version__ = "0.1.0"
 
 from .io import PlinkDataset
 from .ops import standardize, scale2, PackedOperator, DenseOperator
+from .models import (
+    pca, flashpca, PCAResult,
+    project, ProjectResult,
+    check, CheckResult,
+    ucca, UccaResult,
+    scca, SCCAResult,
+)

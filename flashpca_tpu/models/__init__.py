@@ -1,0 +1,5 @@
+from .pca import pca, flashpca, PCAResult
+from .project import project, ProjectResult
+from .check import check, CheckResult
+from .ucca import ucca, wilks, UccaResult
+from .scca import scca, SCCAResult, soft_thresh, norm_thresh, make_gaussian

@@ -1,0 +1,125 @@
+"""UCCA: per-SNP multivariate ANOVA (like plink.multivariate).
+
+Equivalent of ``RandomPCA::ucca`` (reference: randompca.cpp:532-625)
+and ``wilks`` (randompca.cpp:103-119): for each SNP j, the F-test of
+``lm(SNP_j ~ Y)``:
+
+* thin SVD of standardized Y once: Y = U S V^T
+* ``r2_j = | sum(((cov(x_j, Y) V sqrt(n-1)) / S)^2) / var(x_j) |``
+* ``F = r2/(1-r2) * (n-k-1)/k``, ``p = SF_F(F; k, n-k-1)``
+
+Result columns: [R, Fstat, P] with R = sqrt(r2).
+
+TPU mapping: the per-SNP covariances are one ``X^T Y_c`` crossprod
+(one streamed pass over the packed genotypes); variances come from the
+per-SNP sum/sumsq reductions.  The tiny k x k SVD and the F statistics
+run on the host in float64.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from scipy.stats import f as f_dist
+
+import jax
+import jax.numpy as jnp
+
+from ..io.plink import PlinkDataset
+from ..ops.operator import PackedOperator
+from ..ops.standardize import standardize
+
+
+@dataclass
+class UccaResult:
+    result: np.ndarray  # (p, 3): R, Fstat, P
+
+    @property
+    def r(self):
+        return self.result[:, 0]
+
+    @property
+    def fstat(self):
+        return self.result[:, 1]
+
+    @property
+    def pval(self):
+        return self.result[:, 2]
+
+
+def wilks(r2: np.ndarray, n: int, k: int) -> np.ndarray:
+    """(R, F, p) per SNP from r^2 (randompca.cpp:103-119)."""
+    r2 = np.asarray(r2, dtype=np.float64)
+    lam = 1.0 - r2
+    F = (1.0 - lam) / lam * (n - k - 1) / k
+    pval = f_dist.sf(F, k, n - k - 1)
+    return np.column_stack([np.sqrt(r2), F, pval])
+
+
+def _r2_from_moments(covXY, varx, sv, Vy, n):
+    s = (covXY @ Vy) * np.sqrt(n - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # constant SNPs (varx == 0) yield nan, like the reference's 0/0
+        return np.abs(((s / sv[None, :]) ** 2).sum(axis=1) / varx)
+
+
+def ucca(
+    data,
+    Y: np.ndarray,
+    *,
+    stand_x: str = "binom2",
+    stand_y: str = "sd",
+    block_size: int | None = None,
+    dtype=None,
+    mesh=None,
+) -> UccaResult:
+    """Per-SNP CCA of ``data`` (PLINK root/dataset or (N, p) matrix)
+    against the (N, k) phenotype matrix Y."""
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    Y_std, _, _ = standardize(Y, stand_y)
+    n, k = Y_std.shape
+
+    # thin SVD of Y (randompca.cpp:542,591)
+    _, sv, Vt = np.linalg.svd(Y_std, full_matrices=False)
+    Vy = Vt.T
+
+    if isinstance(data, str):
+        data = PlinkDataset.open(data)
+
+    if isinstance(data, PlinkDataset):
+        if data.n_samples != n:
+            raise ValueError("Y rows must equal the number of samples")
+        mean, sd = data.snp_stats(stand_x)
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        op = PackedOperator(
+            data.read_packed(), mean, sd, n,
+            block_size=block_size, dtype=dtype, mesh=mesh,
+        )
+        Yc = Y_std - Y_std.mean(axis=0, keepdims=True)
+        # cov(x_j, Y) = x_j^T Yc / (n-1): Yc columns sum to zero, so the
+        # x-mean correction vanishes -- one crossprod pass suffices
+        covXY = np.asarray(
+            op.crossprod(jnp.asarray(Yc, dtype=dtype)), dtype=np.float64
+        ) / (n - 1.0)
+        # var(x_j) of the standardized column (not exactly 1 with missing)
+        xsum = np.asarray(
+            op.crossprod(jnp.ones((n,), dtype=dtype)), dtype=np.float64
+        )
+        xsumsq = op.snp_sumsq
+        varx = (xsumsq - xsum * xsum / n) / (n - 1.0)
+    else:
+        X = np.asarray(data, dtype=np.float64)
+        if X.shape[0] != n:
+            raise ValueError("Y rows must equal the number of samples")
+        X_std, _, _ = standardize(X, stand_x)
+        Xc = X_std - X_std.mean(axis=0, keepdims=True)
+        Yc = Y_std - Y_std.mean(axis=0, keepdims=True)
+        covXY = Xc.T @ Yc / (n - 1.0)
+        varx = (X_std ** 2).sum(axis=0) - X_std.sum(axis=0) ** 2 / n
+        varx = varx / (n - 1.0)
+
+    r2 = _r2_from_moments(covXY, varx, sv, Vy, n)
+    return UccaResult(result=wilks(r2, n, k))

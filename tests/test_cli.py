@@ -1,0 +1,129 @@
+import os
+
+import numpy as np
+import pytest
+
+from flashpca_tpu.cli import main
+from flashpca_tpu.io import read_text
+from flashpca_tpu.models.pca import pca
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_cli_pca_outputs(small_plink, workdir):
+    root, _ = small_plink
+    rc = main(["--bfile", root, "--ndim", "3", "--tol", "1e-9",
+               "--outload", "loadings.txt", "--outmeansd", "meansd.txt",
+               "--notime", "--shards", "1"])
+    assert rc == 0
+    for f in ("eigenvalues.txt", "eigenvectors.txt", "pcs.txt", "pve.txt",
+              "loadings.txt", "meansd.txt"):
+        assert os.path.exists(f), f
+
+    # file format checks
+    with open("eigenvectors.txt") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+    assert header == ["FID", "IID", "U1", "U2", "U3"]
+    with open("pcs.txt") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+    assert header == ["FID", "IID", "PC1", "PC2", "PC3"]
+    with open("loadings.txt") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+    assert header == ["SNP", "RefAllele", "V1", "V2", "V3"]
+    with open("meansd.txt") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+    assert header == ["SNP", "RefAllele", "Mean", "SD"]
+
+    # values match the library
+    res = pca(root, 3, tol=1e-9)
+    vals = read_text("eigenvalues.txt", firstcol=1)
+    np.testing.assert_allclose(vals[:, 0], res.values, rtol=1e-6)
+    evec = read_text("eigenvectors.txt", firstcol=3, skip=1)
+    np.testing.assert_allclose(np.abs(evec), np.abs(res.vectors), atol=1e-6)
+    pve = read_text("pve.txt", firstcol=1)
+    np.testing.assert_allclose(pve[:, 0], res.pve, rtol=1e-6)
+
+
+def test_cli_check_mode(small_plink, workdir):
+    root, _ = small_plink
+    assert main(["--bfile", root, "--ndim", "3", "--tol", "1e-10",
+                 "--notime", "--shards", "1"]) == 0
+    assert main(["--check", "--bfile", root, "--notime", "--shards", "1"]) == 0
+
+
+def test_cli_project_mode(small_plink, workdir):
+    root, _ = small_plink
+    assert main(["--bfile", root, "--ndim", "3", "--tol", "1e-10",
+                 "--outload", "loadings.txt", "--outmeansd", "meansd.txt",
+                 "--notime", "--shards", "1"]) == 0
+    rc = main(["--project", "--bfile", root, "--inload", "loadings.txt",
+               "--inmeansd", "meansd.txt", "--notime", "--shards", "1"])
+    assert rc == 0
+    proj = read_text("projection.txt", firstcol=3, skip=1)
+    pcs = read_text("pcs.txt", firstcol=3, skip=1)
+    np.testing.assert_allclose(proj, pcs, atol=1e-5)
+
+
+def test_cli_ucca_mode(small_plink, workdir, rng):
+    root, _ = small_plink
+    from flashpca_tpu.io import PlinkDataset
+    ds = PlinkDataset.open(root)
+    with open("pheno.txt", "w") as fh:
+        for f, i in zip(ds.fam_ids, ds.indiv_ids):
+            fh.write(f"{f}\t{i}\t{rng.normal()}\t{rng.normal()}\n")
+    rc = main(["--ucca", "--bfile", root, "--pheno", "pheno.txt",
+               "--notime", "--shards", "1"])
+    assert rc == 0
+    with open("ucca.txt") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+    assert header == ["SNP", "R", "Fstat", "P"]
+    res = read_text("ucca.txt", firstcol=2, skip=1)
+    assert res.shape == (ds.n_snps, 3)
+
+
+def test_cli_scca_mode(small_plink, workdir, rng):
+    root, _ = small_plink
+    from flashpca_tpu.io import PlinkDataset
+    ds = PlinkDataset.open(root)
+    with open("pheno.txt", "w") as fh:
+        for f, i in zip(ds.fam_ids, ds.indiv_ids):
+            vals = "\t".join(str(rng.normal()) for _ in range(3))
+            fh.write(f"{f}\t{i}\t{vals}\n")
+    rc = main(["--scca", "--bfile", root, "--pheno", "pheno.txt",
+               "--ndim", "2", "--lambda1", "1e-3", "--lambda2", "1e-3",
+               "--maxiter", "1000", "--save-vinit", "--notime", "--shards", "1"])
+    assert rc == 0
+    for f in ("eigenvalues.txt", "eigenvectorsX.txt", "eigenvectorsY.txt",
+              "pcsX.txt", "pcsY.txt", "scca_v0.txt"):
+        assert os.path.exists(f), f
+    U = read_text("eigenvectorsX.txt", firstcol=1)
+    assert U.shape == (ds.n_snps, 2)
+
+
+def test_cli_conflicting_modes(small_plink, workdir):
+    root, _ = small_plink
+    assert main(["--scca", "--ucca", "--bfile", root, "--notime"]) == 1
+
+
+def test_cli_project_needs_inload(small_plink, workdir):
+    root, _ = small_plink
+    assert main(["--project", "--bfile", root, "--notime"]) == 1
+
+
+def test_cli_memory_blocksize_conflict(small_plink, workdir):
+    root, _ = small_plink
+    assert main(["--bfile", root, "--memory", "100", "--blocksize", "5",
+                 "--notime"]) == 1
+
+
+def test_cli_missing_bfile(workdir):
+    assert main(["--ndim", "3", "--notime"]) == 1
+
+
+def test_cli_ndim_cap(small_plink, workdir):
+    root, _ = small_plink
+    assert main(["--bfile", root, "--ndim", "100", "--notime"]) == 1

@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+from flashpca_tpu.models.pca import pca
+from flashpca_tpu.models.project import project
+from flashpca_tpu.models.check import check
+from flashpca_tpu.io import PlinkDataset, maf2meansd
+
+
+def test_self_projection_equals_pcs(small_plink):
+    """X V / sqrt(p) == U sqrt(d): projecting the training data onto its
+    own loadings reproduces the PCs (HapMap3/test_pca.R projection test)."""
+    root, _ = small_plink
+    res = pca(root, 4, tol=1e-10, do_loadings=True)
+    meansd = np.column_stack([res.center, res.scale])
+    pr = project(root, res.loadings, meansd=meansd)
+    np.testing.assert_allclose(pr.projection, res.projection, atol=1e-8)
+
+
+def test_projection_maf_path(small_plink):
+    """MAF-based projection uses mean=2*maf and the variance-in-sd-slot
+    quirk; verify against direct computation."""
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    res = pca(root, 3, tol=1e-10, do_loadings=True)
+    maf = res.center / 2.0
+    pr = project(root, res.loadings, maf=maf)
+    # oracle: standardize with mean=2maf, "sd"=2maf(1-maf) (the variance)
+    from flashpca_tpu.ops.genotypes import dense_standardized_np
+    ms = maf2meansd(maf)
+    W = dense_standardized_np(ds.read_codes(), ms[:, 0], ms[:, 1])
+    ref = W.T @ res.loadings / np.sqrt(ds.n_snps)
+    np.testing.assert_allclose(pr.projection, ref, atol=1e-8)
+
+
+def test_projection_numeric_path(rng):
+    n, p, k = 40, 30, 3
+    X = rng.binomial(2, 0.3, size=(n, p)).astype(float)
+    res = pca(X, k, tol=1e-10, do_loadings=True)
+    pr = project(X, res.loadings, orig_mean=res.center, orig_sd=res.scale)
+    np.testing.assert_allclose(pr.projection, res.projection, atol=1e-8)
+
+
+def test_projection_ref_allele_mismatch(small_plink):
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    res = pca(root, 2, tol=1e-8, do_loadings=True)
+    bad = list(ds.ref_alleles)
+    bad[3] = "T"
+    with pytest.raises(ValueError, match="alleles mismatch"):
+        project(root, res.loadings, meansd=np.column_stack([res.center, res.scale]),
+                ref_alleles=bad)
+
+
+def test_projection_dim_mismatch(small_plink):
+    root, _ = small_plink
+    with pytest.raises(ValueError, match="loadings rows"):
+        project(root, np.ones((5, 2)), meansd=np.ones((5, 2)))
+
+
+def test_check_good_decomposition(small_plink):
+    root, _ = small_plink
+    res = pca(root, 4, tol=1e-12)
+    c = check(root, res.vectors, res.values)
+    assert c.mse < 1e-15
+    assert c.rmse < 1e-7
+    assert c.err.shape == (4,)
+
+
+def test_check_bad_decomposition(small_plink):
+    root, _ = small_plink
+    res = pca(root, 3, tol=1e-12)
+    wrong = res.values * 1.5
+    c = check(root, res.vectors, wrong)
+    assert c.mse > 1e-6
+
+
+def test_check_matrix_path(rng):
+    n, p = 50, 80
+    X = rng.binomial(2, 0.4, size=(n, p)).astype(float)
+    res = pca(X, 3, tol=1e-12)
+    c = check(X, res.vectors, res.values)
+    assert c.rmse < 1e-8
+
+
+def test_check_dim_validation(small_plink):
+    root, _ = small_plink
+    with pytest.raises(ValueError, match="doesn't match data dimension"):
+        check(root, np.ones((5, 2)), np.ones(2))

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from flashpca_tpu.models.scca import scca, soft_thresh, norm_thresh
+from flashpca_tpu.ops import standardize
+
+
+def test_soft_thresh():
+    a = np.array([3.0, -2.0, 0.5, -0.1])
+    np.testing.assert_allclose(soft_thresh(a, 1.0), [2.0, -1.0, 0.0, 0.0])
+
+
+def test_norm_thresh_unit_norm():
+    x = np.array([3.0, 4.0, 0.1])
+    y = norm_thresh(x.copy(), 0.1)
+    np.testing.assert_allclose(np.linalg.norm(y), 1.0)
+
+
+@pytest.fixture(scope="module")
+def xy(rng):
+    n, p, k = 120, 60, 8
+    X = rng.binomial(2, 0.3, size=(n, p)).astype(np.float64)
+    Y = rng.normal(size=(n, k))
+    Y[:, 0] += 0.4 * X[:, :3].sum(axis=1)
+    return X, Y
+
+
+def test_self_scca_recovers_eigenvalues(xy, rng):
+    """SCCA of X with itself at tiny penalties ~ SVD of X'X/(n-1):
+    d must match the top eigenvalues of crossprod(X)/(n-1)
+    (flashpcaR test_scca.R:32-49)."""
+    X, _ = xy
+    n = X.shape[0]
+    ndim = 3
+    Xs, _, _ = standardize(X, "binom2")
+    V0 = rng.normal(size=(X.shape[1], ndim))
+    res = scca(X, X, 1e-9, 1e-9, ndim=ndim, stand_x="binom2",
+               stand_y="binom2", divisor="n1", maxiter=2000, tol=1e-10,
+               V0=V0)
+    assert res.converged
+    ev = np.linalg.eigvalsh(Xs.T @ Xs / (n - 1))[::-1][:ndim]
+    np.testing.assert_allclose(np.sort(res.d)[::-1], ev, rtol=1e-4)
+
+
+def test_scca_matrix_vs_plink(small_plink, rng):
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 4))
+    V0 = rng.normal(size=(4, 2))
+    res_pl = scca(root, Y, 1e-3, 1e-3, ndim=2, maxiter=1000, tol=1e-8, V0=V0)
+    # The matrix path standardizes via the batch path; build a matrix with
+    # streaming semantics to compare exactly
+    from flashpca_tpu.io import PlinkDataset
+    from flashpca_tpu.ops.genotypes import dense_standardized_np
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    W = dense_standardized_np(ds.read_codes(), mean, sd)
+    res_mx = scca(W.T, Y, 1e-3, 1e-3, ndim=2, maxiter=1000, tol=1e-8,
+                  V0=V0, stand_x="none")
+    # stand_x="none" only mean-imputes; W is already standardized and has
+    # no NaN, so values pass through -- wait, "none" recenters nothing.
+    np.testing.assert_allclose(res_pl.d, res_mx.d, rtol=1e-6)
+    np.testing.assert_allclose(res_pl.U, res_mx.U, atol=1e-7)
+    np.testing.assert_allclose(res_pl.V, res_mx.V, atol=1e-7)
+
+
+def test_scca_divisor_relation(xy, rng):
+    """d_n1 == d_none / (n-1) (flashpcaR test_scca.R:114-155)."""
+    X, Y = xy
+    V0 = rng.normal(size=(Y.shape[1], 2))
+    r_none = scca(X, Y, 1e-6, 1e-6, ndim=2, divisor="none",
+                  maxiter=2000, tol=1e-9, V0=V0)
+    r_n1 = scca(X, Y, 1e-6, 1e-6, ndim=2, divisor="n1",
+                maxiter=2000, tol=1e-9, V0=V0)
+    assert r_none.converged and r_n1.converged
+    np.testing.assert_allclose(r_n1.d, r_none.d / (X.shape[0] - 1), rtol=1e-4)
+
+
+def test_scca_v0_determinism(xy):
+    X, Y = xy
+    r1 = scca(X, Y, 1e-3, 1e-3, ndim=2, seed=7, maxiter=500, tol=1e-7)
+    r2 = scca(X, Y, 1e-3, 1e-3, ndim=2, seed=7, maxiter=500, tol=1e-7)
+    np.testing.assert_array_equal(r1.d, r2.d)
+    np.testing.assert_array_equal(r1.V0, r2.V0)
+
+
+def test_scca_sparsity_increases_with_penalty(xy):
+    X, Y = xy
+    V0 = np.random.default_rng(3).normal(size=(Y.shape[1], 1))
+    lo = scca(X, Y, 1e-6, 1e-6, ndim=1, maxiter=1000, tol=1e-8, V0=V0)
+    hi = scca(X, Y, 0.15, 1e-6, ndim=1, maxiter=1000, tol=1e-8, V0=V0)
+    assert np.count_nonzero(hi.U) < np.count_nonzero(lo.U)
+
+
+def test_scca_too_large_penalty_aborts(xy):
+    X, Y = xy
+    res = scca(X, Y, 10.0, 10.0, ndim=2, maxiter=100, tol=1e-6)
+    assert not res.converged
+
+
+def test_scca_px_py(xy, rng):
+    X, Y = xy
+    V0 = rng.normal(size=(Y.shape[1], 2))
+    res = scca(X, Y, 1e-4, 1e-4, ndim=2, maxiter=1000, tol=1e-8, V0=V0)
+    Xs, _, _ = standardize(X, "binom2")
+    Ys, _, _ = standardize(Y, "sd")
+    np.testing.assert_allclose(res.Px, Xs @ res.U, atol=1e-7)
+    np.testing.assert_allclose(res.Py, Ys @ res.V, atol=1e-7)
