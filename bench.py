@@ -1,0 +1,183 @@
+"""Headline benchmark: top-k PCA of a biobank-scale genotype matrix.
+
+Reference baseline (BASELINE.md / flashpca README.md:11): partial PCA
+k=20 of 500,000 individuals x 100,000 SNPs in < 6 h (21600 s) on a
+single node with 2 GB RAM.  This benchmark runs the same computation --
+full thick-restart Lanczos PCA, k=20, tol=1e-6 -- on synthetic
+structured genotypes generated on-device, against the packed 2-bit
+operator, and reports wall seconds.
+
+vs_baseline = reference_seconds / our_seconds (higher is better).  If
+the full 500k x 100k does not fit on the device, the problem is scaled
+down and the reference time prorated linearly in N*p (its streaming
+algorithm is linear in the data size).
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+Environment overrides: FLASHPCA_BENCH_N, FLASHPCA_BENCH_P,
+FLASHPCA_BENCH_K, FLASHPCA_BENCH_TOL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+REF_SECONDS = 6 * 3600.0
+REF_N = 500_000
+REF_P = 100_000
+N_POPS = 8
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def gen_packed_block(key, probs, nbytes, n_samples):
+    """Generate (bp, nbytes) packed genotypes ~ Binom(2, p) with
+    population structure.  probs: (bp, N_POPS) allele freqs."""
+    import jax
+    import jax.numpy as jnp
+
+    bp = probs.shape[0]
+    # population of sample 4b+s
+    sample_idx = (
+        4 * jnp.arange(nbytes, dtype=jnp.int32)[:, None]
+        + jnp.arange(4, dtype=jnp.int32)[None, :]
+    )
+    pop = sample_idx % N_POPS                       # (nbytes, 4)
+    valid = sample_idx < n_samples
+    p_site = probs[:, pop]                          # (bp, nbytes, 4)
+    thresh = (p_site * 256.0).astype(jnp.uint8)
+    b1 = jax.random.bits(key, (2, bp, nbytes, 4), dtype=jnp.uint8)
+    dosage = (b1[0] < thresh).astype(jnp.uint8) + (b1[1] < thresh).astype(
+        jnp.uint8)
+    # dosage -> PLINK code: 2->0, 1->2, 0->3 (never emit NA code 1)
+    code = jnp.where(dosage == 2, 0, jnp.where(dosage == 1, 2, 3)).astype(
+        jnp.uint8)
+    code = jnp.where(valid[None], code, 0)
+    packed = (
+        code[:, :, 0]
+        | (code[:, :, 1] << 2)
+        | (code[:, :, 2] << 4)
+        | (code[:, :, 3] << 6)
+    )
+    return packed
+
+
+def generate_dataset(n, p, seed=7):
+    """On-device synthetic structured genotypes: returns (packed, mean, sd).
+
+    The packed matrix never leaves the device: host<->device bandwidth
+    over the tunnel is far scarcer than on-device generation, so the
+    whole (p, ceil(N/4)) buffer is filled blockwise inside one jitted
+    fori_loop with in-place dynamic updates.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from flashpca_tpu.io.plink import bytes_per_snp
+
+    nbytes = bytes_per_snp(n)
+    rng = np.random.default_rng(seed)
+    maf = rng.uniform(0.05, 0.5, size=p)
+    delta = rng.normal(0.0, 0.05, size=(p, N_POPS))
+    probs_np = np.clip(maf[:, None] + delta, 0.02, 0.98)
+
+    bp = max(64, min(2048, (1 << 28) // (nbytes * 8)))
+    p_pad = ((p + bp - 1) // bp) * bp
+    probs_pad = np.zeros((p_pad, N_POPS), dtype=np.float32)
+    probs_pad[:p] = probs_np
+
+    def gen_all(key, probs_all):
+        packed = jnp.zeros((p_pad, nbytes), dtype=jnp.uint8)
+
+        def body(i, acc):
+            pr = lax.dynamic_slice(probs_all, (i * bp, 0), (bp, N_POPS))
+            blk = gen_packed_block(jax.random.fold_in(key, i), pr,
+                                   nbytes, n)
+            return lax.dynamic_update_slice(acc, blk, (i * bp, 0))
+
+        return lax.fori_loop(0, p_pad // bp, body, packed)
+
+    packed = jax.jit(gen_all, donate_argnums=())(
+        jax.random.PRNGKey(seed), jnp.asarray(probs_pad))
+    packed = packed[:p] if p_pad > p else packed
+    jax.block_until_ready(packed)
+
+    # binom2 stats from the *theoretical* allele frequency of each SNP
+    # (exact empirical stats are irrelevant to throughput; the operator
+    # work is identical)
+    p_hat = probs_np.mean(axis=1)
+    mean = 2.0 * p_hat
+    sd = np.sqrt(2.0 * p_hat * (1.0 - p_hat))
+    return packed, mean, sd
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    n = int(os.environ.get("FLASHPCA_BENCH_N", 0))
+    p = int(os.environ.get("FLASHPCA_BENCH_P", 0))
+    k = int(os.environ.get("FLASHPCA_BENCH_K", 20))
+    tol = float(os.environ.get("FLASHPCA_BENCH_TOL", 1e-6))
+
+    if not n or not p:
+        if platform == "tpu":
+            # fit packed (p, ceil(N/4)) + decode blocks in HBM
+            hbm = jax.devices()[0].memory_stats()
+            limit = (hbm or {}).get("bytes_limit", 16 << 30)
+            n, p = REF_N, REF_P
+            while p * ((n + 3) // 4) > 0.55 * limit:
+                p //= 2
+        else:
+            n, p = 20_000, 4_000  # CPU smoke size
+    log(f"bench: platform={platform} N={n} p={p} k={k} tol={tol}")
+
+    from flashpca_tpu.ops.operator import PackedOperator
+    from flashpca_tpu.solvers.lanczos import eigsh
+
+    t0 = time.time()
+    packed, mean, sd = generate_dataset(n, p)
+    log(f"bench: generated {packed.nbytes / 1e9:.2f} GB packed "
+        f"in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    op = PackedOperator(packed, mean, sd, n, dtype=jnp.float32)
+    del packed
+    # warm up compile (excluded from timing, like the reference's
+    # one-time process startup)
+    x = jnp.ones((op.op_dim,), dtype=op.dtype)
+    jax.block_until_ready(op.gram_permuted(x))
+    log(f"bench: operator built + compiled in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    res = eigsh(op.gram_permuted, op.op_dim, k, maxiter=500, tol=tol,
+                dtype=op.dtype, seed=1)
+    elapsed = time.time() - t0
+    gb = op.n_snps * op.nbytes / 1e9
+    log(f"bench: PCA k={k} done in {elapsed:.1f}s; converged={res.converged} "
+        f"n_ops={res.n_ops} restarts={res.n_restarts}; "
+        f"effective decode {gb * res.n_ops / elapsed:.1f} GB/s "
+        f"(packed bytes x matvecs / s)")
+    log(f"bench: top eigenvalues/p: {np.round(res.eigenvalues / op.n_snps, 4)[:5]}")
+
+    ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
+    result = {
+        "metric": f"pca_n{n}_p{p}_k{k}_wall_s",
+        "value": round(elapsed, 2),
+        "unit": "s",
+        "vs_baseline": round(ref_scaled / elapsed, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

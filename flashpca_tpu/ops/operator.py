@@ -235,12 +235,23 @@ class PackedOperator(LinearOperatorBase):
         self.p_pad = int(p_pad)
 
         mean_f, invsd_f = lookup_tables(mean, sd, dtype=jnp.dtype(dtype).type)
-        packed_pad = np.zeros((p_pad, nbytes), dtype=np.uint8)
-        packed_pad[:p] = packed
         mean_pad = np.zeros(p_pad, dtype=mean_f.dtype)
         mean_pad[:p] = mean_f
         invsd_pad = np.zeros(p_pad, dtype=invsd_f.dtype)  # 0 => pad rows inert
         invsd_pad[:p] = invsd_f
+
+        # If the packed bytes are already a device array (e.g. generated
+        # on device), pad on device -- never round-trip through the host
+        # (it may be GBs, and host<->device bandwidth can be the scarcest
+        # resource).
+        if isinstance(packed, jax.Array):
+            packed_pad = (
+                jnp.pad(packed, ((0, p_pad - p), (0, 0))) if p_pad > p
+                else packed
+            )
+        else:
+            packed_pad = np.zeros((p_pad, nbytes), dtype=np.uint8)
+            packed_pad[:p] = packed
 
         if mesh is not None:
             snp_sharding = NamedSharding(mesh, P(axis_name))

@@ -12,17 +12,22 @@ TPU-native replacement for the reference's Spectra
 
 Implementation is TPU-first rather than a Spectra port:
 
+* The whole Lanczos expansion of one restart cycle (ncv - l matvec +
+  full-reorthogonalization steps) runs as ONE jitted ``lax.fori_loop``
+  on device -- the host sees a single dispatch per restart cycle, not
+  one per step.  This matters enormously when the device is remote
+  (dispatch latency) and lets XLA fuse the decode/matvec/orth chain.
 * The Krylov basis lives on device as a fixed-shape (n, ncv+1) buffer
   (static shapes for XLA; unused columns are zero and contribute
   nothing to the orthogonalization matmuls).
-* Every long-vector operation is a jitted matmul/axpy on device; only
-  two scalars (alpha, beta) cross to the host per Lanczos step.
 * Full reorthogonalization (CGS2, two classical Gram-Schmidt sweeps
   against the whole basis) keeps float32 Lanczos numerically sound;
   the (ncv x ncv) projected eigenproblem is solved on the host in
-  float64.
+  float64 (it is tiny).
 * Thick restart (Wu & Simon): keep ``l`` Ritz pairs plus the residual
   direction, T becomes arrowhead, continue.
+* Exact breakdown (invariant subspace) is handled on device by
+  splicing in a fresh pseudo-random direction with zero coupling.
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 @dataclass
@@ -47,25 +53,54 @@ class EigshResult:
     residuals: np.ndarray         # (k,) estimated |beta * s| residual norms
 
 
-@partial(jax.jit, donate_argnums=(1,))
-def _orth_step(V, w):
-    """CGS2: orthogonalize w against all columns of V; returns
-    (w_orth, alpha_like coefficients h1+h2, beta)."""
-    h1 = V.T @ w
-    w = w - V @ h1
-    h2 = V.T @ w
-    w = w - V @ h2
-    beta = jnp.linalg.norm(w)
-    return w, h1 + h2, beta
+def _expand_cycle(matvec, V, key, l, ncv, deflate_tol):
+    """Run Lanczos steps j = l .. ncv-1 on device.
+
+    V: (n, ncv+1) with columns 0..l valid (column l is the current
+    starting vector, unit norm, orthogonal to the previous columns).
+    Returns (V, alphas, betas) where alphas[j] = <v_j, A v_j> and
+    betas[j] = ||residual after step j|| (0 where deflation occurred).
+    """
+    dtype = V.dtype
+    n = V.shape[0]
+
+    def orth(V, w):
+        h1 = V.T @ w
+        w = w - V @ h1
+        h2 = V.T @ w
+        w = w - V @ h2
+        return w, h1 + h2
+
+    def body(j, carry):
+        V, alphas, betas = carry
+        vj = lax.dynamic_slice(V, (0, j), (n, 1))[:, 0]
+        w = matvec(vj)
+        w, h = orth(V, w)
+        alpha = h[j]
+        beta = jnp.linalg.norm(w)
+        deflated = beta <= deflate_tol * jnp.maximum(1.0, jnp.abs(alpha))
+
+        def fresh(_):
+            r = jax.random.normal(jax.random.fold_in(key, j), (n,), dtype)
+            r, _ = orth(V, r)
+            return r / jnp.linalg.norm(r)
+
+        vnext = lax.cond(
+            deflated, fresh, lambda _: w / beta, operand=None)
+        beta_out = jnp.where(deflated, jnp.zeros((), dtype), beta)
+        V = lax.dynamic_update_slice(V, vnext[:, None], (0, j + 1))
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(beta_out)
+        return V, alphas, betas
+
+    alphas = jnp.zeros(ncv, dtype)
+    betas = jnp.zeros(ncv, dtype)
+    V, alphas, betas = lax.fori_loop(l, ncv, body, (V, alphas, betas))
+    return V, alphas, betas
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _set_col(V, v, j):
-    return jax.lax.dynamic_update_slice(V, v[:, None], (0, j))
-
-
-@jax.jit
-def _restart_basis(V, S_pad):
+def _apply_restart(V, S_pad):
     """V_new = V @ S_pad: forms kept Ritz vectors + residual column and
     zeroes the rest in one matmul."""
     return V @ S_pad
@@ -85,7 +120,9 @@ def eigsh(
 ) -> EigshResult:
     """Largest-algebraic eigenpairs of the symmetric operator ``matvec``.
 
-    ``matvec`` maps a device (n,) vector to a device (n,) vector.
+    ``matvec`` must be traceable: it maps a device (n,) vector to a
+    device (n,) vector and is jitted as part of the per-cycle device
+    program.
     """
     if ncv is None:
         ncv = 2 * nev + 1
@@ -102,13 +139,22 @@ def eigsh(
     v0 = np.asarray(v0, dtype=np.float64)
     v0 = v0 / np.linalg.norm(v0)
 
+    key = jax.random.PRNGKey(seed)
+
     # fixed-shape basis buffer; column ncv holds the in-progress residual
     V = jnp.zeros((n, ncv + 1), dtype=dtype)
-    V = _set_col(V, jnp.asarray(v0, dtype=dtype), 0)
+    V = V.at[:, 0].set(jnp.asarray(v0, dtype=dtype))
 
-    T = np.zeros((ncv, ncv), dtype=np.float64)
+    expand = jax.jit(
+        partial(_expand_cycle, matvec, ncv=ncv,
+                deflate_tol=10.0 * eps),
+        static_argnames=("l",),
+        donate_argnums=(0,),
+    )
+
     nops = 0
     l = 0  # number of kept Ritz vectors after restart (0 on first cycle)
+    theta_kept = np.zeros(0)
     b_coupling = np.zeros(0, dtype=np.float64)
 
     theta = np.zeros(nev)
@@ -118,42 +164,24 @@ def eigsh(
     restart = 0
 
     for restart in range(maxiter):
-        # -- Lanczos expansion from column l to ncv-1 ------------------------
-        beta_last = 0.0
-        for j in range(l, ncv):
-            vj = V[:, j]
-            w = matvec(vj)
-            nops += 1
-            w, h, beta = _orth_step(V, w)
-            alpha = float(h[j])
-            T[j, j] = alpha
-            if j > l:
-                pass  # T[j-1, j] set when beta of previous step known
-            if j < ncv - 1:
-                T[j, j + 1] = T[j + 1, j] = float(beta)
-            beta_last = float(beta)
-            if beta_last <= eps * 10 * max(1.0, abs(alpha)):
-                # invariant subspace: insert a fresh random direction
-                wnew = jnp.asarray(
-                    rng.standard_normal(n), dtype=dtype)
-                wnew, _, bnew = _orth_step(V, wnew)
-                w = wnew
-                beta = bnew
-                beta_last = 0.0  # exact deflation: no coupling
-                if j < ncv - 1:
-                    T[j, j + 1] = T[j + 1, j] = 0.0
-            V = _set_col(V, (w / beta).astype(dtype), j + 1)
+        # -- device: Lanczos expansion from column l to ncv-1 ---------------
+        key, sub = jax.random.split(key)
+        V, alphas_d, betas_d = expand(V, sub, l=l)
+        nops += ncv - l
+        alphas = np.asarray(alphas_d, dtype=np.float64)
+        betas = np.asarray(betas_d, dtype=np.float64)
 
-        # couplings from thick restart (arrowhead row/col at index l)
+        # -- host: build T (arrowhead + tridiagonal), solve, test -----------
+        T = np.zeros((ncv, ncv), dtype=np.float64)
         if l > 0:
             T[:l, :l] = np.diag(theta_kept)
-            T[:l, l:] = 0.0
-            T[l:, :l] = 0.0
             T[:l, l] = b_coupling
             T[l, :l] = b_coupling
-            # re-fill the tridiagonal part computed above stays in place
+        T[np.arange(l, ncv), np.arange(l, ncv)] = alphas[l:]
+        j = np.arange(l, ncv - 1)
+        T[j, j + 1] = T[j + 1, j] = betas[l:ncv - 1]
+        beta_last = betas[ncv - 1]
 
-        # -- projected eigenproblem (host, f64) ------------------------------
         theta_all, S = np.linalg.eigh(T)        # ascending
         order = np.argsort(theta_all)[::-1]     # largest algebraic first
         theta_all = theta_all[order]
@@ -171,14 +199,12 @@ def eigsh(
 
         # -- thick restart ---------------------------------------------------
         l = min(ncv - 1, nev + max(1, (ncv - nev) // 2))
-        # always keep at least the unconverged leaders + converged pairs
         theta_kept = theta_all[:l]
         b_coupling = beta_last * S[ncv - 1, :l]
         S_pad = np.zeros((ncv + 1, ncv + 1), dtype=np.float64)
         S_pad[:ncv, :l] = S[:, :l]
         S_pad[ncv, l] = 1.0  # residual vector becomes column l
-        V = _restart_basis(V, jnp.asarray(S_pad, dtype=dtype))
-        T = np.zeros((ncv, ncv), dtype=np.float64)
+        V = _apply_restart(V, jnp.asarray(S_pad, dtype=dtype))
 
     # -- Ritz vectors ---------------------------------------------------------
     S_pad = np.zeros((ncv + 1, nev), dtype=np.float64)
