@@ -142,7 +142,7 @@ def main():
     log(f"bench: platform={platform} N={n} p={p} k={k} tol={tol}")
 
     from flashpca_tpu.ops.operator import PackedOperator
-    from flashpca_tpu.solvers.lanczos import eigsh
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
 
     t0 = time.time()
     packed, mean, sd = generate_dataset(n, p)
@@ -159,8 +159,8 @@ def main():
     log(f"bench: operator built + compiled in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    res = eigsh(op.gram_permuted, op.op_dim, k, maxiter=500, tol=tol,
-                dtype=op.dtype, seed=1)
+    res = eigsh_block(op.gram_permuted, op.op_dim, k, block=8,
+                      maxiter=500, tol=tol, dtype=op.dtype, seed=1)
     elapsed = time.time() - t0
     gb = op.n_snps * op.nbytes / 1e9
     log(f"bench: PCA k={k} done in {elapsed:.1f}s; converged={res.converged} "

@@ -200,7 +200,12 @@ class PlinkDataset:
     # -- dense access ------------------------------------------------------
     def read_codes(self, start: int = 0, stop: int | None = None) -> np.ndarray:
         """(m, N) 2-bit codes for SNPs [start, stop)."""
-        return unpack_codes(self.read_packed(start, stop), self.n_samples)
+        from . import cbed
+
+        packed = self.read_packed(start, stop)
+        if cbed.available():
+            return cbed.codes(packed, self.n_samples)
+        return unpack_codes(packed, self.n_samples)
 
     def read_matrix(self, impute_mean: bool = True) -> np.ndarray:
         """Load the full (N, p) dosage matrix, mean-imputing missing values.
@@ -208,8 +213,12 @@ class PlinkDataset:
         Equivalent of the batch loader ``Data::read_bed`` (reference:
         data.cpp:339-406): dosage-valued, *not* standardized.
         """
-        codes = self.read_codes()
-        dosage = codes_to_dosage(codes)  # (p, N) with NaN
+        from . import cbed
+
+        if cbed.available():
+            dosage = cbed.dosage(self.read_packed(), self.n_samples)
+        else:
+            dosage = codes_to_dosage(self.read_codes())  # (p, N) with NaN
         if impute_mean:
             means = np.nanmean(dosage, axis=1)
             na = np.isnan(dosage)
@@ -218,7 +227,16 @@ class PlinkDataset:
 
     def snp_stats(self, method: str = "binom2",
                   block_size: int = 8192) -> tuple[np.ndarray, np.ndarray]:
-        """Exact per-SNP (mean, sd) computed blockwise over the file."""
+        """Exact per-SNP (mean, sd) computed blockwise over the file.
+
+        Uses the native OpenMP LUT kernel (csrc/bedio.cpp) when built;
+        numpy blockwise fallback otherwise."""
+        from . import cbed
+
+        if method not in ("binom", "binom2"):
+            raise ValueError(f"unknown standardisation method: {method}")
+        if cbed.available():
+            return cbed.stats(self.read_packed(), self.n_samples, method)
         means = np.empty(self.n_snps, dtype=np.float64)
         sds = np.empty(self.n_snps, dtype=np.float64)
         for start in range(0, self.n_snps, block_size):

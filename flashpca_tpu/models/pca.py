@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
-from ..ops.operator import DenseOperator, PackedOperator
+from ..ops.operator import DenseOperator, PackedOperator, TallPackedOperator
 from ..ops.standardize import standardize
+from ..solvers.block_lanczos import eigsh_block
 from ..solvers.lanczos import eigsh
 
 DIVISORS = ("p", "n1", "none")
@@ -91,6 +92,7 @@ def pca(
     check_geno: bool = True,
     ncv: int | None = None,
     verbose: bool = False,
+    operator_mode: str = "auto",
 ) -> PCAResult:
     """Compute the top ``ndim`` principal components.
 
@@ -117,6 +119,22 @@ def pca(
                 do_loadings, dtype, ncv, check_geno=False,
             )
         mean, sd = data.snp_stats(stand)
+        if operator_mode not in ("auto", "wide", "tall"):
+            raise ValueError(f"unknown operator_mode: {operator_mode}")
+        # tall regime (n >> p): decompose the p x p Gram X^T X instead
+        # of the n x n X X^T -- the path the reference stubbed
+        # (svdtall.cpp; see SURVEY.md 2.1)
+        tall = (operator_mode == "tall"
+                or (operator_mode == "auto" and n > 2 * p))
+        if tall:
+            op = TallPackedOperator(
+                data.read_packed(), mean, sd, n,
+                block_size=block_size, dtype=dtype, mesh=mesh,
+            )
+            return _pca_tall(
+                op, ndim, divisor, maxiter, tol, seed, do_loadings,
+                dtype, ncv, mean, sd,
+            )
         op = PackedOperator(
             data.read_packed(), mean, sd, n,
             block_size=block_size, dtype=dtype, mesh=mesh,
@@ -145,6 +163,59 @@ def pca(
     )
 
 
+def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
+              dtype, ncv, mean, sd) -> PCAResult:
+    """Tall path: eigenpairs of X^T X; identical outputs to the wide
+    path: lambda(X^T X) = lambda(X X^T) on the top spectrum,
+    U = X V_s Lambda^{-1/2}, and the loadings V equal V_s exactly
+    (V = X^T U diag(1/sqrt(d))/sqrt(div) = V_s, randompca.cpp:151-152).
+    """
+    n, p = op.n_samples, op.n_snps
+    div = _resolve_divisor(divisor, n, p)
+
+    rng = np.random.default_rng(seed)
+    v0 = np.asarray(op.permute(
+        jnp.asarray(rng.standard_normal(p), dtype=dtype)))
+
+    res = eigsh_block(
+        op.gram_permuted, op.op_dim, ndim, block=8, ncv=ncv,
+        maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
+    )
+    if not res.converged:
+        raise RuntimeError(
+            "eigen-decomposition was not successful: "
+            f"{int(np.sum(res.residuals <= tol))} of {ndim} eigenpairs "
+            f"converged in {res.n_restarts} restarts"
+        )
+
+    Vs = np.asarray(op.unpermute(res.eigenvectors), dtype=np.float64)
+    lam = res.eigenvalues
+    d = lam / div
+
+    U = np.asarray(
+        op.prod(jnp.asarray(Vs, dtype=dtype)), dtype=np.float64)
+    U = U / np.sqrt(lam)[None, :]
+
+    trace = op.trace / div
+    pve = d / trace
+    Px = U * np.sqrt(d)[None, :]
+
+    return PCAResult(
+        values=d,
+        vectors=U,
+        projection=Px,
+        pve=pve,
+        trace=trace,
+        center=np.asarray(mean, dtype=np.float64),
+        scale=np.asarray(sd, dtype=np.float64),
+        loadings=Vs if do_loadings else None,
+        converged=res.converged,
+        n_ops=res.n_ops,
+        n_restarts=res.n_restarts,
+        residuals=res.residuals,
+    )
+
+
 def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, check_geno):
     X_std, mean, sd = standardize(X, stand)
@@ -156,7 +227,7 @@ def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
 
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
-                  dtype, ncv, mean, sd) -> PCAResult:
+                  dtype, ncv, mean, sd, solver="block") -> PCAResult:
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
@@ -165,17 +236,17 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     v0_n = rng.standard_normal(n)
     v0 = np.asarray(op.permute(jnp.asarray(v0_n, dtype=dtype)))
 
-    res = eigsh(
-        op.gram_permuted,
-        op.op_dim,
-        ndim,
-        ncv=ncv,
-        maxiter=maxiter,
-        tol=tol,
-        dtype=dtype,
-        seed=seed,
-        v0=v0,
-    )
+    if solver == "block":
+        # panel matvecs amortize the packed-decode pass over 8 columns
+        res = eigsh_block(
+            op.gram_permuted, op.op_dim, ndim, block=8, ncv=ncv,
+            maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
+        )
+    else:
+        res = eigsh(
+            op.gram_permuted, op.op_dim, ndim, ncv=ncv,
+            maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
+        )
     if not res.converged:
         raise RuntimeError(
             "eigen-decomposition was not successful: "

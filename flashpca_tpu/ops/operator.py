@@ -73,8 +73,10 @@ def gram_matvec_p(packed, mean, invsd, xp, *, block_size):
     def body(y, i):
         pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
         W = decode_standardized(pb, mb, ib, dtype)
-        z = jnp.dot(W, xp, preferred_element_type=dtype)
-        return y + jnp.dot(W.T, z, preferred_element_type=dtype), None
+        z = jnp.dot(W, xp, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+        return y + jnp.dot(W.T, z, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST), None
 
     # Block 0 runs outside the scan so the carry starts with the right
     # sharding/varying type under shard_map (and nb==1 skips scan overhead).
@@ -93,7 +95,8 @@ def crossprod_p(packed, mean, invsd, xp, *, block_size):
     def body(_, i):
         pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
         W = decode_standardized(pb, mb, ib, dtype)
-        return None, jnp.dot(W, xp, preferred_element_type=dtype)
+        return None, jnp.dot(W, xp, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
 
     if nb == 1:
         return body(None, 0)[1]
@@ -112,7 +115,8 @@ def matvec_p(packed, mean, invsd, v, *, block_size):
         pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
         W = decode_standardized(pb, mb, ib, dtype)
         vb = lax.dynamic_slice_in_dim(v, i * block_size, block_size, axis=0)
-        return y + jnp.dot(W.T, vb, preferred_element_type=dtype), None
+        return y + jnp.dot(W.T, vb, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST), None
 
     y, _ = body(jnp.zeros((n4, v.shape[1]), dtype), 0)
     if nb > 1:
@@ -130,7 +134,8 @@ def snp_sumsq_p(packed, mean, invsd, valid, *, block_size):
     def body(_, i):
         pb, mb, ib = _slice_block((packed, mean, invsd), i, block_size)
         W = decode_standardized(pb, mb, ib, dtype)
-        return None, jnp.dot(W * W, v2, preferred_element_type=dtype)[:, 0]
+        return None, jnp.dot(W * W, v2, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)[:, 0]
 
     if nb == 1:
         return body(None, 0)[1]
@@ -210,6 +215,7 @@ class PackedOperator(LinearOperatorBase):
         dtype=jnp.float32,
         mesh: Mesh | None = None,
         axis_name: str = "snps",
+        use_pallas: bool | str | None = None,
     ):
         p, nbytes = packed.shape
         if nbytes != bytes_per_snp(n_samples):
@@ -217,17 +223,39 @@ class PackedOperator(LinearOperatorBase):
         self.n_samples = int(n_samples)
         self.n_snps = int(p)
         self.nbytes = int(nbytes)
-        self.n4 = nbytes * PACK_DENSITY
         self.dtype = dtype
         self.mesh = mesh
         self.axis_name = axis_name
         self.nshards = mesh.shape[axis_name] if mesh is not None else 1
+
+        # Fused Pallas decode->matvec kernels: default on real TPU
+        # (f32 only); 'interpret' runs the same kernels interpreted
+        # (tests).  The jnp lax.scan path covers everything else.
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and dtype == jnp.float32)
+        self.use_pallas = use_pallas
+
+        # Byte (sample) padding: Pallas tiles need the byte width to be
+        # a multiple of 128 lanes; harmless for the jnp path.
+        nbytes_pad = ((nbytes + 127) // 128) * 128 if use_pallas else nbytes
+        self.nbytes_pad = int(nbytes_pad)
+        self.n4 = nbytes_pad * PACK_DENSITY
 
         if block_size is None:
             # target ~128 MiB decoded block per device
             itemsize = jnp.dtype(dtype).itemsize
             block_size = max(128, (128 << 20) // (self.n4 * itemsize))
         block_size = min(block_size, max(1, math.ceil(p / self.nshards)))
+        if use_pallas:
+            # SNP tiles are 256 rows; keep every shard a whole number of
+            # tiles (block_size only drives the jnp fallback/sumsq path).
+            # Ceil when one block covers all SNPs so p_pad doesn't jump
+            # to a whole extra block of padding.
+            block_size = max(256, (block_size // 256) * 256)
+            per_shard = -(-p // self.nshards)
+            if block_size >= per_shard:
+                block_size = -(-per_shard // 256) * 256
         # pad p so every shard holds a whole number of blocks
         chunk = block_size * self.nshards
         p_pad = ((p + chunk - 1) // chunk) * chunk
@@ -244,14 +272,16 @@ class PackedOperator(LinearOperatorBase):
         # on device), pad on device -- never round-trip through the host
         # (it may be GBs, and host<->device bandwidth can be the scarcest
         # resource).
+        row_extra = p_pad - p
+        col_extra = nbytes_pad - nbytes
         if isinstance(packed, jax.Array):
             packed_pad = (
-                jnp.pad(packed, ((0, p_pad - p), (0, 0))) if p_pad > p
-                else packed
+                jnp.pad(packed, ((0, row_extra), (0, col_extra)))
+                if row_extra or col_extra else packed
             )
         else:
-            packed_pad = np.zeros((p_pad, nbytes), dtype=np.uint8)
-            packed_pad[:p] = packed
+            packed_pad = np.zeros((p_pad, nbytes_pad), dtype=np.uint8)
+            packed_pad[:p, :nbytes] = packed
 
         if mesh is not None:
             snp_sharding = NamedSharding(mesh, P(axis_name))
@@ -264,7 +294,7 @@ class PackedOperator(LinearOperatorBase):
             self.mean = jnp.asarray(mean_pad)
             self.invsd = jnp.asarray(invsd_pad)
 
-        self._valid = valid_mask_permuted(n_samples, nbytes, dtype)
+        self._valid = valid_mask_permuted(n_samples, nbytes_pad, dtype)
         self._build_fns()
         self._sumsq = None
         self.nops = 0
@@ -272,18 +302,35 @@ class PackedOperator(LinearOperatorBase):
     # -- jit/shard_map plumbing --------------------------------------------
     def _build_fns(self):
         bs = self.block_size
-        raw_gram = partial(gram_matvec_p, block_size=bs)
-        raw_mv = partial(matvec_p, block_size=bs)
+        if self.use_pallas:
+            from ..kernels import packed_matvec as _pk
 
-        # Mask byte-padding sample positions so permuted-space outputs are
-        # exactly zero there (pad codes in the .bed are arbitrary bits).
+            interp = self.use_pallas == "interpret"
+            raw_gram = partial(_pk.gram_matvec_p, interpret=interp)
+            raw_mv = partial(_pk.matvec_p, interpret=interp)
+            raw_cross = partial(_pk.crossprod_p, interpret=interp)
+        else:
+            raw_gram = partial(gram_matvec_p, block_size=bs)
+            raw_mv = partial(matvec_p, block_size=bs)
+            raw_cross = partial(crossprod_p, block_size=bs)
+
+        # Mask byte-padding sample positions on BOTH input and output:
+        # pad codes in the .bed are arbitrary bits, so decoded W has
+        # garbage columns there.  Masking only the output would make the
+        # gram operator non-symmetric for vectors with nonzero padding
+        # components (random solver panels!) -- input masking restores
+        # exact symmetry with extra zero eigenvalues.
         def gram(packed, mean, invsd, xp, valid):
+            xp = xp * valid[:, None]
             return raw_gram(packed, mean, invsd, xp) * valid[:, None]
 
         def mv(packed, mean, invsd, v, valid):
             return raw_mv(packed, mean, invsd, v) * valid[:, None]
 
-        cross = partial(crossprod_p, block_size=bs)
+        def cross_masked(packed, mean, invsd, xp, valid):
+            return raw_cross(packed, mean, invsd, xp * valid[:, None])
+
+        cross = cross_masked
         sumsq = partial(snp_sumsq_p, block_size=bs)
 
         if self.mesh is not None:
@@ -292,12 +339,15 @@ class PackedOperator(LinearOperatorBase):
             snp = P(ax)
             row = P(ax, None)
             rep = P(None, None)
-            local_gram, local_cross, local_mv, local_sumsq = (
-                raw_gram, cross, raw_mv, sumsq)
+            local_gram, local_mv, local_sumsq = (raw_gram, raw_mv, sumsq)
 
             def gram_psum(packed, mean, invsd, xp, valid):
+                xp = xp * valid[:, None]
                 y = lax.psum(local_gram(packed, mean, invsd, xp), ax)
                 return y * valid[:, None]
+
+            def cross_psum(packed, mean, invsd, xp, valid):
+                return raw_cross(packed, mean, invsd, xp * valid[:, None])
 
             def prod_psum(packed, mean, invsd, v, valid):
                 y = lax.psum(local_mv(packed, mean, invsd, v), ax)
@@ -310,8 +360,8 @@ class PackedOperator(LinearOperatorBase):
                 in_specs=(row, snp, snp, rep, P(None)), out_specs=rep,
             )
             cross = shard_map(
-                local_cross, mesh=mesh,
-                in_specs=(row, snp, snp, rep), out_specs=row,
+                cross_psum, mesh=mesh,
+                in_specs=(row, snp, snp, rep, P(None)), out_specs=row,
             )
             mv = shard_map(
                 prod_psum, mesh=mesh,
@@ -330,7 +380,7 @@ class PackedOperator(LinearOperatorBase):
     # -- permuted-space interface (used by the eigensolver; no per-call
     #    permutes or host transfers) ------------------------------------------
     def permute(self, x):
-        return permute_samples(jnp.asarray(x, self.dtype), self.nbytes)
+        return permute_samples(jnp.asarray(x, self.dtype), self.nbytes_pad)
 
     def unpermute(self, yp):
         return unpermute_samples(yp, self.n_samples)
@@ -351,14 +401,15 @@ class PackedOperator(LinearOperatorBase):
 
     # -- products ------------------------------------------------------------
     def _gram(self, x2):
-        xp = permute_samples(x2, self.nbytes)
+        xp = permute_samples(x2, self.nbytes_pad)
         yp = self._gram_fn(self.packed, self.mean, self.invsd, xp, self._valid)
         self.nops += 1
         return unpermute_samples(yp, self.n_samples)
 
     def _crossprod(self, x2):
-        xp = permute_samples(x2, self.nbytes)
-        z = self._cross_fn(self.packed, self.mean, self.invsd, xp)
+        xp = permute_samples(x2, self.nbytes_pad)
+        z = self._cross_fn(self.packed, self.mean, self.invsd, xp,
+                           self._valid)
         self.nops += 1
         return z[: self.n_snps]
 
@@ -382,6 +433,232 @@ class PackedOperator(LinearOperatorBase):
     @property
     def trace(self) -> float:
         """trace(X X^T) = sum of squares of X (svdwide.cpp:44-45)."""
+        return float(self.snp_sumsq.sum())
+
+
+class TallPackedOperator:
+    """Tall-path operator: eigendecomposition target is the p x p Gram
+    ``X^T X`` (right singular vectors), for the n >> p regime.
+
+    The reference *declared* this path but never instantiated it
+    (``SVDTall``/``SVDTallOnline`` are dead duplicates of the wide
+    operator, svdtall.cpp:21-343); here it is real.  Multi-chip
+    decomposition is SAMPLE sharding: the packed bytes are split along
+    the byte (sample) axis, each device forms the local partial
+    ``X_d^T (X_d v)`` with the SAME fused decode kernels as the wide
+    path, and a psum over the mesh reduces the p-length result --
+    solver state (p x ncv) stays replicated.
+    """
+
+    def __init__(
+        self,
+        packed: np.ndarray,
+        mean: np.ndarray,
+        sd: np.ndarray,
+        n_samples: int,
+        *,
+        block_size: int | None = None,
+        dtype=jnp.float32,
+        mesh: Mesh | None = None,
+        axis_name: str = "samples",
+        use_pallas: bool | str | None = None,
+    ):
+        p, nbytes = packed.shape
+        if nbytes != bytes_per_snp(n_samples):
+            raise ValueError("packed width does not match n_samples")
+        self.n_samples = int(n_samples)
+        self.n_snps = int(p)
+        self.nbytes = int(nbytes)
+        self.dtype = dtype
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.nshards = mesh.shape[axis_name] if mesh is not None else 1
+
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and dtype == jnp.float32)
+        self.use_pallas = use_pallas
+
+        # byte padding: every shard gets an equal, 128-multiple range
+        unit = 128 if use_pallas else 4
+        per_shard = -(-nbytes // (unit * self.nshards)) * unit
+        nbytes_pad = per_shard * self.nshards
+        self.nbytes_pad = int(nbytes_pad)
+        self.n4 = nbytes_pad * PACK_DENSITY
+
+        if block_size is None:
+            itemsize = jnp.dtype(dtype).itemsize
+            block_size = max(128, (128 << 20) // (4 * per_shard * itemsize))
+        if use_pallas:
+            block_size = max(256, (block_size // 256) * 256)
+            if block_size >= p:
+                block_size = -(-p // 256) * 256
+        block_size = min(block_size, max(1, p))
+        p_pad = -(-p // block_size) * block_size
+        self.block_size = int(block_size)
+        self.p_pad = int(p_pad)
+
+        mean_f, invsd_f = lookup_tables(mean, sd, dtype=jnp.dtype(dtype).type)
+        mean_pad = np.zeros(p_pad, dtype=mean_f.dtype)
+        mean_pad[:p] = mean_f
+        invsd_pad = np.zeros(p_pad, dtype=invsd_f.dtype)
+        invsd_pad[:p] = invsd_f
+
+        row_extra = p_pad - p
+        col_extra = nbytes_pad - nbytes
+        if isinstance(packed, jax.Array):
+            packed_pad = (
+                jnp.pad(packed, ((0, row_extra), (0, col_extra)))
+                if row_extra or col_extra else packed
+            )
+        else:
+            packed_pad = np.zeros((p_pad, nbytes_pad), dtype=np.uint8)
+            packed_pad[:p, :nbytes] = packed
+
+        # valid-sample mask as (4, nbytes_pad): entry (s, b) covers
+        # sample 4b+s; sharding axis 1 hands each device its local
+        # plane slices in the right layout
+        sample_idx = (
+            PACK_DENSITY * np.arange(nbytes_pad)[None, :]
+            + np.arange(PACK_DENSITY)[:, None]
+        )
+        valid2d = (sample_idx < n_samples).astype(
+            np.dtype(jnp.dtype(dtype).name))
+
+        if mesh is not None:
+            byte_shard = NamedSharding(mesh, P(None, axis_name))
+            rep = NamedSharding(mesh, P())
+            self.packed = jax.device_put(packed_pad, byte_shard)
+            self.valid2d = jax.device_put(valid2d, byte_shard)
+            self.mean = jax.device_put(mean_pad, rep)
+            self.invsd = jax.device_put(invsd_pad, rep)
+        else:
+            self.packed = jnp.asarray(packed_pad)
+            self.valid2d = jnp.asarray(valid2d)
+            self.mean = jnp.asarray(mean_pad)
+            self.invsd = jnp.asarray(invsd_pad)
+
+        self._build_fns()
+        self._sumsq = None
+        self.nops = 0
+
+    def _raw_fns(self):
+        bs = self.block_size
+        if self.use_pallas:
+            from ..kernels import packed_matvec as _pk
+
+            interp = self.use_pallas == "interpret"
+            return (partial(_pk.matvec_p, interpret=interp),
+                    partial(_pk.crossprod_p, interpret=interp),
+                    partial(snp_sumsq_p, block_size=bs))
+        return (partial(matvec_p, block_size=bs),
+                partial(crossprod_p, block_size=bs),
+                partial(snp_sumsq_p, block_size=bs))
+
+    def _build_fns(self):
+        raw_mv, raw_cross, raw_sumsq = self._raw_fns()
+
+        def local_gram(packed, mean, invsd, v, valid2d):
+            vmask = valid2d.reshape(-1)[:, None]
+            y = raw_mv(packed, mean, invsd, v) * vmask
+            return raw_cross(packed, mean, invsd, y)
+
+        def local_prod(packed, mean, invsd, v, valid2d):
+            # natural sample order output for this byte range
+            y = raw_mv(packed, mean, invsd, v)
+            y = y * valid2d.reshape(-1)[:, None]
+            nb = packed.shape[1]
+            k = y.shape[1]
+            return y.reshape(PACK_DENSITY, nb, k).transpose(1, 0, 2).reshape(
+                PACK_DENSITY * nb, k)
+
+        def local_sumsq(packed, mean, invsd, valid2d):
+            return raw_sumsq(packed, mean, invsd, valid2d.reshape(-1))
+
+        if self.mesh is not None:
+            ax = self.axis_name
+            byte = P(None, ax)
+            rep1 = P(None)
+            rep2 = P(None, None)
+
+            def gram_psum(packed, mean, invsd, v, valid2d):
+                return lax.psum(local_gram(packed, mean, invsd, v, valid2d),
+                                ax)
+
+            def sumsq_psum(packed, mean, invsd, valid2d):
+                return lax.psum(
+                    local_sumsq(packed, mean, invsd, valid2d), ax)
+
+            from jax import shard_map
+
+            gram = shard_map(
+                gram_psum, mesh=self.mesh,
+                in_specs=(byte, rep1, rep1, rep2, byte), out_specs=rep2)
+            prod = shard_map(
+                local_prod, mesh=self.mesh,
+                in_specs=(byte, rep1, rep1, rep2, byte),
+                out_specs=P(ax, None))
+            sumsq = shard_map(
+                sumsq_psum, mesh=self.mesh,
+                in_specs=(byte, rep1, rep1, byte), out_specs=rep1)
+        else:
+            gram, prod, sumsq = local_gram, local_prod, local_sumsq
+
+        self._gram_fn = jax.jit(gram)
+        self._prod_fn = jax.jit(prod)
+        self._sumsq_fn = jax.jit(sumsq)
+
+    # -- solver interface (SNP space; no permutation needed) ---------------
+    @property
+    def op_dim(self) -> int:
+        return self.p_pad
+
+    def permute(self, v):
+        v = jnp.asarray(v, self.dtype)
+        pad = self.p_pad - self.n_snps
+        if pad:
+            widths = ((0, pad), (0, 0)) if v.ndim == 2 else ((0, pad),)
+            v = jnp.pad(v, widths)
+        return v
+
+    def unpermute(self, u):
+        return u[: self.n_snps]
+
+    def gram_permuted(self, v):
+        """u = X^T X v in (padded) SNP space; (p_pad,) or (p_pad, k)."""
+        vec = v.ndim == 1
+        v2 = v[:, None] if vec else v
+        u = self._gram_fn(self.packed, self.mean, self.invsd, v2,
+                          self.valid2d)
+        self.nops += 1
+        return u[:, 0] if vec else u
+
+    def prod(self, v):
+        """y = X v: (p,) or (p, k) -> (N,) or (N, k), natural order."""
+        v2 = jnp.asarray(v, self.dtype)
+        vec = v2.ndim == 1
+        if vec:
+            v2 = v2[:, None]
+        if v2.shape[0] != self.n_snps:
+            raise ValueError("prod: expected leading dim n_snps")
+        v2 = self.permute(v2)
+        y = self._prod_fn(self.packed, self.mean, self.invsd, v2,
+                          self.valid2d)
+        y = y[: self.n_samples]
+        self.nops += 1
+        return y[:, 0] if vec else y
+
+    @property
+    def snp_sumsq(self) -> np.ndarray:
+        if self._sumsq is None:
+            sq = self._sumsq_fn(self.packed, self.mean, self.invsd,
+                                self.valid2d)
+            self._sumsq = np.asarray(sq, dtype=np.float64)[: self.n_snps]
+        return self._sumsq
+
+    @property
+    def trace(self) -> float:
+        """trace(X^T X) = trace(X X^T) = sum of squares of X."""
         return float(self.snp_sumsq.sum())
 
 

@@ -190,7 +190,11 @@ def eigsh(
 
         theta = theta_all[:nev]
         resid = res_all[:nev]
-        thresh = np.maximum(eps23, tol) * np.maximum(np.abs(theta), 1e-300)
+        # per-pair tolerance, with the roundoff floor scaled by
+        # ||A|| ~= theta_max (see block_lanczos.py)
+        theta_max = max(abs(theta_all[0]), 1e-300)
+        thresh = np.maximum(eps23 * theta_max,
+                            tol * np.maximum(np.abs(theta), 1e-300))
         nconv = int(np.sum(resid <= thresh))
         if nconv >= nev or restart == maxiter - 1:
             converged = nconv >= nev

@@ -1,0 +1,93 @@
+"""Tall-path operator (X^T X) vs wide path and dense oracle, including
+sample-sharded mesh invariance on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from flashpca_tpu.io.plink import PlinkDataset, write_bed
+from flashpca_tpu.models.pca import pca
+from flashpca_tpu.ops import dense_standardized_np
+from flashpca_tpu.ops.operator import TallPackedOperator
+
+
+@pytest.fixture(scope="module")
+def tall_plink(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    n, p = 403, 23  # n >> p
+    geno = rng.binomial(
+        2, rng.uniform(0.1, 0.5, p)[None, :], size=(n, p)).astype(np.float64)
+    geno[rng.uniform(size=(n, p)) < 0.03] = np.nan
+    root = str(tmp_path_factory.mktemp("tall") / "tall")
+    write_bed(root, geno)
+    return root
+
+
+def test_tall_gram_matches_dense(tall_plink):
+    ds = PlinkDataset.open(tall_plink)
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T  # (N, p)
+    op = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                            dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((ds.n_snps, 2))
+    got = np.asarray(op.unpermute(op.gram_permuted(op.permute(
+        jnp.asarray(v, op.dtype)))))
+    ref = X.T @ (X @ v)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+    # prod
+    y = np.asarray(op.prod(v))
+    np.testing.assert_allclose(y, X @ v, rtol=1e-9, atol=1e-9)
+    # trace
+    np.testing.assert_allclose(op.trace, (X ** 2).sum(), rtol=1e-10)
+
+
+def test_tall_pca_matches_wide(tall_plink):
+    res_w = pca(tall_plink, 4, tol=1e-9, do_loadings=True,
+                operator_mode="wide")
+    res_t = pca(tall_plink, 4, tol=1e-9, do_loadings=True,
+                operator_mode="tall")
+    np.testing.assert_allclose(res_t.values, res_w.values, rtol=1e-7)
+    np.testing.assert_allclose(res_t.pve, res_w.pve, rtol=1e-7)
+    for j in range(4):
+        c = abs(np.dot(res_t.vectors[:, j], res_w.vectors[:, j]))
+        assert c > 1 - 1e-7, f"vector {j} corr {c}"
+        cl = abs(np.dot(res_t.loadings[:, j], res_w.loadings[:, j])) / (
+            np.linalg.norm(res_t.loadings[:, j])
+            * np.linalg.norm(res_w.loadings[:, j]))
+        assert cl > 1 - 1e-7, f"loading {j} corr {cl}"
+
+
+def test_tall_auto_selected(tall_plink):
+    # auto picks tall when n > 2p; results must match dense oracle
+    ds = PlinkDataset.open(tall_plink)
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    w = np.linalg.eigvalsh(X @ X.T / ds.n_snps)[::-1][:4]
+    res = pca(tall_plink, 4, tol=1e-9)
+    np.testing.assert_allclose(res.values, w, rtol=1e-8)
+
+
+def test_tall_shard_invariance(tall_plink):
+    ds = PlinkDataset.open(tall_plink)
+    mean, sd = ds.snp_stats("binom2")
+    ref = None
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((ds.n_snps, 3))
+    for nsh in (1, 2, 4, 8):
+        mesh = Mesh(np.array(jax.devices("cpu")[:nsh]), ("samples",))
+        op = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                                mesh=mesh, dtype=jnp.float64)
+        got = np.asarray(op.unpermute(op.gram_permuted(op.permute(
+            jnp.asarray(v, op.dtype)))))
+        y = np.asarray(op.prod(v))
+        t = op.trace
+        if ref is None:
+            ref = (got, y, t)
+        else:
+            np.testing.assert_allclose(got, ref[0], rtol=1e-9, atol=1e-9)
+            np.testing.assert_allclose(y, ref[1], rtol=1e-9, atol=1e-9)
+            np.testing.assert_allclose(t, ref[2], rtol=1e-10)
