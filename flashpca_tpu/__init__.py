@@ -12,6 +12,7 @@ __version__ = "0.1.0"
 
 from .io import PlinkDataset
 from .ops import standardize, scale2, PackedOperator, DenseOperator
+from .ops.operator import TallPackedOperator
 from .models import (
     pca, flashpca, PCAResult,
     project, ProjectResult,
@@ -19,3 +20,6 @@ from .models import (
     ucca, UccaResult,
     scca, SCCAResult,
 )
+from .models.scca import cv_scca, CVSCCAResult
+from .solvers.lanczos import eigsh
+from .solvers.block_lanczos import eigsh_block

@@ -104,9 +104,22 @@ def scca(
     dtype=None,
     mesh=None,
     verbose: bool = False,
+    auto_init: bool = False,
 ) -> SCCAResult:
     """SCCA of ``X`` (PLINK root/dataset or (N, p) matrix) against the
-    (N, k) phenotype matrix ``Y``."""
+    (N, k) phenotype matrix ``Y``.
+
+    ``auto_init=True`` reproduces the R package's initialization: a
+    first SCCA run at lambda ~= 0 (an approximate SVD of X^T Y) whose V
+    seeds the penalized run (flashpcaR/R/scca.R:224-246)."""
+    if auto_init and V0 is None:
+        s0 = scca(
+            X, Y, 1e-12, 1e-12, ndim=ndim, stand_x=stand_x,
+            stand_y=stand_y, divisor=divisor, maxiter=maxiter, tol=tol,
+            seed=seed, block_size=block_size, dtype=dtype, mesh=mesh,
+            verbose=verbose, auto_init=False,
+        )
+        V0 = s0.V
     Y = np.asarray(Y, dtype=np.float64)
     if Y.ndim == 1:
         Y = Y[:, None]
@@ -211,3 +224,132 @@ def scca(
         log(f"d[{j}]: {d[j]}", verbose=verbose)
 
     return result(True)
+
+
+@dataclass
+class CVSCCAResult:
+    """k-fold cross-validation over an (lambda1, lambda2) grid
+    (equivalent of flashpcaR::cv.scca, scca.R:410-557)."""
+
+    ndim: int
+    lambda1: np.ndarray
+    lambda2: np.ndarray
+    opt_dim: int
+    best_lambda1: float
+    best_lambda2: float
+    best_corr: float
+    corr: np.ndarray       # (ndim, len(l1), len(l2)) pooled test correlation
+    nzero_x: np.ndarray    # (ndim, len(l1), len(l2)) mean non-zeros in U
+    nzero_y: np.ndarray
+    nfolds: int
+    converged: np.ndarray  # (nfolds, len(l1), len(l2))
+    folds: np.ndarray      # (n,) fold assignment, 0-based
+
+    def __repr__(self):
+        return (f"CVSCCAResult(best_lambda1={self.best_lambda1:g}, "
+                f"best_lambda2={self.best_lambda2:g}, "
+                f"best_corr={self.best_corr:.4f})")
+
+
+def cv_scca(
+    X: np.ndarray,
+    Y: np.ndarray,
+    lambda1=None,
+    lambda2=None,
+    *,
+    ndim: int = 3,
+    nfolds: int = 10,
+    folds: np.ndarray | None = None,
+    opt_dim: int = 1,
+    init: bool = True,
+    seed: int = 1,
+    verbose: bool = False,
+    **scca_kwargs,
+) -> CVSCCAResult:
+    """Cross-validated SCCA penalty selection.
+
+    glmnet-style pooling (scca.R:497-523): per fold, train on the
+    complement, write test-row predictions ``X[test] U`` / ``Y[test] V``
+    into pooled arrays; the per-dimension score is the Pearson
+    correlation of the POOLED predictions.  A non-converged model marks
+    its fold's predictions NaN.  ``init=True`` seeds every fold's grid
+    with the V of a near-zero-penalty run on that fold's training data.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n = Y.shape[0]
+    if X.shape[0] != n:
+        raise ValueError("X and Y must have the same number of rows")
+    lambda1 = np.atleast_1d(
+        np.asarray(lambda1 if lambda1 is not None
+                   else np.linspace(1e-6, 1e-3, 5), dtype=np.float64))
+    lambda2 = np.atleast_1d(
+        np.asarray(lambda2 if lambda2 is not None
+                   else np.linspace(1e-6, 1e-3, 5), dtype=np.float64))
+    if not (1 <= opt_dim <= ndim):
+        raise ValueError("opt_dim must be between 1 and ndim")
+
+    rng = np.random.default_rng(seed)
+    if folds is not None:
+        folds = np.asarray(folds, dtype=np.int64)
+        if folds.shape != (n,):
+            raise ValueError("folds must have one entry per sample")
+        nfolds = int(folds.max()) + 1
+    else:
+        if nfolds > n:
+            raise ValueError("nfolds is too large for the number of samples")
+        folds = rng.integers(0, nfolds, size=n)
+
+    n1, n2 = len(lambda1), len(lambda2)
+    xpred = np.full((n, ndim, n1, n2), np.nan)
+    ypred = np.full((n, ndim, n1, n2), np.nan)
+    nzx = np.zeros((ndim, n1, n2))
+    nzy = np.zeros((ndim, n1, n2))
+    conv = np.zeros((nfolds, n1, n2), dtype=bool)
+
+    for fold in range(nfolds):
+        train = folds != fold
+        test = ~train
+        log(f"-> fold {fold + 1}/{nfolds}", verbose=verbose)
+        V0 = None
+        if init:
+            V0g = rng.standard_normal((Y.shape[1], ndim))
+            s0 = scca(X[train], Y[train], 1e-12, 1e-12, ndim=ndim,
+                      V0=V0g, verbose=verbose, **scca_kwargs)
+            V0 = s0.V
+        for i, l1 in enumerate(lambda1):
+            for j, l2 in enumerate(lambda2):
+                res = scca(X[train], Y[train], float(l1), float(l2),
+                           ndim=ndim, V0=V0, verbose=verbose,
+                           **scca_kwargs)
+                conv[fold, i, j] = res.converged
+                nzx[:, i, j] += np.count_nonzero(res.U, axis=0) / nfolds
+                nzy[:, i, j] += np.count_nonzero(res.V, axis=0) / nfolds
+                if res.converged:
+                    xpred[test, :, i, j] = X[test] @ res.U
+                    ypred[test, :, i, j] = Y[test] @ res.V
+
+    corr = np.full((ndim, n1, n2), np.nan)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for d_ in range(ndim):
+            for i in range(n1):
+                for j in range(n2):
+                    a, b = xpred[:, d_, i, j], ypred[:, d_, i, j]
+                    ok = ~(np.isnan(a) | np.isnan(b))
+                    if ok.sum() > 1 and a[ok].std() > 0 and b[ok].std() > 0:
+                        corr[d_, i, j] = np.corrcoef(a[ok], b[ok])[0, 1]
+
+    sl = corr[opt_dim - 1]
+    if np.all(np.isnan(sl)):
+        raise RuntimeError("no cv.scca model converged on any penalty pair")
+    best = np.unravel_index(np.nanargmax(sl), sl.shape)
+    return CVSCCAResult(
+        ndim=ndim, lambda1=lambda1, lambda2=lambda2, opt_dim=opt_dim,
+        best_lambda1=float(lambda1[best[0]]),
+        best_lambda2=float(lambda2[best[1]]),
+        best_corr=float(sl[best]), corr=corr,
+        nzero_x=nzx, nzero_y=nzy, nfolds=nfolds, converged=conv,
+        folds=folds,
+    )

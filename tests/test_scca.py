@@ -106,3 +106,38 @@ def test_scca_px_py(xy, rng):
     Ys, _, _ = standardize(Y, "sd")
     np.testing.assert_allclose(res.Px, Xs @ res.U, atol=1e-7)
     np.testing.assert_allclose(res.Py, Ys @ res.V, atol=1e-7)
+
+
+def test_cv_scca_recovers_signal(rng):
+    """cv.scca sanity mirroring the R example (scca.R:386-399): Y built
+    from X through a coefficient matrix; CV correlations should be high
+    at small penalties and the best pair should be found."""
+    from flashpca_tpu.models.scca import cv_scca
+
+    n, p, k = 120, 30, 3
+    X = rng.standard_normal((n, p))
+    B = rng.standard_normal((p, k))
+    Y = X @ B + 0.5 * rng.standard_normal((n, k))
+    res = cv_scca(X, Y, lambda1=[1e-6, 1e-2], lambda2=[1e-6, 1e-2],
+                  ndim=2, nfolds=3, seed=7,
+                  stand_x="sd", stand_y="sd", maxiter=200, tol=1e-4)
+    assert res.corr.shape == (2, 2, 2)
+    assert np.isfinite(res.best_corr)
+    assert res.best_corr > 0.8
+    assert res.best_lambda1 in (1e-6, 1e-2)
+    assert res.converged.shape == (3, 2, 2)
+    assert (res.nzero_x >= 0).all()
+
+
+def test_scca_auto_init_deterministic(rng):
+    from flashpca_tpu.models.scca import scca
+
+    n, p, k = 80, 25, 3
+    X = rng.standard_normal((n, p))
+    Y = X[:, :k] + 0.1 * rng.standard_normal((n, k))
+    r1 = scca(X, Y, 1e-3, 1e-3, ndim=2, stand_x="sd", auto_init=True,
+              seed=3, maxiter=300, tol=1e-6)
+    r2 = scca(X, Y, 1e-3, 1e-3, ndim=2, stand_x="sd", auto_init=True,
+              seed=3, maxiter=300, tol=1e-6)
+    np.testing.assert_array_equal(r1.d, r2.d)
+    np.testing.assert_array_equal(r1.U, r2.U)
