@@ -30,6 +30,12 @@ import numpy as np
 REF_SECONDS = 6 * 3600.0
 REF_N = 500_000
 REF_P = 100_000
+# actual bench sizes: nearest sizes where ceil(N/4) is a multiple of 128
+# and p a multiple of 256, so neither generation nor the operator ever
+# copies the multi-GB packed buffer (padding/slicing would double peak
+# HBM use)
+BENCH_N = 500_224
+BENCH_P = 100_096
 N_POPS = 8
 
 
@@ -89,7 +95,7 @@ def generate_dataset(n, p, seed=7):
     delta = rng.normal(0.0, 0.05, size=(p, N_POPS))
     probs_np = np.clip(maf[:, None] + delta, 0.02, 0.98)
 
-    bp = max(64, min(2048, (1 << 28) // (nbytes * 8)))
+    bp = 256 if p % 256 == 0 else max(64, min(2048, (1 << 28) // (nbytes * 8)))
     p_pad = ((p + bp - 1) // bp) * bp
     probs_pad = np.zeros((p_pad, N_POPS), dtype=np.float32)
     probs_pad[:p] = probs_np
@@ -107,7 +113,8 @@ def generate_dataset(n, p, seed=7):
 
     packed = jax.jit(gen_all, donate_argnums=())(
         jax.random.PRNGKey(seed), jnp.asarray(probs_pad))
-    packed = packed[:p] if p_pad > p else packed
+    if p_pad > p:
+        packed = packed[:p]   # copies -- only hit for odd CLI overrides
     jax.block_until_ready(packed)
 
     # binom2 stats from the *theoretical* allele frequency of each SNP
@@ -134,9 +141,9 @@ def main():
             # fit packed (p, ceil(N/4)) + decode blocks in HBM
             hbm = jax.devices()[0].memory_stats()
             limit = (hbm or {}).get("bytes_limit", 16 << 30)
-            n, p = REF_N, REF_P
-            while p * ((n + 3) // 4) > 0.55 * limit:
-                p //= 2
+            n, p = BENCH_N, BENCH_P
+            while p * ((n + 3) // 4) > 0.7 * limit:
+                p = (p // 2 // 256) * 256  # keep copy-free 256-multiples
         else:
             n, p = 20_000, 4_000  # CPU smoke size
     log(f"bench: platform={platform} N={n} p={p} k={k} tol={tol}")

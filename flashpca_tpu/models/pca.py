@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..io.plink import PlinkDataset
 from ..ops.operator import DenseOperator, PackedOperator, TallPackedOperator
 from ..ops.standardize import standardize
-from ..solvers.block_lanczos import eigsh_block
+from ..solvers.block_lanczos import eigsh_block, polish_subspace
 from ..solvers.lanczos import eigsh
 
 DIVISORS = ("p", "n1", "none")
@@ -188,8 +188,11 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
             f"converged in {res.n_restarts} restarts"
         )
 
-    Vs = np.asarray(op.unpermute(res.eigenvectors), dtype=np.float64)
     lam = res.eigenvalues
+    V_dev = res.eigenvectors
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        lam, V_dev = polish_subspace(op.gram_permuted, V_dev, iters=2)
+    Vs = np.asarray(op.unpermute(V_dev), dtype=np.float64)
     d = lam / div
 
     U = np.asarray(
@@ -254,8 +257,14 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
             f"converged in {res.n_restarts} restarts"
         )
 
-    U = np.asarray(op.unpermute(res.eigenvectors), dtype=np.float64)
-    d = res.eigenvalues / div
+    lam = res.eigenvalues
+    U_dev = res.eigenvectors
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        # f32 restart cycles accumulate basis drift; two fresh subspace
+        # sweeps + host-f64 Rayleigh-Ritz recover near-floor accuracy
+        lam, U_dev = polish_subspace(op.gram_permuted, U_dev, iters=2)
+    U = np.asarray(op.unpermute(U_dev), dtype=np.float64)
+    d = lam / div
 
     loadings = None
     if do_loadings:

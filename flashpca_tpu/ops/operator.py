@@ -204,6 +204,48 @@ class PackedOperator(LinearOperatorBase):
     mesh / axis_name : optional 1-D mesh; SNP dim sharded across it.
     """
 
+    @staticmethod
+    def resolve_use_pallas(use_pallas, dtype):
+        """Fused Pallas decode->matvec kernels: default on real TPU
+        (f32 only); 'interpret' runs the same kernels interpreted
+        (tests).  The jnp lax.scan path covers everything else."""
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and dtype == jnp.float32)
+        return use_pallas
+
+    @staticmethod
+    def plan_layout(p, nbytes, *, block_size=None, dtype=jnp.float32,
+                    nshards=1, use_pallas=None):
+        """Padded layout the operator uses for (p, nbytes) packed data:
+        dict with nbytes_pad, block_size, p_pad, use_pallas.  Exposed so
+        distributed loaders (parallel/dist.py) can shard the file into
+        exactly this layout without materializing it globally."""
+        use_pallas = PackedOperator.resolve_use_pallas(use_pallas, dtype)
+        # Byte (sample) padding: Pallas tiles need the byte width to be
+        # a multiple of 128 lanes; harmless for the jnp path.
+        nbytes_pad = ((nbytes + 127) // 128) * 128 if use_pallas else nbytes
+        n4 = nbytes_pad * PACK_DENSITY
+        if block_size is None:
+            # target ~128 MiB decoded block per device
+            itemsize = jnp.dtype(dtype).itemsize
+            block_size = max(128, (128 << 20) // (n4 * itemsize))
+        block_size = min(block_size, max(1, math.ceil(p / nshards)))
+        if use_pallas:
+            # SNP tiles are 256 rows; keep every shard a whole number of
+            # tiles (block_size only drives the jnp fallback/sumsq path).
+            # Ceil when one block covers all SNPs so p_pad doesn't jump
+            # to a whole extra block of padding.
+            block_size = max(256, (block_size // 256) * 256)
+            per_shard = -(-p // nshards)
+            if block_size >= per_shard:
+                block_size = -(-per_shard // 256) * 256
+        # pad p so every shard holds a whole number of blocks
+        chunk = block_size * nshards
+        p_pad = ((p + chunk - 1) // chunk) * chunk
+        return dict(nbytes_pad=int(nbytes_pad), block_size=int(block_size),
+                    p_pad=int(p_pad), use_pallas=use_pallas)
+
     def __init__(
         self,
         packed: np.ndarray,
@@ -216,51 +258,36 @@ class PackedOperator(LinearOperatorBase):
         mesh: Mesh | None = None,
         axis_name: str = "snps",
         use_pallas: bool | str | None = None,
+        n_snps: int | None = None,
     ):
-        p, nbytes = packed.shape
-        if nbytes != bytes_per_snp(n_samples):
-            raise ValueError("packed width does not match n_samples")
+        nbytes = bytes_per_snp(n_samples)
+        p = int(n_snps) if n_snps is not None else int(packed.shape[0])
         self.n_samples = int(n_samples)
-        self.n_snps = int(p)
+        self.n_snps = p
         self.nbytes = int(nbytes)
         self.dtype = dtype
         self.mesh = mesh
         self.axis_name = axis_name
         self.nshards = mesh.shape[axis_name] if mesh is not None else 1
 
-        # Fused Pallas decode->matvec kernels: default on real TPU
-        # (f32 only); 'interpret' runs the same kernels interpreted
-        # (tests).  The jnp lax.scan path covers everything else.
-        if use_pallas is None:
-            use_pallas = (
-                jax.default_backend() == "tpu" and dtype == jnp.float32)
+        plan = self.plan_layout(
+            p, nbytes, block_size=block_size, dtype=dtype,
+            nshards=self.nshards, use_pallas=use_pallas)
+        use_pallas = plan["use_pallas"]
         self.use_pallas = use_pallas
-
-        # Byte (sample) padding: Pallas tiles need the byte width to be
-        # a multiple of 128 lanes; harmless for the jnp path.
-        nbytes_pad = ((nbytes + 127) // 128) * 128 if use_pallas else nbytes
-        self.nbytes_pad = int(nbytes_pad)
+        nbytes_pad = plan["nbytes_pad"]
+        self.nbytes_pad = nbytes_pad
         self.n4 = nbytes_pad * PACK_DENSITY
+        self.block_size = plan["block_size"]
+        p_pad = plan["p_pad"]
+        self.p_pad = p_pad
 
-        if block_size is None:
-            # target ~128 MiB decoded block per device
-            itemsize = jnp.dtype(dtype).itemsize
-            block_size = max(128, (128 << 20) // (self.n4 * itemsize))
-        block_size = min(block_size, max(1, math.ceil(p / self.nshards)))
-        if use_pallas:
-            # SNP tiles are 256 rows; keep every shard a whole number of
-            # tiles (block_size only drives the jnp fallback/sumsq path).
-            # Ceil when one block covers all SNPs so p_pad doesn't jump
-            # to a whole extra block of padding.
-            block_size = max(256, (block_size // 256) * 256)
-            per_shard = -(-p // self.nshards)
-            if block_size >= per_shard:
-                block_size = -(-per_shard // 256) * 256
-        # pad p so every shard holds a whole number of blocks
-        chunk = block_size * self.nshards
-        p_pad = ((p + chunk - 1) // chunk) * chunk
-        self.block_size = int(block_size)
-        self.p_pad = int(p_pad)
+        if packed.shape not in ((p, nbytes), (p_pad, nbytes_pad)):
+            raise ValueError(
+                f"packed shape {packed.shape} matches neither the raw "
+                f"({p}, {nbytes}) nor the padded ({p_pad}, {nbytes_pad}) "
+                "layout")
+        already_padded = packed.shape == (p_pad, nbytes_pad)
 
         mean_f, invsd_f = lookup_tables(mean, sd, dtype=jnp.dtype(dtype).type)
         mean_pad = np.zeros(p_pad, dtype=mean_f.dtype)
@@ -269,16 +296,14 @@ class PackedOperator(LinearOperatorBase):
         invsd_pad[:p] = invsd_f
 
         # If the packed bytes are already a device array (e.g. generated
-        # on device), pad on device -- never round-trip through the host
-        # (it may be GBs, and host<->device bandwidth can be the scarcest
-        # resource).
-        row_extra = p_pad - p
-        col_extra = nbytes_pad - nbytes
-        if isinstance(packed, jax.Array):
-            packed_pad = (
-                jnp.pad(packed, ((0, row_extra), (0, col_extra)))
-                if row_extra or col_extra else packed
-            )
+        # on device or assembled shard-by-shard), pad on device -- never
+        # round-trip through the host (it may be GBs, and host<->device
+        # bandwidth can be the scarcest resource).
+        if already_padded:
+            packed_pad = packed
+        elif isinstance(packed, jax.Array):
+            packed_pad = jnp.pad(
+                packed, ((0, p_pad - p), (0, nbytes_pad - nbytes)))
         else:
             packed_pad = np.zeros((p_pad, nbytes_pad), dtype=np.uint8)
             packed_pad[:p, :nbytes] = packed

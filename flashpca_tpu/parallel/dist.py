@@ -1,0 +1,126 @@
+"""Multi-host / multi-device distribution of the packed genotype matrix.
+
+The reference is strictly single-process (SURVEY.md section 2.4); the
+TPU-native scaling story is 1-D SNP (feature) sharding: SNP j of a
+PLINK .bed lives at byte offset ``3 + j * ceil(N/4)``, so a contiguous
+SNP range is a contiguous byte range, and every host can read ONLY its
+own shard of the file (no broadcast, no scatter).  This module plans
+those ranges and assembles the global sharded device array that
+:class:`~flashpca_tpu.ops.operator.PackedOperator` computes against;
+partial products are psum'd over the mesh by the operator itself.
+
+Single-host multi-device works the same way (device_put per shard);
+multi-host requires ``jax.distributed.initialize()`` to have been
+called (see :func:`init_distributed`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io.plink import PlinkDataset, bytes_per_snp
+from ..ops.standardize import lookup_tables
+
+
+def init_distributed(**kwargs) -> None:
+    """Initialize the JAX multi-host runtime (idempotent wrapper)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def snp_mesh(devices=None, axis_name: str = "snps") -> Mesh:
+    """1-D mesh over all (global) devices for SNP sharding."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis_name,))
+
+
+def plan_row_shards(p_pad: int, n_shards: int) -> list[tuple[int, int]]:
+    """Equal [start, stop) row ranges of the padded SNP dimension."""
+    assert p_pad % n_shards == 0
+    step = p_pad // n_shards
+    return [(i * step, (i + 1) * step) for i in range(n_shards)]
+
+
+def shard_byte_ranges(ds: PlinkDataset, p_pad: int,
+                      n_shards: int) -> list[tuple[int, int]]:
+    """File byte ranges [lo, hi) each shard must read (clipped to the
+    real SNP count; padding rows are zeros, read nothing)."""
+    out = []
+    for start, stop in plan_row_shards(p_pad, n_shards):
+        start = min(start, ds.n_snps)
+        stop = min(stop, ds.n_snps)
+        out.append(ds.byte_range(start, stop))
+    return out
+
+
+def load_sharded_packed(
+    ds: PlinkDataset,
+    mesh: Mesh,
+    *,
+    p_pad: int,
+    nbytes_pad: int,
+    axis_name: str = "snps",
+) -> jax.Array:
+    """Assemble the global (p_pad, nbytes_pad) uint8 array, SNP-sharded
+    over ``mesh``, with each addressable device's shard read directly
+    from the local .bed byte range -- per-host IO only.
+    """
+    n_shards = mesh.shape[axis_name]
+    rows = plan_row_shards(p_pad, n_shards)
+    sharding = NamedSharding(mesh, P(axis_name, None))
+    mesh_devices = list(mesh.devices.reshape(-1))
+    local = []
+    for dev, (start, stop) in zip(mesh_devices, rows):
+        if dev.process_index != jax.process_index():
+            continue
+        lo = min(start, ds.n_snps)
+        hi = min(stop, ds.n_snps)
+        buf = np.zeros((stop - start, nbytes_pad), dtype=np.uint8)
+        if hi > lo:
+            buf[: hi - lo, : ds.nbytes_per_snp] = ds.read_packed(lo, hi)
+        local.append(jax.device_put(buf, dev))
+    return jax.make_array_from_single_device_arrays(
+        (p_pad, nbytes_pad), sharding, local)
+
+
+def sharded_operator(
+    data,
+    mesh: Mesh | None = None,
+    *,
+    stand: str = "binom2",
+    block_size: int | None = None,
+    dtype=jnp.float32,
+    axis_name: str = "snps",
+    use_pallas: bool | str | None = None,
+):
+    """Build a SNP-sharded :class:`PackedOperator` from a PLINK fileset
+    with per-host shard IO.
+
+    ``data`` is a ``--bfile`` root or an opened :class:`PlinkDataset`.
+    """
+    from ..ops.operator import PackedOperator
+
+    ds = PlinkDataset.open(data) if isinstance(data, str) else data
+    if mesh is None:
+        mesh = snp_mesh(axis_name=axis_name)
+    mean, sd = ds.snp_stats(stand)
+
+    plan = PackedOperator.plan_layout(
+        ds.n_snps, ds.nbytes_per_snp, block_size=block_size, dtype=dtype,
+        nshards=mesh.shape[axis_name], use_pallas=use_pallas)
+    packed = load_sharded_packed(
+        ds, mesh, p_pad=plan["p_pad"], nbytes_pad=plan["nbytes_pad"],
+        axis_name=axis_name)
+    return PackedOperator(
+        packed, mean, sd, ds.n_samples,
+        block_size=plan["block_size"], dtype=dtype, mesh=mesh,
+        axis_name=axis_name, use_pallas=plan["use_pallas"],
+        n_snps=ds.n_snps,
+    )

@@ -109,6 +109,44 @@ def _expand_cycle_block(matvec, V, l, nsteps, b, jitter):
     return lax.fori_loop(0, nsteps, body, (V, H_all, R_all))
 
 
+def polish_subspace(matvec, U, *, iters: int = 2):
+    """Refine converged Ritz vectors by orthogonal (subspace) iteration
+    with a final host-f64 Rayleigh-Ritz.
+
+    After many f32 restart cycles the Krylov basis carries accumulated
+    rounding drift; a couple of fresh ``orth(A U)`` sweeps followed by
+    one small Rayleigh-Ritz rotation removes it and recovers accuracy
+    near the single-matvec f32 noise floor.  Returns (theta, U) with
+    theta descending and U exactly renormalized.
+    """
+    k = U.shape[1]
+    rank_tol = (100 * float(np.finfo(np.dtype(U.dtype.name).name).eps)) ** 2
+
+    @jax.jit
+    def sweep(U):
+        Y = matvec(U)
+        Q, _ = _panel_orth(Y, rank_tol)
+        return Q
+
+    @jax.jit
+    def project(U):
+        Y = matvec(U)
+        G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
+        return Y, G
+
+    for _ in range(iters):
+        U = sweep(U)
+    Y, G = project(U)
+    G = np.asarray(G, dtype=np.float64)
+    G = 0.5 * (G + G.T)
+    theta, S = np.linalg.eigh(G)
+    order = np.argsort(theta)[::-1][:k]
+    theta = theta[order]
+    S = S[:, order]
+    U = U @ jnp.asarray(S, dtype=U.dtype)
+    return theta, U
+
+
 def eigsh_block(
     matvec,
     n: int,

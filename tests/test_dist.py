@@ -1,0 +1,83 @@
+"""Distributed shard planning and per-shard loading on the virtual
+8-device CPU mesh: products must be invariant to how the file is
+sharded, and each shard's byte range must tile the file exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from flashpca_tpu.io.plink import PlinkDataset
+from flashpca_tpu.ops.operator import PackedOperator
+from flashpca_tpu.parallel import (
+    load_sharded_packed,
+    plan_row_shards,
+    shard_byte_ranges,
+    sharded_operator,
+)
+
+
+def test_byte_ranges_tile_file(small_plink):
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    plan = PackedOperator.plan_layout(ds.n_snps, ds.nbytes_per_snp,
+                                      nshards=4, dtype=jnp.float64)
+    ranges = shard_byte_ranges(ds, plan["p_pad"], 4)
+    assert ranges[0][0] == 3  # after magic bytes
+    covered = sum(hi - lo for lo, hi in ranges)
+    assert covered == ds.n_snps * ds.nbytes_per_snp
+    for (a, b), (c, d) in zip(ranges, ranges[1:]):
+        assert b == c  # contiguous
+
+
+@pytest.mark.parametrize("nsh", [1, 2, 8])
+def test_sharded_operator_matches_local(small_plink, nsh):
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    mesh = Mesh(np.array(jax.devices("cpu")[:nsh]), ("snps",))
+
+    op_d = sharded_operator(ds, mesh, dtype=jnp.float64)
+    op_l = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                          dtype=jnp.float64)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((ds.n_samples, 3))
+    np.testing.assert_allclose(
+        np.asarray(op_d.perform_op(x)), np.asarray(op_l.perform_op(x)),
+        rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(op_d.crossprod(x)), np.asarray(op_l.crossprod(x)),
+        rtol=1e-10, atol=1e-10)
+    v = rng.standard_normal((ds.n_snps, 2))
+    np.testing.assert_allclose(
+        np.asarray(op_d.prod(v)), np.asarray(op_l.prod(v)),
+        rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(op_d.trace, op_l.trace, rtol=1e-12)
+
+
+def test_plan_row_shards_even():
+    rows = plan_row_shards(1024, 8)
+    assert len(rows) == 8
+    assert rows[0] == (0, 128) and rows[-1] == (896, 1024)
+
+
+def test_end_to_end_sharded_pca(small_plink):
+    """Full PCA through a sharded operator equals the local-path PCA."""
+    from flashpca_tpu.models.pca import _pca_operator
+    from flashpca_tpu.models.pca import pca
+
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("snps",))
+    op = sharded_operator(ds, mesh, dtype=jnp.float64)
+    res_d = _pca_operator(op, 3, "p", 500, 1e-9, 1, True,
+                          jnp.float64, None, mean, sd)
+    res_l = pca(root, 3, tol=1e-9, do_loadings=True)
+    np.testing.assert_allclose(res_d.values, res_l.values, rtol=1e-9)
+    for j in range(3):
+        c = abs(np.dot(res_d.vectors[:, j], res_l.vectors[:, j]))
+        assert c > 1 - 1e-9

@@ -141,3 +141,25 @@ def test_scca_auto_init_deterministic(rng):
               seed=3, maxiter=300, tol=1e-6)
     np.testing.assert_array_equal(r1.d, r2.d)
     np.testing.assert_array_equal(r1.U, r2.U)
+
+
+def test_plot_helpers(rng, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from flashpca_tpu.models.scca import cv_scca
+    from flashpca_tpu.plots import plot_cv_scca, plot2d_cv_scca, plot_pcs
+    from flashpca_tpu.models.pca import pca
+
+    n, p, k = 60, 20, 2
+    X = rng.standard_normal((n, p))
+    Y = X[:, :k] + 0.5 * rng.standard_normal((n, k))
+    cv = cv_scca(X, Y, lambda1=[1e-6, 1e-3], lambda2=[1e-6],
+                 ndim=1, nfolds=2, seed=2, stand_x="sd", stand_y="sd",
+                 maxiter=100, tol=1e-3)
+    ax = plot_cv_scca(cv, dim=1)
+    assert ax is not None
+    ax = plot2d_cv_scca(cv, dim=1)
+    assert ax is not None
+    res = pca(X, 3, stand="sd", tol=1e-8)
+    ax = plot_pcs(res, labels=(np.arange(n) % 3))
+    assert ax is not None
