@@ -41,16 +41,48 @@ TILE_P = 256      # SNP rows per tile
 LANE = 128        # TPU lane width; byte-tile sizes are multiples of this
 
 
-def _decode_plane(packed_i32, s, mean_col, inv_col):
+def _decode_plane(packed_i32, s, a0, a1, a2, a3):
     """(TILE_P, TILE_NB) int32-widened bytes -> standardized f32 for
-    2-bit plane s.  (Mosaic legalizes shifts on i32 vectors, not i8.)"""
-    ci = (packed_i32 >> (2 * s)) & 3
-    dosage = ((4 - ci) >> 1).astype(jnp.float32)
-    notna = (ci != 1).astype(jnp.float32)
-    return (dosage - mean_col) * inv_col * notna
+    2-bit plane s, via the per-SNP cubic through the 4 code values.
+
+    value(c) for c = 0,1,2,3 must be (2-m)*i, 0, (1-m)*i, (0-m)*i --
+    the reference's scaled_geno_lookup (data.cpp:316-320).  A cubic
+    a0 + t(a1 + t(a2 + t a3)) hits all four exactly and costs 3 FMAs
+    + 1 convert + 2 bit ops per genotype, vs ~10 VPU ops for the
+    shift/mask/select chain (the kernels are VPU-decode-bound).
+    Mosaic legalizes shifts on i32 vectors, not i8, hence the widen.
+    """
+    t = ((packed_i32 >> (2 * s)) & 3).astype(jnp.float32)
+    return a0 + t * (a1 + t * (a2 + t * a3))
 
 
-def _crossprod_kernel(packed_ref, mean_ref, inv_ref, xt_ref, zt_ref):
+def _coeff_rows(mean, invsd):
+    """Per-SNP cubic coefficients (4 x (1, p_pad) f32) from mean/inv_sd.
+
+    Interpolates y(0)=(2-m)i, y(1)=0, y(2)=(1-m)i, y(3)=-m*i:
+    a1 = (-11 y0 - 9 y2 + 2 y3)/6, a2 = (2 y0 + 4 y2 - y3)/2,
+    a3 = (-y0 - 3 y2 + y3)/6 (standard 4-point Vandermonde solve).
+    Computed in float64 so the f32 coefficients are correctly rounded.
+    """
+    m = mean.astype(jnp.float64)
+    i = invsd.astype(jnp.float64)
+    y0 = (2.0 - m) * i
+    y2 = (1.0 - m) * i
+    y3 = -m * i
+    a0 = y0
+    a1 = (-11.0 * y0 - 9.0 * y2 + 2.0 * y3) / 6.0
+    a2 = (2.0 * y0 + 4.0 * y2 - y3) / 2.0
+    a3 = (-y0 - 3.0 * y2 + y3) / 6.0
+    return tuple(a.astype(jnp.float32)[None, :] for a in (a0, a1, a2, a3))
+
+
+def _cols(ref):
+    """(1, TILE_P) coefficient row -> (TILE_P, 1) broadcast column."""
+    return ref[0, :][:, None]
+
+
+def _crossprod_kernel(packed_ref, a0_ref, a1_ref, a2_ref, a3_ref,
+                      xt_ref, zt_ref):
     """zt[k8, TILE_P] += sum_s xt[s] @ W_s^T, accumulated over byte tiles."""
     j = pl.program_id(1)
 
@@ -59,11 +91,11 @@ def _crossprod_kernel(packed_ref, mean_ref, inv_ref, xt_ref, zt_ref):
         zt_ref[:] = jnp.zeros_like(zt_ref)
 
     packed = packed_ref[:].astype(jnp.int32)     # (TILE_P, TILE_NB)
-    mean_col = mean_ref[0, :][:, None]           # (TILE_P, 1)
-    inv_col = inv_ref[0, :][:, None]
+    a0, a1, a2, a3 = (_cols(a0_ref), _cols(a1_ref),
+                      _cols(a2_ref), _cols(a3_ref))
     acc = zt_ref[:]
     for s in range(4):
-        w = _decode_plane(packed, s, mean_col, inv_col)   # (TILE_P, TILE_NB)
+        w = _decode_plane(packed, s, a0, a1, a2, a3)      # (TILE_P, TILE_NB)
         x_s = xt_ref[s]                                   # (k8, TILE_NB)
         acc = acc + jax.lax.dot_general(
             x_s, w, (((1,), (1,)), ((), ())),
@@ -73,7 +105,8 @@ def _crossprod_kernel(packed_ref, mean_ref, inv_ref, xt_ref, zt_ref):
     zt_ref[:] = acc
 
 
-def _matvec_kernel(packed_ref, mean_ref, inv_ref, vt_ref, yt_ref):
+def _matvec_kernel(packed_ref, a0_ref, a1_ref, a2_ref, a3_ref,
+                   vt_ref, yt_ref):
     """yt[s, k8, TILE_NB] += vt @ W_s, accumulated over SNP tiles."""
     i = pl.program_id(1)
 
@@ -82,11 +115,11 @@ def _matvec_kernel(packed_ref, mean_ref, inv_ref, vt_ref, yt_ref):
         yt_ref[:] = jnp.zeros_like(yt_ref)
 
     packed = packed_ref[:].astype(jnp.int32)     # (TILE_P, TILE_NB)
-    mean_col = mean_ref[0, :][:, None]
-    inv_col = inv_ref[0, :][:, None]
+    a0, a1, a2, a3 = (_cols(a0_ref), _cols(a1_ref),
+                      _cols(a2_ref), _cols(a3_ref))
     vt = vt_ref[:]                               # (k8, TILE_P)
     for s in range(4):
-        w = _decode_plane(packed, s, mean_col, inv_col)   # (TILE_P, TILE_NB)
+        w = _decode_plane(packed, s, a0, a1, a2, a3)      # (TILE_P, TILE_NB)
         yt_ref[s] += jax.lax.dot_general(
             vt, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -118,25 +151,24 @@ def _from_planes(yt, k):
     return yt.transpose(1, 0, 2).reshape(k8, 4 * nbp).T[:, :k]
 
 
-def crossprod_planes(packed, mean2d, inv2d, xt, *, interpret=False):
+def crossprod_planes(packed, coeffs, xt, *, interpret=False):
     """zt = [x^T W^T]: (4, k8, nbytes_pad) -> (k8, p_pad).
 
-    packed: (p_pad, nbytes_pad) u8; mean2d/inv2d: (1, p_pad) f32.
+    packed: (p_pad, nbytes_pad) u8; coeffs: 4 x (1, p_pad) f32 rows.
     """
     p_pad, nbp = packed.shape
     k8 = xt.shape[1]
     tile_nb = _tile_nb(nbp)
     grid = (p_pad // TILE_P, nbp // tile_nb)
+    row_spec = pl.BlockSpec((1, TILE_P), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _crossprod_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_P, tile_nb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_P), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_P), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec, row_spec,
             pl.BlockSpec((4, k8, tile_nb), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -144,25 +176,24 @@ def crossprod_planes(packed, mean2d, inv2d, xt, *, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k8, p_pad), jnp.float32),
         interpret=interpret,
-    )(packed, mean2d, inv2d, xt)
+    )(packed, *coeffs, xt)
 
 
-def matvec_planes(packed, mean2d, inv2d, vt, *, interpret=False):
+def matvec_planes(packed, coeffs, vt, *, interpret=False):
     """yt = W^T v in plane layout: (k8, p_pad) -> (4, k8, nbytes_pad)."""
     p_pad, nbp = packed.shape
     k8 = vt.shape[0]
     tile_nb = _tile_nb(nbp)
     grid = (nbp // tile_nb, p_pad // TILE_P)
+    row_spec = pl.BlockSpec((1, TILE_P), lambda j, i: (0, i),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _matvec_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_P, tile_nb), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_P), lambda j, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_P), lambda j, i: (0, i),
-                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec, row_spec,
             pl.BlockSpec((k8, TILE_P), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -170,7 +201,7 @@ def matvec_planes(packed, mean2d, inv2d, vt, *, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, k8, nbp), jnp.float32),
         interpret=interpret,
-    )(packed, mean2d, inv2d, vt)
+    )(packed, *coeffs, vt)
 
 
 # ---------------------------------------------------------------------------
@@ -187,9 +218,8 @@ def crossprod_p(packed, mean, invsd, xp, *, interpret=False):
     k = xp.shape[1]
     k8 = _round_k(k)
     xt = _to_planes(xp.astype(jnp.float32), nbp, k8)
-    zt = crossprod_planes(
-        packed, mean.astype(jnp.float32)[None, :],
-        invsd.astype(jnp.float32)[None, :], xt, interpret=interpret)
+    zt = crossprod_planes(packed, _coeff_rows(mean, invsd), xt,
+                          interpret=interpret)
     return zt.T[:, :k]
 
 
@@ -198,9 +228,8 @@ def matvec_p(packed, mean, invsd, v, *, interpret=False):
     k = v.shape[1]
     k8 = _round_k(k)
     vt = _pad_k(v.astype(jnp.float32), k8).T      # (k8, p_pad)
-    yt = matvec_planes(
-        packed, mean.astype(jnp.float32)[None, :],
-        invsd.astype(jnp.float32)[None, :], vt, interpret=interpret)
+    yt = matvec_planes(packed, _coeff_rows(mean, invsd), vt,
+                       interpret=interpret)
     return _from_planes(yt, k)
 
 
@@ -210,9 +239,8 @@ def gram_matvec_p(packed, mean, invsd, xp, *, interpret=False):
     p_pad, nbp = packed.shape
     k = xp.shape[1]
     k8 = _round_k(k)
-    mean2d = mean.astype(jnp.float32)[None, :]
-    inv2d = invsd.astype(jnp.float32)[None, :]
+    coeffs = _coeff_rows(mean, invsd)
     xt = _to_planes(xp.astype(jnp.float32), nbp, k8)
-    zt = crossprod_planes(packed, mean2d, inv2d, xt, interpret=interpret)
-    yt = matvec_planes(packed, mean2d, inv2d, zt, interpret=interpret)
+    zt = crossprod_planes(packed, coeffs, xt, interpret=interpret)
+    yt = matvec_planes(packed, coeffs, zt, interpret=interpret)
     return _from_planes(yt, k)

@@ -35,6 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.scipy.linalg import solve_triangular
 
 from .lanczos import EigshResult, eigsh
 
@@ -43,37 +44,65 @@ def _panel_orth(W, rank_tol, abs_floor2=0.0):
     """Rank-revealing orthonormalization: W = Q R with Q^T Q = I on the
     numerically independent directions and ZERO columns elsewhere.
 
-    Uses the eigendecomposition of the small Gram G = W^T W (b x b):
-    Q = W U diag(lam^-1/2) U^T, R = U diag(lam^1/2) U^T (symmetric
-    polar-style factor).  Directions with lam below the floor are
-    zeroed.  The floor combines a within-panel relative tolerance and
-    an ABSOLUTE one (``abs_floor2``, squared-norm scale of the panel
-    before orthogonalization): after Krylov-space exhaustion the whole
-    residual panel is cancellation noise of magnitude ~eps * ||A Q||,
-    and normalizing that noise destroys basis orthogonality -- it must
-    become zero columns instead."""
+    Jittered Cholesky QR of the small Gram G = W^T W (b x b):
+    L = chol(G + floor I), Q = W L^{-T}, R = L^T.  Deficient directions
+    surface as tiny Cholesky pivots (L_ii^2 ~ floor) and are zeroed --
+    after Krylov-space exhaustion a residual panel is cancellation noise
+    of magnitude ~eps * ||A Q||, and normalizing that noise destroys
+    basis orthogonality, so it must become zero columns instead.  The
+    floor combines a within-panel relative tolerance (``rank_tol``) and
+    an absolute one (``abs_floor2``, squared-norm scale of the panel
+    before orthogonalization).
+
+    CholQR (not an eigh polar factor) deliberately: XLA's f32 ``eigh``
+    on TPU returns eigenvectors with ~1e-2 error, which poisons the
+    basis; cholesky + triangular_solve orthonormalizes to ~1e-7.
+    """
+    b = W.shape[1]
+    eps = float(np.finfo(np.dtype(W.dtype.name).name).eps)
+    tiny = float(np.finfo(np.dtype(W.dtype.name).name).tiny) * 1e6
+    eye = jnp.eye(b, dtype=W.dtype)
+
     G = jnp.dot(W.T, W, preferred_element_type=W.dtype,
                 precision=lax.Precision.HIGHEST)
-    lam, U = jnp.linalg.eigh(G)
-    lam = jnp.maximum(lam, 0.0)
-    floor = jnp.maximum(rank_tol * jnp.maximum(lam[-1], 1e-300), abs_floor2)
-    good = lam > floor
-    inv_sqrt = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, lam, 1.0)), 0.0)
-    sqrt_lam = jnp.where(good, jnp.sqrt(lam), 0.0)
-    # NO trailing U^T back-rotation: columns must be exactly orthonormal
-    # OR exactly zero (a back-rotation would smear zeroed directions
-    # across columns, making V^T V a projector instead of a 0/1
-    # diagonal and invalidating the Rayleigh-Ritz eigh(T)).
-    Q = W @ (U * inv_sqrt[None, :])
-    R = sqrt_lam[:, None] * U.T
-    return Q, R
+    # The jitter must dominate the Gram's own rounding (~eps * ||G||) or
+    # cholesky of a rank-deficient panel goes NaN (negative trailing
+    # pivots); the constant bottom keeps chol finite on an ALL-ZERO
+    # panel (the steady state after Krylov exhaustion: A @ zeros = 0).
+    # The jitter's bias on kept columns is removed by the explicit
+    # renormalization below.
+    floor = jnp.maximum(
+        jnp.maximum(4.0 * b * eps * jnp.max(jnp.diagonal(G)), abs_floor2),
+        tiny)
+
+    # pass 1: detect deficient pivots
+    L1 = jnp.linalg.cholesky(G + floor * eye)
+    good = (jnp.diagonal(L1) ** 2 > 4.0 * floor).astype(W.dtype)
+
+    # pass 2: refactorize with deficient columns exactly zero, so their
+    # tiny pivots cannot contaminate the good columns' multipliers
+    W2 = W * good[None, :]
+    G2 = jnp.dot(W2.T, W2, preferred_element_type=W.dtype,
+                 precision=lax.Precision.HIGHEST)
+    L = jnp.linalg.cholesky(G2 + floor * eye)
+    Q = solve_triangular(L, W2.T, lower=True).T * good[None, :]
+    nq = jnp.linalg.norm(Q, axis=0)
+    Q = Q / jnp.where(nq > 0, nq, 1.0)[None, :]
+    # R as the exact projection of the ORIGINAL panel onto the final
+    # basis: linearly DEPENDENT deficient columns (not just noise ones)
+    # still carry real coupling, which a triangular factor of the
+    # masked panel would silently drop.
+    R = jnp.dot(Q.T, W, preferred_element_type=W.dtype,
+                precision=lax.Precision.HIGHEST)
+    return Q, R, good
 
 
-def _expand_cycle_block(matvec, V, l, nsteps, b, jitter):
+def _expand_cycle_block(matvec, V, key, l, nsteps, b, jitter):
     """Expand panels t = 0..nsteps-1 starting at column l (static).
 
     Returns (V, H_all (nsteps, ncv+b, b), R_all (nsteps, b, b))."""
     n, ncvb = V.shape
+    dtype = V.dtype
 
     def orth2(V, W):
         H1 = jnp.dot(V.T, W, precision=lax.Precision.HIGHEST)
@@ -82,23 +111,50 @@ def _expand_cycle_block(matvec, V, l, nsteps, b, jitter):
         W = W - jnp.dot(V, H2, precision=lax.Precision.HIGHEST)
         return W, H1 + H2
 
+    def proj_out(B, X):
+        return X - jnp.dot(B, jnp.dot(B.T, X,
+                                      precision=lax.Precision.HIGHEST),
+                           precision=lax.Precision.HIGHEST)
+
     def body(t, carry):
         V, H_all, R_all = carry
         cs = l + t * b
         Q = lax.dynamic_slice(V, (0, cs), (n, b))
         W = matvec(Q)
         scale2 = jnp.sum(W * W) / b           # pre-orth mean sq col norm
-        W, H = orth2(V, W)
-        Q1, R1 = _panel_orth(W, jitter, jitter * scale2)
+        Wo, H = orth2(V, W)
+        Q1, _, _ = _panel_orth(Wo, jitter, jitter * scale2)
         # Normalizing near-deflated directions amplifies their residual
-        # overlap with V by 1/norm -- clean it with one more CGS pass
-        # (the removed components are O(eps/norm) of unit vectors whose
-        # couplings are O(norm): the T perturbation is O(eps), ignorable).
-        Q1 = Q1 - jnp.dot(V, jnp.dot(V.T, Q1,
-                                     precision=lax.Precision.HIGHEST),
-                          precision=lax.Precision.HIGHEST)
-        Qn, R2 = _panel_orth(Q1, jitter)      # renormalize + f32 stability
-        R = jnp.dot(R2, R1, precision=lax.Precision.HIGHEST)
+        # overlap with V by 1/norm -- clean with another CGS pass.
+        Q1 = proj_out(V, Q1)
+        Qn, _, good = _panel_orth(Q1, jitter)
+
+        def inject(Qn):
+            # Deflation: replace zeroed directions with FRESH random
+            # ones orthogonal to everything (zero coupling) -- otherwise
+            # A @ 0 = 0 freezes the expansion and the solver "converges"
+            # on an incomplete subspace.  If the whole space is truly
+            # exhausted the fresh panel cancels to noise below its
+            # absolute floor and stays zero: the correct steady state.
+            Z = jax.random.normal(jax.random.fold_in(key, t), (n, b), dtype)
+            z2 = jnp.sum(Z * Z) / b
+            Z, _ = orth2(V, Z)
+            Z = proj_out(Qn, Z)
+            Zq, _, _ = _panel_orth(Z, jitter, jitter * z2)
+            return jnp.where(good[None, :] > 0, Qn, Zq)
+
+        Qn = lax.cond(jnp.all(good > 0), lambda q: q, inject, Qn)
+        # Final cleanup: jittered CholQR's orthogonality error scales as
+        # eps * kappa^2 (up to ~1/(4b) for a panel at the rank floor);
+        # one more V-projection + panel pass on the now well-conditioned
+        # panel brings both V-orthogonality and within-panel
+        # orthonormality down to ~eps.
+        Qn = proj_out(V, Qn)
+        Qn, _, _ = _panel_orth(Qn, jitter)
+        # exact coupling of A Q_t onto the FINAL panel (a triangular
+        # factor would not survive the cleanup rotations)
+        R = jnp.dot(Qn.T, Wo, preferred_element_type=dtype,
+                    precision=lax.Precision.HIGHEST)
         V = lax.dynamic_update_slice(V, Qn, (0, cs + b))
         H_all = H_all.at[t].set(H)
         R_all = R_all.at[t].set(R)
@@ -125,7 +181,8 @@ def polish_subspace(matvec, U, *, iters: int = 2):
     @jax.jit
     def sweep(U):
         Y = matvec(U)
-        Q, _ = _panel_orth(Y, rank_tol)
+        Q, _, _ = _panel_orth(Y, rank_tol)
+        Q, _, _ = _panel_orth(Q, rank_tol)  # second pass: eps-orthonormal
         return Q
 
     @jax.jit
@@ -191,6 +248,7 @@ def eigsh_block(
 
     V = jnp.zeros((n, ncv + b), dtype=dtype)
     V = V.at[:, :b].set(jnp.asarray(Q0, dtype=dtype))
+    key = jax.random.PRNGKey(seed)
 
     expand = jax.jit(
         partial(_expand_cycle_block, matvec, b=b, jitter=jitter),
@@ -209,7 +267,8 @@ def eigsh_block(
 
     for restart in range(maxiter):
         nsteps = (ncv - l) // b
-        V, H_d, R_d = expand(V, l=l, nsteps=nsteps)
+        key, sub = jax.random.split(key)
+        V, H_d, R_d = expand(V, sub, l=l, nsteps=nsteps)
         nops += nsteps
         H = np.asarray(H_d, dtype=np.float64)    # (nsteps, ncv+b, b)
         R = np.asarray(R_d, dtype=np.float64)    # (nsteps, b, b)
