@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda2", type=float, default=0.0)
     p.add_argument("--maxiter", type=int, default=500)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(TPU-specific extension; view with TensorBoard "
+                        "or xprof)")
     p.add_argument("--suffix", "-f", default=".txt")
     p.add_argument("--precision", type=int, default=7)
     p.add_argument("--notime", action="store_true")
@@ -206,6 +210,9 @@ def main(argv=None) -> int:
         from jax.sharding import Mesh
         mesh = Mesh(np.array(jax.devices()[:nshards]), ("snps",))
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     try:
         ds = PlinkDataset.open(bed, bim, fam)
         log(f"Detected BED file: {bed} with N={ds.n_samples} samples, "
@@ -340,6 +347,9 @@ def main(argv=None) -> int:
         print(timestamp() + f"Exception: {e}", file=sys.stderr)
         print(timestamp() + "Terminating", file=sys.stderr)
         return 1
+    finally:
+        if args.profile:
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

@@ -243,7 +243,15 @@ def eigsh_block(
     rng = np.random.default_rng(seed)
     Q0 = rng.standard_normal((n, b))
     if v0 is not None:
-        Q0[:, 0] = np.asarray(v0, dtype=np.float64)
+        # warm start: a vector seeds the first column; an (n, j) panel
+        # (e.g. Ritz vectors saved from an earlier run -- the
+        # checkpoint/restart story) seeds up to b columns
+        v0 = np.asarray(v0, dtype=np.float64)
+        if v0.ndim == 1:
+            Q0[:, 0] = v0
+        else:
+            j = min(b, v0.shape[1])
+            Q0[:, :j] = v0[:, :j]
     Q0, _ = np.linalg.qr(Q0)
 
     V = jnp.zeros((n, ncv + b), dtype=dtype)
