@@ -30,11 +30,11 @@ import numpy as np
 REF_SECONDS = 6 * 3600.0
 REF_N = 500_000
 REF_P = 100_000
-# actual bench sizes: nearest sizes where ceil(N/4) is a multiple of 128
-# and p a multiple of 256, so neither generation nor the operator ever
-# copies the multi-GB packed buffer (padding/slicing would double peak
-# HBM use)
-BENCH_N = 500_224
+# actual bench sizes: nearest sizes where ceil(N/4) is a multiple of 512
+# (full-width Pallas byte tiles) and p a multiple of 256, so neither
+# generation nor the operator ever copies the multi-GB packed buffer
+# (padding/slicing would double peak HBM use)
+BENCH_N = 501_760   # ceil(N/4) = 125440 = 245 * 512
 BENCH_P = 100_096
 N_POPS = 8
 
@@ -166,8 +166,10 @@ def main():
     log(f"bench: operator built + compiled in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    res = eigsh_block(op.gram_permuted, op.op_dim, k, block=8,
-                      maxiter=500, tol=tol, dtype=op.dtype, seed=1)
+    mv, ops_ = op.gram_pure()
+    res = eigsh_block(mv, op.op_dim, k, block=8,
+                      maxiter=500, tol=tol, dtype=op.dtype, seed=1,
+                      verbose=True, operands=ops_)
     elapsed = time.time() - t0
     gb = op.n_snps * op.nbytes / 1e9
     log(f"bench: PCA k={k} done in {elapsed:.1f}s; converged={res.converged} "

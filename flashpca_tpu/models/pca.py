@@ -177,9 +177,11 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     v0 = np.asarray(op.permute(
         jnp.asarray(rng.standard_normal(p), dtype=dtype)))
 
+    mv, ops_ = op.gram_pure()
     res = eigsh_block(
-        op.gram_permuted, op.op_dim, ndim, block=8, ncv=ncv,
+        mv, op.op_dim, ndim, block=8, ncv=ncv,
         maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
+        operands=ops_,
     )
     if not res.converged:
         raise RuntimeError(
@@ -191,7 +193,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     lam = res.eigenvalues
     V_dev = res.eigenvectors
     if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
-        lam, V_dev = polish_subspace(op.gram_permuted, V_dev, iters=2)
+        lam, V_dev = polish_subspace(mv, V_dev, iters=2, operands=ops_)
     Vs = np.asarray(op.unpermute(V_dev), dtype=np.float64)
     d = lam / div
 
@@ -239,16 +241,19 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     v0_n = rng.standard_normal(n)
     v0 = np.asarray(op.permute(jnp.asarray(v0_n, dtype=dtype)))
 
+    mv, ops_ = op.gram_pure()
     if solver == "block":
         # panel matvecs amortize the packed-decode pass over 8 columns
         res = eigsh_block(
-            op.gram_permuted, op.op_dim, ndim, block=8, ncv=ncv,
+            mv, op.op_dim, ndim, block=8, ncv=ncv,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
+            operands=ops_,
         )
     else:
         res = eigsh(
-            op.gram_permuted, op.op_dim, ndim, ncv=ncv,
+            mv, op.op_dim, ndim, ncv=ncv,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
+            operands=ops_,
         )
     if not res.converged:
         raise RuntimeError(
@@ -262,7 +267,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
         # f32 restart cycles accumulate basis drift; two fresh subspace
         # sweeps + host-f64 Rayleigh-Ritz recover near-floor accuracy
-        lam, U_dev = polish_subspace(op.gram_permuted, U_dev, iters=2)
+        lam, U_dev = polish_subspace(mv, U_dev, iters=2, operands=ops_)
     U = np.asarray(op.unpermute(U_dev), dtype=np.float64)
     d = lam / div
 

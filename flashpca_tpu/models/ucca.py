@@ -34,6 +34,8 @@ from ..ops.standardize import standardize
 @dataclass
 class UccaResult:
     result: np.ndarray  # (p, 3): R, Fstat, P
+    npheno: int = 0     # (flashpcaR ucca.R:171)
+    nsnps: int = 0
 
     @property
     def r(self):
@@ -122,4 +124,5 @@ def ucca(
         varx = varx / (n - 1.0)
 
     r2 = _r2_from_moments(covXY, varx, sv, Vy, n)
-    return UccaResult(result=wilks(r2, n, k))
+    res = wilks(r2, n, k)
+    return UccaResult(result=res, npheno=k, nsnps=res.shape[0])

@@ -1,5 +1,6 @@
 from .standardize import (
     standardize,
+    standardize_transpose,
     scale2,
     lookup_tables,
     VAR_TOL,

@@ -223,8 +223,15 @@ class PackedOperator(LinearOperatorBase):
         exactly this layout without materializing it globally."""
         use_pallas = PackedOperator.resolve_use_pallas(use_pallas, dtype)
         # Byte (sample) padding: Pallas tiles need the byte width to be
-        # a multiple of 128 lanes; harmless for the jnp path.
-        nbytes_pad = ((nbytes + 127) // 128) * 128 if use_pallas else nbytes
+        # a multiple of 128 lanes; harmless for the jnp path.  Large
+        # widths pad to 512 so the kernels get full-width tiles --
+        # narrow 128-byte tiles make the Mosaic compile of the big-grid
+        # kernels pathologically slow (minutes instead of seconds).
+        if use_pallas:
+            unit = 512 if nbytes > 4096 else 128
+            nbytes_pad = ((nbytes + unit - 1) // unit) * unit
+        else:
+            nbytes_pad = nbytes
         n4 = nbytes_pad * PACK_DENSITY
         if block_size is None:
             # target ~128 MiB decoded block per device
@@ -397,6 +404,7 @@ class PackedOperator(LinearOperatorBase):
                 in_specs=(row, snp, snp, P(None)), out_specs=snp,
             )
 
+        self._gram_raw = gram          # unjitted: for solver embedding
         self._gram_fn = jax.jit(gram)
         self._cross_fn = jax.jit(cross)
         self._mv_fn = jax.jit(mv)
@@ -418,6 +426,22 @@ class PackedOperator(LinearOperatorBase):
         yp = self._gram_fn(self.packed, self.mean, self.invsd, xp2, self._valid)
         self.nops += 1
         return yp[:, 0] if vec else yp
+
+    def gram_pure(self):
+        """(fn, operands) with ``fn(xp, *operands)`` = gram_permuted.
+
+        Solvers jit fn with the operands as explicit arguments: a
+        closure/constant reference to the packed array inside a jitted
+        program would be embedded as an MLIR constant, which
+        MATERIALIZES the multi-GB buffer on the host.  The returned fn
+        is UNJITTED -- nesting an inner jit inside the solver's cycle
+        program stalls the remote compile pipeline."""
+        fn = self._gram_raw
+
+        def matvec(xp, packed, mean, invsd, valid):
+            return fn(packed, mean, invsd, xp, valid)
+
+        return matvec, (self.packed, self.mean, self.invsd, self._valid)
 
     @property
     def op_dim(self) -> int:
@@ -504,8 +528,12 @@ class TallPackedOperator:
                 jax.default_backend() == "tpu" and dtype == jnp.float32)
         self.use_pallas = use_pallas
 
-        # byte padding: every shard gets an equal, 128-multiple range
-        unit = 128 if use_pallas else 4
+        # byte padding: every shard gets an equal, tile-multiple range
+        # (512 for large widths: narrow Pallas tiles compile very slowly)
+        if use_pallas:
+            unit = 512 if nbytes > 4096 * self.nshards else 128
+        else:
+            unit = 4
         per_shard = -(-nbytes // (unit * self.nshards)) * unit
         nbytes_pad = per_shard * self.nshards
         self.nbytes_pad = int(nbytes_pad)
@@ -629,6 +657,7 @@ class TallPackedOperator:
         else:
             gram, prod, sumsq = local_gram, local_prod, local_sumsq
 
+        self._gram_raw = gram          # unjitted: for solver embedding
         self._gram_fn = jax.jit(gram)
         self._prod_fn = jax.jit(prod)
         self._sumsq_fn = jax.jit(sumsq)
@@ -657,6 +686,15 @@ class TallPackedOperator:
                           self.valid2d)
         self.nops += 1
         return u[:, 0] if vec else u
+
+    def gram_pure(self):
+        """(fn, operands): see PackedOperator.gram_pure."""
+        fn = self._gram_raw
+
+        def matvec(v, packed, mean, invsd, valid2d):
+            return fn(packed, mean, invsd, v, valid2d)
+
+        return matvec, (self.packed, self.mean, self.invsd, self.valid2d)
 
     def prod(self, v):
         """y = X v: (p,) or (p, k) -> (N,) or (N, k), natural order."""
@@ -697,7 +735,8 @@ class DenseOperator(LinearOperatorBase):
         self.n_samples, self.n_snps = X_std.shape
         self.dtype = dtype
         self.X = jnp.asarray(X_std, dtype=dtype)
-        self._gram_fn = jax.jit(lambda X, x: X @ (X.T @ x))
+        self._gram_raw = lambda X, x: X @ (X.T @ x)
+        self._gram_fn = jax.jit(self._gram_raw)
         self._cross_fn = jax.jit(lambda X, x: X.T @ x)
         self._mv_fn = jax.jit(lambda X, v: X @ v)
         self.nops = 0
@@ -716,6 +755,15 @@ class DenseOperator(LinearOperatorBase):
         self.nops += 1
         y = self._gram_fn(self.X, x2)
         return y[:, 0] if vec else y
+
+    def gram_pure(self):
+        """(fn, operands): see PackedOperator.gram_pure."""
+        fn = self._gram_raw
+
+        def matvec(x, X):
+            return fn(X, x)
+
+        return matvec, (self.X,)
 
     @property
     def op_dim(self) -> int:

@@ -88,6 +88,19 @@ def standardize(
     return scaled, mean, sd
 
 
+def standardize_transpose(
+    W: np.ndarray, method: str = "binom2"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Standardize the ROWS of a (p, N) variable-major matrix.
+
+    Equivalent of ``standardise_transpose`` (reference: util.cpp:195-268),
+    which the reference provides for data stored SNP-major.  Returns
+    ``(W_std, mean, sd)`` with per-row statistics.
+    """
+    Xs, mean, sd = standardize(np.asarray(W).T, method)
+    return np.ascontiguousarray(Xs.T), mean, sd
+
+
 def scale2(X: np.ndarray, type: str = "2") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """R-package ``scale2`` equivalent (flashpcaR/R/scale2.R:21-41):
     type "1" = binom, type "2" = binom2. Returns (scaled, center, scale)."""

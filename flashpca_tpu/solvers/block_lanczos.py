@@ -97,10 +97,28 @@ def _panel_orth(W, rank_tol, abs_floor2=0.0):
     return Q, R, good
 
 
-def _expand_cycle_block(matvec, V, key, l, nsteps, b, jitter):
+def _hoist(matvec, example, operands):
+    """Return (pure_fn, operands) with ``pure_fn(x, *operands)``.
+
+    A jitted function that references a device array as a CLOSURE or
+    nested-jit constant embeds it as an MLIR constant -- which
+    materializes the array on the HOST (a multi-GB download when the
+    operand is the packed genotype matrix).  Callers should pass the
+    big arrays via ``operands`` (see the operators' ``gram_pure``);
+    for plain closures (tests, small problems) jax.closure_convert
+    hoists DIRECT captures, but cannot see constants buried inside a
+    nested jitted call -- those must come through ``operands``.
+    """
+    if operands:
+        return matvec, tuple(operands)
+    return jax.closure_convert(matvec, example)
+
+
+def _expand_cycle_block(matvec, V, key, consts, l, nsteps, b, jitter):
     """Expand panels t = 0..nsteps-1 starting at column l (static).
 
-    Returns (V, H_all (nsteps, ncv+b, b), R_all (nsteps, b, b))."""
+    ``matvec(Q, *consts)`` applies the operator.  Returns
+    (V, H_all (nsteps, ncv+b, b), R_all (nsteps, b, b))."""
     n, ncvb = V.shape
     dtype = V.dtype
 
@@ -120,7 +138,7 @@ def _expand_cycle_block(matvec, V, key, l, nsteps, b, jitter):
         V, H_all, R_all = carry
         cs = l + t * b
         Q = lax.dynamic_slice(V, (0, cs), (n, b))
-        W = matvec(Q)
+        W = matvec(Q, *consts)
         scale2 = jnp.sum(W * W) / b           # pre-orth mean sq col norm
         Wo, H = orth2(V, W)
         Q1, _, _ = _panel_orth(Wo, jitter, jitter * scale2)
@@ -165,7 +183,7 @@ def _expand_cycle_block(matvec, V, key, l, nsteps, b, jitter):
     return lax.fori_loop(0, nsteps, body, (V, H_all, R_all))
 
 
-def polish_subspace(matvec, U, *, iters: int = 2):
+def polish_subspace(matvec, U, *, iters: int = 2, operands=()):
     """Refine converged Ritz vectors by orthogonal (subspace) iteration
     with a final host-f64 Rayleigh-Ritz.
 
@@ -177,23 +195,24 @@ def polish_subspace(matvec, U, *, iters: int = 2):
     """
     k = U.shape[1]
     rank_tol = (100 * float(np.finfo(np.dtype(U.dtype.name).name).eps)) ** 2
+    mv_pure, consts = _hoist(matvec, jnp.zeros(U.shape, U.dtype), operands)
 
     @jax.jit
-    def sweep(U):
-        Y = matvec(U)
+    def sweep(U, consts):
+        Y = mv_pure(U, *consts)
         Q, _, _ = _panel_orth(Y, rank_tol)
         Q, _, _ = _panel_orth(Q, rank_tol)  # second pass: eps-orthonormal
         return Q
 
     @jax.jit
-    def project(U):
-        Y = matvec(U)
+    def project(U, consts):
+        Y = mv_pure(U, *consts)
         G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
         return Y, G
 
     for _ in range(iters):
-        U = sweep(U)
-    Y, G = project(U)
+        U = sweep(U, consts)
+    Y, G = project(U, consts)
     G = np.asarray(G, dtype=np.float64)
     G = 0.5 * (G + G.T)
     theta, S = np.linalg.eigh(G)
@@ -216,11 +235,16 @@ def eigsh_block(
     dtype=jnp.float32,
     seed: int = 1,
     v0: np.ndarray | None = None,
+    verbose: bool = False,
+    operands=(),
 ) -> EigshResult:
     """Largest-algebraic eigenpairs via thick-restart block Lanczos.
 
-    ``matvec`` must accept (n, b) panels and be traceable.  Falls back
-    to the scalar solver when the problem is too small for blocking.
+    ``matvec`` must accept (n, b) panels and be traceable; if it takes
+    big device arrays, pass them via ``operands`` (called as
+    ``matvec(Q, *operands)``) so they stay device-side arguments.
+    Falls back to the scalar solver when the problem is too small for
+    blocking.
     """
     b = int(block)
     if ncv is None:
@@ -231,9 +255,9 @@ def eigsh_block(
         ncv = min(ncv, b * ((n - b) // b))
     ncv = b * (ncv // b) if ncv % b else ncv
     if ncv + b > n or nev + b > ncv or b < 2:
-        return eigsh(lambda x: matvec(x[:, None])[:, 0], n, nev,
-                     maxiter=maxiter, tol=tol, dtype=dtype, seed=seed,
-                     v0=v0)
+        return eigsh(lambda x, *ops: matvec(x[:, None], *ops)[:, 0],
+                     n, nev, maxiter=maxiter, tol=tol, dtype=dtype,
+                     seed=seed, v0=v0, operands=operands)
 
     eps = float(np.finfo(np.dtype(dtype).name).eps)
     eps23 = eps ** (2.0 / 3.0)
@@ -258,8 +282,9 @@ def eigsh_block(
     V = V.at[:, :b].set(jnp.asarray(Q0, dtype=dtype))
     key = jax.random.PRNGKey(seed)
 
+    mv_pure, consts = _hoist(matvec, jnp.zeros((n, b), dtype), operands)
     expand = jax.jit(
-        partial(_expand_cycle_block, matvec, b=b, jitter=jitter),
+        partial(_expand_cycle_block, mv_pure, b=b, jitter=jitter),
         static_argnames=("l", "nsteps"),
         donate_argnums=(0,),
     )
@@ -276,7 +301,7 @@ def eigsh_block(
     for restart in range(maxiter):
         nsteps = (ncv - l) // b
         key, sub = jax.random.split(key)
-        V, H_d, R_d = expand(V, sub, l=l, nsteps=nsteps)
+        V, H_d, R_d = expand(V, sub, consts, l=l, nsteps=nsteps)
         nops += nsteps
         H = np.asarray(H_d, dtype=np.float64)    # (nsteps, ncv+b, b)
         R = np.asarray(R_d, dtype=np.float64)    # (nsteps, b, b)
@@ -311,6 +336,11 @@ def eigsh_block(
         thresh = np.maximum(eps23 * theta_max,
                             tol * np.maximum(np.abs(theta), 1e-300))
         nconv = int(np.sum(resid <= thresh))
+        if verbose:
+            import sys
+            print(f"eigsh_block cycle {restart}: nconv={nconv}/{nev} "
+                  f"max_resid={resid.max():.3e} theta_max={theta_max:.4e}",
+                  file=sys.stderr, flush=True)
         if nconv >= nev or restart == maxiter - 1:
             converged = nconv >= nev
             S_keep = S[:, :nev]

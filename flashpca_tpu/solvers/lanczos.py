@@ -53,13 +53,15 @@ class EigshResult:
     residuals: np.ndarray         # (k,) estimated |beta * s| residual norms
 
 
-def _expand_cycle(matvec, V, key, l, ncv, deflate_tol):
+def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
     """Run Lanczos steps j = l .. ncv-1 on device.
 
-    V: (n, ncv+1) with columns 0..l valid (column l is the current
-    starting vector, unit norm, orthogonal to the previous columns).
-    Returns (V, alphas, betas) where alphas[j] = <v_j, A v_j> and
-    betas[j] = ||residual after step j|| (0 where deflation occurred).
+    ``matvec(v, *consts)`` applies the operator (array closures hoisted
+    to arguments -- see block_lanczos._hoist).  V: (n, ncv+1) with
+    columns 0..l valid (column l is the current starting vector, unit
+    norm, orthogonal to the previous columns).  Returns
+    (V, alphas, betas) where alphas[j] = <v_j, A v_j> and betas[j] =
+    ||residual after step j|| (0 where deflation occurred).
     """
     dtype = V.dtype
     n = V.shape[0]
@@ -74,7 +76,7 @@ def _expand_cycle(matvec, V, key, l, ncv, deflate_tol):
     def body(j, carry):
         V, alphas, betas = carry
         vj = lax.dynamic_slice(V, (0, j), (n, 1))[:, 0]
-        w = matvec(vj)
+        w = matvec(vj, *consts)
         w, h = orth(V, w)
         alpha = h[j]
         beta = jnp.linalg.norm(w)
@@ -117,12 +119,15 @@ def eigsh(
     dtype=jnp.float32,
     seed: int = 1,
     v0: np.ndarray | None = None,
+    operands=(),
 ) -> EigshResult:
     """Largest-algebraic eigenpairs of the symmetric operator ``matvec``.
 
     ``matvec`` must be traceable: it maps a device (n,) vector to a
-    device (n,) vector and is jitted as part of the per-cycle device
-    program.
+    device (n,) vector (called as ``matvec(v, *operands)`` when
+    ``operands`` is given -- big device arrays must come through it,
+    see block_lanczos._hoist) and is jitted as part of the per-cycle
+    device program.
     """
     if ncv is None:
         ncv = 2 * nev + 1
@@ -145,8 +150,15 @@ def eigsh(
     V = jnp.zeros((n, ncv + 1), dtype=dtype)
     V = V.at[:, 0].set(jnp.asarray(v0, dtype=dtype))
 
+    # hoist array closures of matvec into arguments (a jit CONSTANT
+    # device array is materialized on the host -- fatal for multi-GB
+    # packed operands; see block_lanczos._hoist)
+    if operands:
+        mv_pure, consts = matvec, tuple(operands)
+    else:
+        mv_pure, consts = jax.closure_convert(matvec, jnp.zeros((n,), dtype))
     expand = jax.jit(
-        partial(_expand_cycle, matvec, ncv=ncv,
+        partial(_expand_cycle, mv_pure, ncv=ncv,
                 deflate_tol=10.0 * eps),
         static_argnames=("l",),
         donate_argnums=(0,),
@@ -166,7 +178,7 @@ def eigsh(
     for restart in range(maxiter):
         # -- device: Lanczos expansion from column l to ncv-1 ---------------
         key, sub = jax.random.split(key)
-        V, alphas_d, betas_d = expand(V, sub, l=l)
+        V, alphas_d, betas_d = expand(V, sub, consts, l=l)
         nops += ncv - l
         alphas = np.asarray(alphas_d, dtype=np.float64)
         betas = np.asarray(betas_d, dtype=np.float64)

@@ -88,3 +88,16 @@ def test_scale2_alias(rng):
     S3, _, _ = scale2(X, "1")
     S4, _, _ = standardize(X, "binom")
     np.testing.assert_array_equal(S3, S4)
+
+
+def test_standardize_transpose_matches(rng):
+    from flashpca_tpu.ops import standardize, standardize_transpose
+
+    W = rng.binomial(2, 0.3, size=(15, 40)).astype(float)  # (p, N)
+    W[2, 5] = np.nan
+    for method in ("none", "sd", "binom", "binom2", "center"):
+        Xs, m1, s1 = standardize(W.T, method)
+        Wt, m2, s2 = standardize_transpose(W, method)
+        np.testing.assert_array_equal(Wt, Xs.T)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(s1, s2)
