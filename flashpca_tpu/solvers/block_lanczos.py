@@ -298,13 +298,18 @@ def eigsh_block(
     converged = False
     restart = 0
 
+    import time as _time
+
     for restart in range(maxiter):
         nsteps = (ncv - l) // b
         key, sub = jax.random.split(key)
+        _t0 = _time.time()
         V, H_d, R_d = expand(V, sub, consts, l=l, nsteps=nsteps)
+        _t1 = _time.time()
         nops += nsteps
         H = np.asarray(H_d, dtype=np.float64)    # (nsteps, ncv+b, b)
         R = np.asarray(R_d, dtype=np.float64)    # (nsteps, b, b)
+        _t2 = _time.time()
 
         # -- assemble symmetric T on host -----------------------------------
         T = np.zeros((ncv, ncv), dtype=np.float64)
@@ -339,7 +344,8 @@ def eigsh_block(
         if verbose:
             import sys
             print(f"eigsh_block cycle {restart}: nconv={nconv}/{nev} "
-                  f"max_resid={resid.max():.3e} theta_max={theta_max:.4e}",
+                  f"max_resid={resid.max():.3e} theta_max={theta_max:.4e} "
+                  f"[dispatch {_t1 - _t0:.2f}s fetch {_t2 - _t1:.2f}s]",
                   file=sys.stderr, flush=True)
         if nconv >= nev or restart == maxiter - 1:
             converged = nconv >= nev
