@@ -130,6 +130,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs skip the multi-second
+    # remote compiles entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     platform = jax.devices()[0].platform
     n = int(os.environ.get("FLASHPCA_BENCH_N", 0))
     p = int(os.environ.get("FLASHPCA_BENCH_P", 0))
@@ -165,8 +175,17 @@ def main():
     jax.block_until_ready(op.gram_permuted(x))
     log(f"bench: operator built + compiled in {time.time() - t0:.1f}s")
 
-    t0 = time.time()
     mv, ops_ = op.gram_pure()
+    # Warm up the solver's compiled cycle program: the remote-compile
+    # tunnel in this environment has high-variance first-execution cost
+    # (8s..560s observed for identical work); one throwaway cycle keeps
+    # that noise out of the measured solve.
+    t0 = time.time()
+    eigsh_block(mv, op.op_dim, k, block=8, maxiter=1, tol=tol,
+                dtype=op.dtype, seed=1, operands=ops_)
+    log(f"bench: solver warmup cycle in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
     res = eigsh_block(mv, op.op_dim, k, block=8,
                       maxiter=500, tol=tol, dtype=op.dtype, seed=1,
                       verbose=True, operands=ops_)
