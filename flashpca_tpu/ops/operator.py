@@ -543,10 +543,13 @@ class TallPackedOperator:
             itemsize = jnp.dtype(dtype).itemsize
             block_size = max(128, (128 << 20) // (4 * per_shard * itemsize))
         if use_pallas:
+            # SNP tiles are 256 rows: p_pad MUST be a multiple of 256 or
+            # the kernel grid is empty and outputs stay uninitialized
             block_size = max(256, (block_size // 256) * 256)
             if block_size >= p:
                 block_size = -(-p // 256) * 256
-        block_size = min(block_size, max(1, p))
+        else:
+            block_size = min(block_size, max(1, p))
         p_pad = -(-p // block_size) * block_size
         self.block_size = int(block_size)
         self.p_pad = int(p_pad)

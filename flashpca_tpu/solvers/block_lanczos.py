@@ -297,6 +297,8 @@ def eigsh_block(
     S_keep = None
     converged = False
     restart = 0
+    best_resid = np.inf
+    stall = 0
 
     import time as _time
 
@@ -347,8 +349,21 @@ def eigsh_block(
                   f"max_resid={resid.max():.3e} theta_max={theta_max:.4e} "
                   f"[dispatch {_t1 - _t0:.2f}s fetch {_t2 - _t1:.2f}s]",
                   file=sys.stderr, flush=True)
-        if nconv >= nev or restart == maxiter - 1:
-            converged = nconv >= nev
+        # Stagnation acceptance: for clustered spectra the attainable
+        # residual in finite precision is ~eps * ||A|| amplified by the
+        # inverse relative gap; when residuals stop improving but sit
+        # below sqrt(eps) * ||A||, that floor has been reached -- accept
+        # (the f32 path then refines vectors via polish_subspace).
+        rmax = float(resid.max())
+        if rmax > 0.9 * best_resid:
+            stall += 1
+        else:
+            stall = 0
+        best_resid = min(best_resid, rmax)
+        at_floor = rmax <= np.sqrt(eps) * theta_max
+        if (nconv >= nev or restart == maxiter - 1
+                or (stall >= 5 and at_floor)):
+            converged = nconv >= nev or (stall >= 5 and at_floor)
             S_keep = S[:, :nev]
             break
 

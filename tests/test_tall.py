@@ -91,3 +91,23 @@ def test_tall_shard_invariance(tall_plink):
             np.testing.assert_allclose(got, ref[0], rtol=1e-9, atol=1e-9)
             np.testing.assert_allclose(y, ref[1], rtol=1e-9, atol=1e-9)
             np.testing.assert_allclose(t, ref[2], rtol=1e-10)
+
+
+def test_tall_pallas_interpret_matches(tall_plink):
+    """Tall operator with interpreted Pallas kernels == jnp path
+    (regression: p_pad must be a 256-multiple or the kernel grid is
+    empty and outputs are uninitialized NaNs)."""
+    ds = PlinkDataset.open(tall_plink)
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    op = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                            dtype=jnp.float32, use_pallas="interpret")
+    assert op.p_pad % 256 == 0
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((ds.n_snps, 2))
+    got = np.asarray(op.unpermute(op.gram_permuted(op.permute(
+        jnp.asarray(v, jnp.float32)))))
+    ref = X.T @ (X @ v)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+    y = np.asarray(op.prod(v))
+    np.testing.assert_allclose(y, X @ v, rtol=1e-4, atol=1e-3)
