@@ -484,6 +484,20 @@ class PackedOperator(LinearOperatorBase):
         """trace(X X^T) = sum of squares of X (svdwide.cpp:44-45)."""
         return float(self.snp_sumsq.sum())
 
+    def stats(self) -> dict:
+        """Observability counters (the analog of the reference's nops /
+        verbose block logging, svdwide.h:46): operator ops dispatched,
+        packed bytes resident, and the per-pass decode volume."""
+        bytes_per_pass = self.p_pad * self.nbytes_pad
+        return {
+            "nops": self.nops,
+            "packed_bytes": bytes_per_pass,
+            "decoded_gb_per_pass": bytes_per_pass * 4 * 4 / 1e9,
+            "use_pallas": bool(self.use_pallas),
+            "n_shards": self.nshards,
+            "block_size": self.block_size,
+        }
+
 
 class TallPackedOperator:
     """Tall-path operator: eigendecomposition target is the p x p Gram

@@ -14,16 +14,19 @@ Algorithm (Wu & Simon thick restart, generalized to blocks):
 * Krylov basis V of ncv = m*b columns (+1 in-progress panel), built
   panel by panel: W = A Q_t; CGS2 full reorthogonalization against all
   of V (coefficients H_t = V^T A Q_t, exact column blocks of the
-  projected matrix T); CholQR2 panel orthonormalization (W = Q_{t+1} R_t,
-  R_t = sub-diagonal coupling block of T).
+  projected matrix T); jittered masked-CholQR panel orthonormalization
+  with a final cleanup pass (W = Q_{t+1} R_t, R_t = sub-diagonal
+  coupling block of T computed as the exact projection Q_{t+1}^T W).
 * The whole expansion of one restart cycle runs as ONE jitted
   ``lax.fori_loop`` on device; the host assembles the small symmetric
   T (ncv x ncv), solves it in float64, tests Spectra's convergence
   criterion, and performs the thick restart ``V <- V [S_kept | e_resid]``.
-* Residual estimate for Ritz pair i: ``||R_last S[last b rows, i]||``.
-* Rank-deficient panels are regularized by a relative jitter on the
-  Gram matrix in CholQR (exact breakdowns are measure-zero with a
-  random start and full reorthogonalization).
+* Residual estimate for Ritz pair i: ``||R_last S[last b rows, i]||``;
+  stagnation below sqrt(eps)*||A|| counts as converged (the finite-
+  precision floor for clustered spectra).
+* Rank-deficient panels deflate to exactly-zero columns and are
+  replaced by fresh random directions with zero coupling (see
+  _panel_orth / the inject branch).
 """
 
 from __future__ import annotations
@@ -261,7 +264,8 @@ def eigsh_block(
 
     eps = float(np.finfo(np.dtype(dtype).name).eps)
     eps23 = eps ** (2.0 / 3.0)
-    # relative rank tolerance inside a panel's Gram (squared-norm scale)
+    # absolute deflation floor scale for _panel_orth (squared-norm
+    # units, multiplied by each panel's pre-orthogonalization scale)
     jitter = (100 * eps) ** 2
 
     rng = np.random.default_rng(seed)

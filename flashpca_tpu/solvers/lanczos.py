@@ -174,6 +174,8 @@ def eigsh(
     S_keep = None
     converged = False
     restart = 0
+    best_resid = np.inf
+    stall = 0
 
     for restart in range(maxiter):
         # -- device: Lanczos expansion from column l to ncv-1 ---------------
@@ -208,8 +210,18 @@ def eigsh(
         thresh = np.maximum(eps23 * theta_max,
                             tol * np.maximum(np.abs(theta), 1e-300))
         nconv = int(np.sum(resid <= thresh))
-        if nconv >= nev or restart == maxiter - 1:
-            converged = nconv >= nev
+        # stagnation at the finite-precision floor counts as converged
+        # (clustered spectra; see block_lanczos.eigsh_block)
+        rmax = float(resid.max())
+        if rmax > 0.9 * best_resid:
+            stall += 1
+        else:
+            stall = 0
+        best_resid = min(best_resid, rmax)
+        at_floor = rmax <= np.sqrt(eps) * theta_max
+        if (nconv >= nev or restart == maxiter - 1
+                or (stall >= 8 and at_floor)):
+            converged = nconv >= nev or (stall >= 8 and at_floor)
             S_keep = S[:, :nev]
             break
 
