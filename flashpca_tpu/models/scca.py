@@ -23,11 +23,13 @@ float64 -- the deflation is inherently sequential per dimension
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..io.plink import PlinkDataset
 from ..ops.operator import DenseOperator, PackedOperator
@@ -86,6 +88,89 @@ def _gram_schmidt(vec: np.ndarray, basis: np.ndarray, j: int) -> np.ndarray:
     return vec
 
 
+# ---------------------------------------------------------------------------
+# Device-resident iteration engine: the whole per-dimension penalized
+# power iteration runs as ONE jitted lax.while_loop on device (the host
+# sees one dispatch + a handful of scalars per dimension).  This is the
+# TPU-native shape of the reference's loop (randompca.cpp:428-498): at
+# biobank scale each host-driven iteration would cost two dispatches
+# plus a p-length device->host round trip.
+# ---------------------------------------------------------------------------
+
+def _norm_thresh_j(x, lam):
+    """normalize -> soft-threshold -> renormalize (randompca.cpp:233-245),
+    zero-safe."""
+    s = jnp.linalg.norm(x)
+    x = jnp.where(s > 0, x / jnp.where(s > 0, s, 1.0), x)
+    x = jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam, 0.0)
+    s2 = jnp.linalg.norm(x)
+    return jnp.where(s2 > 0, x / jnp.where(s2 > 0, s2, 1.0), x)
+
+
+def _gs_seq_j(vec, basis, count):
+    """Sequential Gram-Schmidt against basis[:, :count] (traced count),
+    reference column order preserved."""
+
+    def body(k, v):
+        col = basis[:, k]
+        denom = jnp.dot(col, col)
+        proj = jnp.where(denom > 0,
+                         jnp.dot(v, col) / jnp.where(denom > 0, denom, 1.0),
+                         0.0)
+        return v - proj * col
+
+    return lax.fori_loop(0, count, body, vec)
+
+
+def _scca_dim_device(cross_fn, mv_fn, U, V, Yp, j, v0_j, consts,
+                     lam1, lam2, invdiv, tol, maxiter):
+    """Run one SCCA dimension to convergence on device.
+
+    U (p_pad, ndim), V (k, ndim) hold previous dimensions; Yp is the
+    permuted standardized phenotype (n4, k) already scaled by invdiv.
+    Returns (u_j, v_j, iters, converged, u_zero, v_zero)."""
+    dtype = Yp.dtype
+
+    def u_step(v):
+        yv = Yp @ v                              # (n4,) permuted, masked
+        u = cross_fn(yv[:, None], *consts)[:, 0] * invdiv
+        u = _gs_seq_j(u, U, j)
+        return _norm_thresh_j(u, lam1)
+
+    def v_step(u):
+        xu = mv_fn(u[:, None], *consts)[:, 0] * invdiv  # (n4,) masked
+        v = Yp.T @ xu
+        v = _gs_seq_j(v, V, j)
+        return _norm_thresh_j(v, lam2)
+
+    def cond(carry):
+        u, v, it, du, dv, uz, vz = carry
+        active = (it < maxiter) & ((it == 0) | (du >= tol) | (dv >= tol))
+        # dim 0 with an all-zero side aborts immediately (randompca.cpp:280-287)
+        return active & ~((j == 0) & (uz | vz))
+
+    def body(carry):
+        u, v, it, du, dv, uz, vz = carry
+        u_new = u_step(v)
+        v_new = v_step(u_new)
+        du = jnp.max(jnp.abs(u_new - u))
+        dv = jnp.max(jnp.abs(v_new - v))
+        uz = uz | (jnp.max(jnp.abs(u_new)) < tol)
+        vz = vz | (jnp.max(jnp.abs(v_new)) < tol)
+        return u_new, v_new, it + 1, du, dv, uz, vz
+
+    u0 = jnp.zeros(U.shape[0], dtype)
+    carry = (u0, v0_j, jnp.zeros((), jnp.int32),
+             jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+             jnp.asarray(False), jnp.asarray(False))
+    u, v, it, du, dv, uz, vz = lax.while_loop(cond, body, carry)
+    conv = (du < tol) & (dv < tol)
+    # d_j = (X u)^T (Y v) with both sides invdiv-scaled
+    xu = mv_fn(u[:, None], *consts)[:, 0] * invdiv
+    d_j = jnp.dot(xu, Yp @ v)
+    return u, v, it, conv, uz, vz, d_j
+
+
 def scca(
     X,
     Y: np.ndarray,
@@ -105,6 +190,7 @@ def scca(
     mesh=None,
     verbose: bool = False,
     auto_init: bool = False,
+    engine: str = "device",
 ) -> SCCAResult:
     """SCCA of ``X`` (PLINK root/dataset or (N, p) matrix) against the
     (N, k) phenotype matrix ``Y``.
@@ -177,6 +263,54 @@ def scca(
         Px = xv(U)
         Py = Y_std @ V
         return SCCAResult(U=U, V=V, d=d, Px=Px, Py=Py, converged=conv, V0=V0)
+
+    if engine == "device":
+        # whole per-dimension iteration on device: one dispatch + a few
+        # scalars per dimension instead of 2 dispatches + a p-length
+        # round trip per iteration
+        cross_fn, mv_fn, consts = op.products_pure()
+        Yp = op.permute(jnp.asarray(Y_std, dtype=dtype))
+        p_dev = (op.p_pad if isinstance(op, PackedOperator) else p)
+        dim_fn = jax.jit(
+            partial(_scca_dim_device, cross_fn, mv_fn, maxiter=maxiter),
+        )
+        U_dev = jnp.zeros((p_dev, ndim), dtype=dtype)
+        V_dev = jnp.asarray(V, dtype=dtype)
+        V0_dev = jnp.asarray(V0, dtype=dtype)
+        lam1_t = jnp.asarray(lambda1, dtype)
+        lam2_t = jnp.asarray(lambda2, dtype)
+        inv_t = jnp.asarray(invdiv, dtype)
+        tol_t = jnp.asarray(tol, dtype)
+        for j in range(ndim):
+            # j as a traced scalar: one compile serves every dimension
+            u, v, it, conv, uz, vz, dj = dim_fn(
+                U_dev, V_dev, Yp, jnp.asarray(j, jnp.int32),
+                V0_dev[:, j], consts, lam1_t, lam2_t, inv_t, tol_t)
+            it = int(it)
+            if bool(uz):
+                log(f"U[{j}] is all zero, {it}, l1 penalty too large",
+                    verbose=verbose)
+            if bool(vz):
+                log(f"V[{j}] is all zero, {it}, l2 penalty too large",
+                    verbose=verbose)
+            U[:, j] = np.asarray(u, dtype=np.float64)[:p]
+            V[:, j] = np.asarray(v, dtype=np.float64)
+            if j == 0 and (bool(uz) or bool(vz)):
+                return result(False)
+            if not bool(conv):
+                log(f"SCCA did not converge in {maxiter} iterations",
+                    verbose=verbose)
+                return result(False)
+            U_dev = U_dev.at[:, j].set(u)
+            V_dev = V_dev.at[:, j].set(v)
+            d[j] = float(dj)
+            nzu = int(np.count_nonzero(U[:, j]))
+            nzv = int(np.count_nonzero(V[:, j]))
+            log(f"dim {j} finished in {it} iterations", verbose=verbose)
+            log(f"U_{j} non-zeros: {nzu}, V_{j} non-zeros: {nzv}",
+                verbose=verbose)
+            log(f"d[{j}]: {d[j]}", verbose=verbose)
+        return result(True)
 
     for j in range(ndim):
         it = 0

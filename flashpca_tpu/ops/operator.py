@@ -405,6 +405,8 @@ class PackedOperator(LinearOperatorBase):
             )
 
         self._gram_raw = gram          # unjitted: for solver embedding
+        self._cross_raw = cross
+        self._mv_raw = mv
         self._gram_fn = jax.jit(gram)
         self._cross_fn = jax.jit(cross)
         self._mv_fn = jax.jit(mv)
@@ -442,6 +444,24 @@ class PackedOperator(LinearOperatorBase):
             return fn(packed, mean, invsd, xp, valid)
 
         return matvec, (self.packed, self.mean, self.invsd, self._valid)
+
+    def products_pure(self):
+        """(cross_fn, mv_fn, operands) for device-resident iteration
+        loops (e.g. SCCA): ``cross_fn(xp, *operands)`` = X^T x in
+        (padded) SNP space for a PERMUTED sample-space input, and
+        ``mv_fn(v, *operands)`` = X v in permuted sample space for a
+        (p_pad, k) input.  Unjitted and constant-free, like gram_pure."""
+        cross = self._cross_raw
+        mv = self._mv_raw
+
+        def cross_fn(xp, packed, mean, invsd, valid):
+            return cross(packed, mean, invsd, xp, valid)
+
+        def mv_fn(v, packed, mean, invsd, valid):
+            return mv(packed, mean, invsd, v, valid)
+
+        return cross_fn, mv_fn, (self.packed, self.mean, self.invsd,
+                                 self._valid)
 
     @property
     def op_dim(self) -> int:
@@ -781,6 +801,18 @@ class DenseOperator(LinearOperatorBase):
             return fn(X, x)
 
         return matvec, (self.X,)
+
+    def products_pure(self):
+        """(cross_fn, mv_fn, operands): see PackedOperator.products_pure
+        (identity sample permutation here)."""
+
+        def cross_fn(x, X):
+            return X.T @ x
+
+        def mv_fn(v, X):
+            return X @ v
+
+        return cross_fn, mv_fn, (self.X,)
 
     @property
     def op_dim(self) -> int:
