@@ -35,7 +35,7 @@ REF_P = 100_000
 # generation nor the operator ever copies the multi-GB packed buffer
 # (padding/slicing would double peak HBM use)
 BENCH_N = 501_760   # ceil(N/4) = 125440 = 245 * 512
-BENCH_P = 100_096
+BENCH_P = 100_352   # 196 * 512 SNP rows (whole 512-row Pallas tiles)
 N_POPS = 8
 
 
@@ -153,7 +153,7 @@ def main():
             limit = (hbm or {}).get("bytes_limit", 16 << 30)
             n, p = BENCH_N, BENCH_P
             while p * ((n + 3) // 4) > 0.7 * limit:
-                p = (p // 2 // 256) * 256  # keep copy-free 256-multiples
+                p = (p // 2 // 512) * 512  # keep copy-free tile multiples
         else:
             n, p = 20_000, 4_000  # CPU smoke size
     log(f"bench: platform={platform} N={n} p={p} k={k} tol={tol}")

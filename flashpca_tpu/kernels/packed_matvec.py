@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_P = 256      # SNP rows per tile
+TILE_P = 512      # SNP rows per tile (measured best vs 256 on v5e)
 LANE = 128        # TPU lane width; byte-tile sizes are multiples of this
 
 

@@ -35,6 +35,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..io.plink import PACK_DENSITY, bytes_per_snp
+from ..kernels.packed_matvec import TILE_P as _TILE_P
 from .genotypes import (
     decode_standardized,
     permute_samples,
@@ -239,14 +240,17 @@ class PackedOperator(LinearOperatorBase):
             block_size = max(128, (128 << 20) // (n4 * itemsize))
         block_size = min(block_size, max(1, math.ceil(p / nshards)))
         if use_pallas:
-            # SNP tiles are 256 rows; keep every shard a whole number of
-            # tiles (block_size only drives the jnp fallback/sumsq path).
-            # Ceil when one block covers all SNPs so p_pad doesn't jump
-            # to a whole extra block of padding.
-            block_size = max(256, (block_size // 256) * 256)
+            # keep every shard a whole number of SNP tiles (block_size
+            # only drives the jnp fallback/sumsq path).  When one block
+            # covers the whole shard, round UP so p_pad doesn't jump to
+            # a whole extra block of padding (test before flooring: the
+            # pre-clamp above can make block_size == per_shard exactly).
+            t = _TILE_P
             per_shard = -(-p // nshards)
             if block_size >= per_shard:
-                block_size = -(-per_shard // 256) * 256
+                block_size = -(-per_shard // t) * t
+            else:
+                block_size = max(t, (block_size // t) * t)
         # pad p so every shard holds a whole number of blocks
         chunk = block_size * nshards
         p_pad = ((p + chunk - 1) // chunk) * chunk
@@ -577,11 +581,13 @@ class TallPackedOperator:
             itemsize = jnp.dtype(dtype).itemsize
             block_size = max(128, (128 << 20) // (4 * per_shard * itemsize))
         if use_pallas:
-            # SNP tiles are 256 rows: p_pad MUST be a multiple of 256 or
-            # the kernel grid is empty and outputs stay uninitialized
-            block_size = max(256, (block_size // 256) * 256)
+            # p_pad MUST be a whole number of SNP tiles or the kernel
+            # grid is empty and outputs stay uninitialized
+            t = _TILE_P
             if block_size >= p:
-                block_size = -(-p // 256) * 256
+                block_size = -(-p // t) * t
+            else:
+                block_size = max(t, (block_size // t) * t)
         else:
             block_size = min(block_size, max(1, p))
         p_pad = -(-p // block_size) * block_size
