@@ -107,3 +107,23 @@ def test_sharded_operator_matches_single(packed_setup, rng):
         np.asarray(opm.prod(v)), np.asarray(op1.prod(v)), rtol=1e-10
     )
     np.testing.assert_allclose(opm.trace, op1.trace, rtol=1e-10)
+
+
+def test_plan_layout_one_block_rounds_up():
+    """Regression: when one block covers the whole shard the planner
+    must round the block UP to a whole tile, not down -- rounding down
+    doubled p_pad with an entire extra block of padding."""
+    import jax.numpy as jnp
+    from flashpca_tpu.kernels.packed_matvec import TILE_P
+    from flashpca_tpu.ops.operator import PackedOperator
+
+    plan = PackedOperator.plan_layout(14389, 240, dtype=jnp.float32,
+                                      nshards=1, use_pallas=True)
+    assert plan["p_pad"] == -(-14389 // TILE_P) * TILE_P
+    assert plan["p_pad"] % TILE_P == 0
+    assert plan["block_size"] == plan["p_pad"]
+    # multi-shard: every shard a whole number of blocks and tiles
+    plan4 = PackedOperator.plan_layout(14389, 240, dtype=jnp.float32,
+                                       nshards=4, use_pallas=True)
+    assert plan4["p_pad"] % (plan4["block_size"] * 4) == 0
+    assert plan4["block_size"] % TILE_P == 0
