@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "float64 on CPU)")
     p.add_argument("--shards", type=int, default=None,
                    help="shard SNPs over this many devices (default: all)")
+    p.add_argument("--opmode", default="auto",
+                   choices=["auto", "wide", "tall"],
+                   help="decompose X X^T (wide), X^T X (tall, for "
+                        "N >> p), or pick automatically")
     return p
 
 
@@ -249,7 +253,7 @@ def main(argv=None) -> int:
                 maxiter=args.maxiter, tol=args.tol, seed=args.seed,
                 block_size=block_size, do_loadings=bool(args.outload),
                 dtype=dtype, mesh=mesh, batch=args.batch,
-                verbose=args.verbose,
+                verbose=args.verbose, operator_mode=args.opmode,
             )
             print(timestamp() + "PCA done")
             save_text(res.values.reshape(-1, 1), out["val"], precision=prec)
