@@ -12,7 +12,7 @@ __version__ = "0.1.0"
 
 from .io import PlinkDataset
 from .ops import standardize, scale2, PackedOperator, DenseOperator
-from .ops.operator import TallPackedOperator
+from .ops.operator import StreamingPackedOperator, TallPackedOperator
 from .models import (
     pca, flashpca, PCAResult,
     project, ProjectResult,

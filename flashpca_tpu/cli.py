@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "float64 on CPU)")
     p.add_argument("--shards", type=int, default=None,
                    help="shard SNPs over this many devices (default: all)")
+    p.add_argument("--stream", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="stream packed genotypes from host per block "
+                        "(bounded device memory; auto = when the data "
+                        "exceeds device HBM)")
     p.add_argument("--opmode", default="auto",
                    choices=["auto", "wide", "tall"],
                    help="decompose X X^T (wide), X^T X (tall, for "
@@ -254,6 +259,9 @@ def main(argv=None) -> int:
                 block_size=block_size, do_loadings=bool(args.outload),
                 dtype=dtype, mesh=mesh, batch=args.batch,
                 verbose=args.verbose, operator_mode=args.opmode,
+                streaming={"auto": "auto", "on": True, "off": False}[
+                    args.stream],
+                memory_mb=args.memory,
             )
             print(timestamp() + "PCA done")
             save_text(res.values.reshape(-1, 1), out["val"], precision=prec)

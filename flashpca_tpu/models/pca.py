@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
-from ..ops.operator import DenseOperator, PackedOperator, TallPackedOperator
+from ..ops.operator import (DenseOperator, PackedOperator,
+                            StreamingPackedOperator, TallPackedOperator)
 from ..ops.standardize import standardize
 from ..solvers.block_lanczos import eigsh_block, polish_subspace
 from ..solvers.lanczos import eigsh
@@ -93,6 +94,8 @@ def pca(
     ncv: int | None = None,
     verbose: bool = False,
     operator_mode: str = "auto",
+    streaming: bool | str = "auto",
+    memory_mb: int | None = None,
 ) -> PCAResult:
     """Compute the top ``ndim`` principal components.
 
@@ -134,6 +137,25 @@ def pca(
             return _pca_tall(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, mean, sd,
+            )
+        # streaming: host(/disk)-resident packed data, bounded device
+        # memory -- the reference's core capability (README.md:11-12).
+        # auto-on when the packed matrix won't fit on the device.
+        stream = streaming
+        if stream == "auto":
+            packed_bytes = data.n_snps * data.nbytes_per_snp
+            limit = None
+            if mesh is None and jax.default_backend() == "tpu":
+                ms = jax.devices()[0].memory_stats()
+                limit = (ms or {}).get("bytes_limit", 16 << 30)
+            stream = bool(limit and packed_bytes > 0.7 * limit)
+        if stream:
+            op = StreamingPackedOperator(
+                data, mean, sd, n, memory_mb=memory_mb, dtype=dtype,
+            )
+            return _pca_operator(
+                op, ndim, divisor, maxiter, tol, seed, do_loadings,
+                dtype, ncv, mean, sd, fused=False,
             )
         op = PackedOperator(
             data.read_packed(), mean, sd, n,
@@ -232,7 +254,8 @@ def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
 
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
-                  dtype, ncv, mean, sd, solver="block") -> PCAResult:
+                  dtype, ncv, mean, sd, solver="block",
+                  fused=True) -> PCAResult:
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
@@ -241,13 +264,16 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     v0_n = rng.standard_normal(n)
     v0 = np.asarray(op.permute(jnp.asarray(v0_n, dtype=dtype)))
 
-    mv, ops_ = op.gram_pure()
-    if solver == "block":
+    if fused:
+        mv, ops_ = op.gram_pure()
+    else:
+        mv, ops_ = op.gram_permuted, ()
+    if solver == "block" or not fused:
         # panel matvecs amortize the packed-decode pass over 8 columns
         res = eigsh_block(
             mv, op.op_dim, ndim, block=8, ncv=ncv,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
-            operands=ops_,
+            operands=ops_, fused=fused,
         )
     else:
         res = eigsh(
@@ -267,7 +293,8 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
         # f32 restart cycles accumulate basis drift; two fresh subspace
         # sweeps + host-f64 Rayleigh-Ritz recover near-floor accuracy
-        lam, U_dev = polish_subspace(mv, U_dev, iters=2, operands=ops_)
+        lam, U_dev = polish_subspace(mv, U_dev, iters=2, operands=ops_,
+                                     fused=fused)
     U = np.asarray(op.unpermute(U_dev), dtype=np.float64)
     d = lam / div
 

@@ -768,6 +768,202 @@ class TallPackedOperator:
         return float(self.snp_sumsq.sum())
 
 
+class StreamingPackedOperator(LinearOperatorBase):
+    """Bounded-device-memory operator: the packed genotypes stay on the
+    HOST (numpy array or .bed memmap) and stream to the device block by
+    block during each product -- the direct analog of the reference's
+    disk-streaming ``SVDWideOnline`` (svdwide.cpp:21-68) with the
+    host->HBM boundary in place of disk->RAM.
+
+    Device memory is bounded by two block buffers regardless of p, so a
+    cohort larger than HBM (the reference's ">= 1M individuals" claim,
+    README.md:12) still runs on one chip.  Successive ``device_put`` +
+    jitted-accumulate calls pipeline naturally: JAX dispatch is async,
+    so block i+1 uploads while block i computes.
+    """
+
+    def __init__(
+        self,
+        source,
+        mean: np.ndarray,
+        sd: np.ndarray,
+        n_samples: int,
+        *,
+        block_snps: int | None = None,
+        memory_mb: int | None = None,
+        dtype=jnp.float32,
+        use_pallas: bool | str | None = None,
+    ):
+        from ..io.plink import PlinkDataset
+
+        if isinstance(source, PlinkDataset):
+            packed = source._map()          # np.memmap: blocks read lazily
+        else:
+            packed = np.asarray(source)
+        p, nbytes = packed.shape
+        if nbytes != bytes_per_snp(n_samples):
+            raise ValueError("packed width does not match n_samples")
+        self.n_samples = int(n_samples)
+        self.n_snps = int(p)
+        self.nbytes = int(nbytes)
+        self.dtype = dtype
+        self._host_packed = packed
+
+        use_pallas = PackedOperator.resolve_use_pallas(use_pallas, dtype)
+        self.use_pallas = use_pallas
+        if use_pallas:
+            unit = 512 if nbytes > 4096 else 128
+            nbytes_pad = ((nbytes + unit - 1) // unit) * unit
+        else:
+            nbytes_pad = nbytes
+        self.nbytes_pad = int(nbytes_pad)
+        self.n4 = nbytes_pad * PACK_DENSITY
+
+        if block_snps is None:
+            if memory_mb is not None:
+                # --memory semantics: two packed block buffers on device
+                block_snps = max(1, (memory_mb << 20) // (2 * nbytes_pad))
+            else:
+                block_snps = max(1, (1 << 30) // nbytes_pad)  # ~1 GiB
+        t = _TILE_P if use_pallas else 1
+        block_snps = max(t, (min(block_snps, p) // t) * t)
+        self.block_snps = int(block_snps)
+        self.n_blocks = -(-p // block_snps)
+        self.p_pad = self.n_blocks * block_snps
+
+        mean_f, invsd_f = lookup_tables(mean, sd, dtype=jnp.dtype(dtype).type)
+        self._mean_pad = np.zeros(self.p_pad, dtype=mean_f.dtype)
+        self._mean_pad[:p] = mean_f
+        self._invsd_pad = np.zeros(self.p_pad, dtype=invsd_f.dtype)
+        self._invsd_pad[:p] = invsd_f
+
+        self._valid = valid_mask_permuted(n_samples, nbytes_pad, dtype)
+        self._build_fns()
+        self._sumsq = None
+        self.nops = 0
+
+    def _raw(self):
+        if self.use_pallas:
+            from ..kernels import packed_matvec as _pk
+
+            interp = self.use_pallas == "interpret"
+            return (partial(_pk.gram_matvec_p, interpret=interp),
+                    partial(_pk.crossprod_p, interpret=interp),
+                    partial(_pk.matvec_p, interpret=interp),
+                    partial(snp_sumsq_p, block_size=self.block_snps))
+        bs = min(self.block_snps, 8192)
+        while self.block_snps % bs:
+            bs -= 1
+        return (partial(gram_matvec_p, block_size=bs),
+                partial(crossprod_p, block_size=bs),
+                partial(matvec_p, block_size=bs),
+                partial(snp_sumsq_p, block_size=bs))
+
+    def _build_fns(self):
+        raw_gram, raw_cross, raw_mv, raw_sumsq = self._raw()
+
+        def gram_acc(pb, mb, ib, xp, valid, acc):
+            return acc + raw_gram(pb, mb, ib, xp * valid[:, None])
+
+        def cross_blk(pb, mb, ib, xp, valid):
+            return raw_cross(pb, mb, ib, xp * valid[:, None])
+
+        def mv_acc(pb, mb, ib, vb, valid, acc):
+            return acc + raw_mv(pb, mb, ib, vb)
+
+        def sumsq_blk(pb, mb, ib, valid):
+            return raw_sumsq(pb, mb, ib, valid)
+
+        self._gram_acc = jax.jit(gram_acc)
+        self._cross_blk = jax.jit(cross_blk)
+        self._mv_acc = jax.jit(mv_acc)
+        self._sumsq_blk = jax.jit(sumsq_blk)
+
+    # -- block staging -----------------------------------------------------
+    def _blocks(self):
+        """Yield (packed_dev, mean_dev, invsd_dev, start, size) per block.
+        device_put is async: the next block uploads while the previous
+        one computes."""
+        bs = self.block_snps
+        for i in range(self.n_blocks):
+            lo = i * bs
+            hi = min(lo + bs, self.n_snps)
+            buf = np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
+            buf[: hi - lo, : self.nbytes] = self._host_packed[lo:hi]
+            yield (jax.device_put(buf),
+                   jax.device_put(self._mean_pad[lo: lo + bs]),
+                   jax.device_put(self._invsd_pad[lo: lo + bs]),
+                   lo, hi - lo)
+
+    # -- products ----------------------------------------------------------
+    def _gram(self, x2):
+        xp = permute_samples(x2, self.nbytes_pad)
+        acc = jnp.zeros_like(xp)
+        for pb, mb, ib, _, _ in self._blocks():
+            acc = self._gram_acc(pb, mb, ib, xp, self._valid, acc)
+        self.nops += 1
+        acc = acc * self._valid[:, None]
+        return unpermute_samples(acc, self.n_samples)
+
+    def gram_permuted(self, xp):
+        vec = xp.ndim == 1
+        xp2 = xp[:, None] if vec else xp
+        acc = jnp.zeros_like(xp2)
+        xp2 = xp2 * self._valid[:, None]
+        for pb, mb, ib, _, _ in self._blocks():
+            acc = self._gram_acc(pb, mb, ib, xp2, self._valid, acc)
+        self.nops += 1
+        acc = acc * self._valid[:, None]
+        return acc[:, 0] if vec else acc
+
+    @property
+    def op_dim(self) -> int:
+        return self.n4
+
+    def permute(self, x):
+        return permute_samples(jnp.asarray(x, self.dtype), self.nbytes_pad)
+
+    def unpermute(self, yp):
+        return unpermute_samples(yp, self.n_samples)
+
+    def _crossprod(self, x2):
+        xp = permute_samples(x2, self.nbytes_pad)
+        outs = []
+        for pb, mb, ib, _, _ in self._blocks():
+            outs.append(self._cross_blk(pb, mb, ib, xp, self._valid))
+        self.nops += 1
+        return jnp.concatenate(outs, axis=0)[: self.n_snps]
+
+    def _prod(self, v2):
+        pad = self.p_pad - self.n_snps
+        if pad:
+            v2 = jnp.pad(v2, ((0, pad), (0, 0)))
+        acc = jnp.zeros((self.n4, v2.shape[1]), self.dtype)
+        bs = self.block_snps
+        for pb, mb, ib, lo, _ in self._blocks():
+            acc = self._mv_acc(pb, mb, ib,
+                               lax.dynamic_slice_in_dim(v2, lo, bs, 0),
+                               self._valid, acc)
+        self.nops += 1
+        acc = acc * self._valid[:, None]
+        return unpermute_samples(acc, self.n_samples)
+
+    @property
+    def snp_sumsq(self) -> np.ndarray:
+        if self._sumsq is None:
+            outs = []
+            for pb, mb, ib, _, _ in self._blocks():
+                outs.append(np.asarray(
+                    self._sumsq_blk(pb, mb, ib, self._valid),
+                    dtype=np.float64))
+            self._sumsq = np.concatenate(outs)[: self.n_snps]
+        return self._sumsq
+
+    @property
+    def trace(self) -> float:
+        return float(self.snp_sumsq.sum())
+
+
 class DenseOperator(LinearOperatorBase):
     """Operator over an in-memory standardized dense matrix (N, p) --
     the analog of ``SVDWide`` (svdwide.h:11-31), used for the

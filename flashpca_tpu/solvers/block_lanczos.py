@@ -186,7 +186,57 @@ def _expand_cycle_block(matvec, V, key, consts, l, nsteps, b, jitter):
     return lax.fori_loop(0, nsteps, body, (V, H_all, R_all))
 
 
-def polish_subspace(matvec, U, *, iters: int = 2, operands=()):
+@partial(jax.jit, static_argnames=("jitter",))
+def _host_orth_step(V, W, jitter, scale2):
+    """One panel-orthonormalization step against V (device helpers for
+    the host-driven expansion used with streaming operators)."""
+    H1 = jnp.dot(V.T, W, precision=lax.Precision.HIGHEST)
+    W = W - jnp.dot(V, H1, precision=lax.Precision.HIGHEST)
+    H2 = jnp.dot(V.T, W, precision=lax.Precision.HIGHEST)
+    Wo = W - jnp.dot(V, H2, precision=lax.Precision.HIGHEST)
+    H = H1 + H2
+    Q1, _, _ = _panel_orth(Wo, jitter, jitter * scale2)
+    Q1 = Q1 - jnp.dot(V, jnp.dot(V.T, Q1, precision=lax.Precision.HIGHEST),
+                      precision=lax.Precision.HIGHEST)
+    Qn, _, good = _panel_orth(Q1, jitter)
+    Qn = Qn - jnp.dot(V, jnp.dot(V.T, Qn, precision=lax.Precision.HIGHEST),
+                      precision=lax.Precision.HIGHEST)
+    Qn, _, _ = _panel_orth(Qn, jitter)
+    R = jnp.dot(Qn.T, Wo, preferred_element_type=V.dtype,
+                precision=lax.Precision.HIGHEST)
+    return Qn, H, R, good, Wo
+
+
+def _expand_cycle_host(matvec, V, key, l, nsteps, b, jitter):
+    """Host-driven twin of _expand_cycle_block for NON-traceable
+    matvecs (e.g. the streaming operator, whose product loops over
+    host-staged blocks).  Same math, one host step per panel."""
+    n = V.shape[0]
+    dtype = V.dtype
+    H_all = np.zeros((nsteps, V.shape[1], b))
+    R_all = np.zeros((nsteps, b, b))
+    for t in range(nsteps):
+        cs = l + t * b
+        Q = V[:, cs: cs + b]
+        W = matvec(Q)
+        scale2 = float(jnp.sum(W * W) / b)
+        Qn, H, R, good, _ = _host_orth_step(V, W, jitter, scale2)
+        if not bool(jnp.all(good > 0)):
+            # fresh injection for deflated directions (see the fused
+            # expansion's inject branch)
+            Z = jax.random.normal(jax.random.fold_in(key, t), (n, b), dtype)
+            z2 = float(jnp.sum(Z * Z) / b)
+            Zq = _host_orth_step(V, Z, jitter, z2)[0]
+            Zq = Zq - Qn @ (Qn.T @ Zq)
+            Zq, _, _ = _panel_orth(Zq, jitter, jitter * z2)
+            Qn = jnp.where(good[None, :] > 0, Qn, Zq)
+        V = V.at[:, cs + b: cs + 2 * b].set(Qn)
+        H_all[t] = np.asarray(H, dtype=np.float64)
+        R_all[t] = np.asarray(R, dtype=np.float64)
+    return V, H_all, R_all
+
+
+def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
     """Refine converged Ritz vectors by orthogonal (subspace) iteration
     with a final host-f64 Rayleigh-Ritz.
 
@@ -194,24 +244,43 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=()):
     rounding drift; a couple of fresh ``orth(A U)`` sweeps followed by
     one small Rayleigh-Ritz rotation removes it and recovers accuracy
     near the single-matvec f32 noise floor.  Returns (theta, U) with
-    theta descending and U exactly renormalized.
+    theta descending and U exactly renormalized.  ``fused=False`` for
+    non-traceable matvecs (streaming operators).
     """
     k = U.shape[1]
     rank_tol = (100 * float(np.finfo(np.dtype(U.dtype.name).name).eps)) ** 2
-    mv_pure, consts = _hoist(matvec, jnp.zeros(U.shape, U.dtype), operands)
+    if fused:
+        mv_pure, consts = _hoist(matvec, jnp.zeros(U.shape, U.dtype),
+                                 operands)
+    else:
+        mv_host = ((lambda Q: matvec(Q, *operands)) if operands else matvec)
+        mv_pure, consts = (lambda Q: mv_host(Q)), ()
 
-    @jax.jit
-    def sweep(U, consts):
-        Y = mv_pure(U, *consts)
-        Q, _, _ = _panel_orth(Y, rank_tol)
-        Q, _, _ = _panel_orth(Q, rank_tol)  # second pass: eps-orthonormal
-        return Q
+    orth2x = jax.jit(lambda Y: _panel_orth(
+        _panel_orth(Y, rank_tol)[0], rank_tol)[0])
+    gram_small = jax.jit(lambda U, Y: jnp.dot(
+        U.T, Y, precision=lax.Precision.HIGHEST))
 
-    @jax.jit
-    def project(U, consts):
-        Y = mv_pure(U, *consts)
-        G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
-        return Y, G
+    if fused:
+        @jax.jit
+        def sweep(U, consts):
+            Y = mv_pure(U, *consts)
+            Q, _, _ = _panel_orth(Y, rank_tol)
+            Q, _, _ = _panel_orth(Q, rank_tol)
+            return Q
+
+        @jax.jit
+        def project(U, consts):
+            Y = mv_pure(U, *consts)
+            G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
+            return Y, G
+    else:
+        def sweep(U, consts):
+            return orth2x(mv_pure(U))
+
+        def project(U, consts):
+            Y = mv_pure(U)
+            return Y, gram_small(U, Y)
 
     for _ in range(iters):
         U = sweep(U, consts)
@@ -240,14 +309,17 @@ def eigsh_block(
     v0: np.ndarray | None = None,
     verbose: bool = False,
     operands=(),
+    fused: bool = True,
 ) -> EigshResult:
     """Largest-algebraic eigenpairs via thick-restart block Lanczos.
 
-    ``matvec`` must accept (n, b) panels and be traceable; if it takes
-    big device arrays, pass them via ``operands`` (called as
-    ``matvec(Q, *operands)``) so they stay device-side arguments.
-    Falls back to the scalar solver when the problem is too small for
-    blocking.
+    ``matvec`` must accept (n, b) panels; when ``fused`` (default) it
+    must also be traceable -- big device arrays go through ``operands``
+    (called as ``matvec(Q, *operands)``) so they stay device-side
+    arguments.  ``fused=False`` drives the expansion from the host for
+    NON-traceable matvecs (e.g. StreamingPackedOperator, which stages
+    host-resident blocks inside its product).  Falls back to the scalar
+    solver when the problem is too small for blocking.
     """
     b = int(block)
     if ncv is None:
@@ -286,12 +358,20 @@ def eigsh_block(
     V = V.at[:, :b].set(jnp.asarray(Q0, dtype=dtype))
     key = jax.random.PRNGKey(seed)
 
-    mv_pure, consts = _hoist(matvec, jnp.zeros((n, b), dtype), operands)
-    expand = jax.jit(
-        partial(_expand_cycle_block, mv_pure, b=b, jitter=jitter),
-        static_argnames=("l", "nsteps"),
-        donate_argnums=(0,),
-    )
+    if fused:
+        mv_pure, consts = _hoist(matvec, jnp.zeros((n, b), dtype), operands)
+        expand = jax.jit(
+            partial(_expand_cycle_block, mv_pure, b=b, jitter=jitter),
+            static_argnames=("l", "nsteps"),
+            donate_argnums=(0,),
+        )
+    else:
+        mv_host = ((lambda Q: matvec(Q, *operands)) if operands else matvec)
+
+        def expand(V, key, consts, l, nsteps):
+            return _expand_cycle_host(mv_host, V, key, l, nsteps, b, jitter)
+
+        consts = ()
 
     nops = 0
     l = 0

@@ -127,3 +127,47 @@ def test_plan_layout_one_block_rounds_up():
                                        nshards=4, use_pallas=True)
     assert plan4["p_pad"] % (plan4["block_size"] * 4) == 0
     assert plan4["block_size"] % TILE_P == 0
+
+
+def test_streaming_operator_matches_resident(small_plink):
+    """StreamingPackedOperator (host-resident packed, blockwise device
+    staging) must reproduce the HBM-resident operator exactly."""
+    import jax.numpy as jnp
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops.operator import PackedOperator, StreamingPackedOperator
+
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    rng = np.random.default_rng(3)
+
+    op_r = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                          dtype=jnp.float64)
+    op_s = StreamingPackedOperator(ds, mean, sd, ds.n_samples,
+                                   block_snps=16, dtype=jnp.float64)
+    assert op_s.n_blocks > 1  # actually exercises the block loop
+
+    x = rng.standard_normal((ds.n_samples, 3))
+    np.testing.assert_allclose(np.asarray(op_s.perform_op(x)),
+                               np.asarray(op_r.perform_op(x)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(op_s.crossprod(x)),
+                               np.asarray(op_r.crossprod(x)),
+                               rtol=1e-10, atol=1e-10)
+    v = rng.standard_normal((ds.n_snps, 2))
+    np.testing.assert_allclose(np.asarray(op_s.prod(v)),
+                               np.asarray(op_r.prod(v)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(op_s.trace, op_r.trace, rtol=1e-12)
+
+
+def test_streaming_pca_matches_resident(small_plink):
+    from flashpca_tpu.models.pca import pca
+
+    root, _ = small_plink
+    r_res = pca(root, 3, tol=1e-9, streaming=False)
+    r_str = pca(root, 3, tol=1e-9, streaming=True, memory_mb=1)
+    np.testing.assert_allclose(r_str.values, r_res.values, rtol=1e-8)
+    for j in range(3):
+        c = abs(np.dot(r_str.vectors[:, j], r_res.vectors[:, j]))
+        assert c > 1 - 1e-8
