@@ -110,3 +110,26 @@ def test_block_exhaustion_stress():
         assert res.converged, f"seed {seed} did not converge"
         err = np.abs(res.eigenvalues - w_ref).max() / w_ref.max()
         assert err < 1e-9, f"seed {seed}: rel err {err}"
+
+
+def test_block_warm_start_panel():
+    """Warm-starting from previously computed Ritz vectors (the
+    checkpoint/restart story) converges in fewer passes."""
+    import jax.numpy as jnp
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+
+    rng = np.random.default_rng(1)
+    n = 300
+    F = rng.standard_normal((n, 6)) * np.sqrt(np.linspace(20, 5, 6))
+    E = rng.standard_normal((n, 800))
+    A = np.hstack([F, E]) @ np.hstack([F, E]).T / 800
+    Ad = jnp.asarray(A)
+    cold = eigsh_block(lambda Q: Ad @ Q, n, 4, block=4, maxiter=200,
+                       tol=1e-9, dtype=jnp.float64, seed=1)
+    warm = eigsh_block(lambda Q: Ad @ Q, n, 4, block=4, maxiter=200,
+                       tol=1e-9, dtype=jnp.float64, seed=2,
+                       v0=np.asarray(cold.eigenvectors))
+    assert warm.converged
+    assert warm.n_ops < cold.n_ops
+    np.testing.assert_allclose(warm.eigenvalues, cold.eigenvalues,
+                               rtol=1e-8)
