@@ -2,10 +2,13 @@
 
 Reference baseline (BASELINE.md / flashpca README.md:11): partial PCA
 k=20 of 500,000 individuals x 100,000 SNPs in < 6 h (21600 s) on a
-single node with 2 GB RAM.  This benchmark runs the same computation --
-full thick-restart Lanczos PCA, k=20, tol=1e-6 -- on synthetic
-structured genotypes generated on-device, against the packed 2-bit
-operator, and reports wall seconds.
+single node with 2 GB RAM.  This benchmark runs the same computation
+END TO END through the user entry point ``models.pca()`` (thick-restart
+block Lanczos + f32 subspace polish + trace/pve) on synthetic
+structured genotypes generated on-device, then validates the result
+with ``models.check()`` (the reference's --check accuracy contract,
+README.md:207) -- reporting the pca wall seconds as the metric and the
+check mse/rmse on stderr.
 
 vs_baseline = reference_seconds / our_seconds (higher is better).  If
 the full 500k x 100k does not fit on the device, the problem is scaled
@@ -160,8 +163,10 @@ def main():
             n, p = 20_000, 4_000  # CPU smoke size
     log(f"bench: platform={platform} N={n} p={p} k={k} tol={tol}")
 
+    from flashpca_tpu.models.check import check
+    from flashpca_tpu.models.pca import pca
     from flashpca_tpu.ops.operator import PackedOperator
-    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block, polish_subspace
 
     t0 = time.time()
     packed, mean, sd = generate_dataset(n, p)
@@ -171,37 +176,51 @@ def main():
     t0 = time.time()
     op = PackedOperator(packed, mean, sd, n, dtype=jnp.float32)
     del packed
-    # warm up compile (excluded from timing, like the reference's
-    # one-time process startup)
+    # Warm every compiled program the end-to-end run will hit (excluded
+    # from timing, like the reference's one-time process startup): the
+    # remote-compile tunnel in this environment has high-variance
+    # first-execution cost (8s..560s observed for identical work).
     x = jnp.ones((op.op_dim,), dtype=op.dtype)
-    jax.block_until_ready(op.gram_permuted(x))
-    log(f"bench: operator built + compiled in {time.time() - t0:.1f}s")
-
+    float(jnp.sum(op.gram_permuted(x)))                      # k=1 gram
     mv, ops_ = op.gram_pure()
-    # Warm up the solver's compiled cycle program: the remote-compile
-    # tunnel in this environment has high-variance first-execution cost
-    # (8s..560s observed for identical work); one throwaway cycle keeps
-    # that noise out of the measured solve.
-    t0 = time.time()
     eigsh_block(mv, op.op_dim, k, block=8, maxiter=1, tol=tol,
-                dtype=op.dtype, seed=1, operands=ops_)
-    log(f"bench: solver warmup cycle in {time.time() - t0:.1f}s")
+                dtype=op.dtype, seed=1, operands=ops_)       # cycle program
+    polish_subspace(mv, jnp.zeros((op.op_dim, k), op.dtype),
+                    iters=1, operands=ops_)                  # polish programs
+    float(jnp.sum(op._sumsq_fn(op.packed, op.mean, op.invsd,
+                               op._valid)))                  # trace (no cache)
+    float(jnp.sum(op.perform_op(
+        jnp.ones((n, k), op.dtype))))                        # check's k-gram
+    log(f"bench: operator built + programs warmed in {time.time() - t0:.1f}s")
 
+    # -- the measured end-to-end user path -------------------------------
     t0 = time.time()
-    res = eigsh_block(mv, op.op_dim, k, block=8,
-                      maxiter=500, tol=tol, dtype=op.dtype, seed=1,
-                      verbose=True, operands=ops_)
+    res = pca(op, k, tol=tol, maxiter=500, device_results=True)
+    float(jnp.sum(res.projection))   # force the device-side tail
     elapsed = time.time() - t0
     gb = op.n_snps * op.nbytes / 1e9
-    log(f"bench: PCA k={k} done in {elapsed:.1f}s; converged={res.converged} "
-        f"n_ops={res.n_ops} restarts={res.n_restarts}; "
-        f"effective decode {gb * res.n_ops / elapsed:.1f} GB/s "
-        f"(packed bytes x matvecs / s)")
-    log(f"bench: top eigenvalues/p: {np.round(res.eigenvalues / op.n_snps, 4)[:5]}")
+    log(f"bench: pca() k={k} end-to-end in {elapsed:.1f}s; "
+        f"converged={res.converged} n_ops={res.n_ops} "
+        f"restarts={res.n_restarts}; effective decode "
+        f"{gb * res.n_ops / elapsed:.1f} GB/s (packed bytes x matvecs / s)")
+    log(f"bench: top eigenvalues d=lam/p: {np.round(res.values, 4)[:5]}")
+    log(f"bench: pve: {np.round(res.pve, 5)[:5]} trace={res.trace:.1f}")
+
+    # -- accuracy contract: --check on the result ------------------------
+    t1 = time.time()
+    chk = check(op, res.vectors, res.values)
+    d_max = float(np.max(res.values))
+    rel_rmse = chk.rmse / d_max
+    log(f"bench: check in {time.time() - t1:.1f}s: mse={chk.mse:.3e} "
+        f"rmse={chk.rmse:.3e} rmse/d_max={rel_rmse:.3e} "
+        f"(reference contract README.md:207: mse < 1e-8 at d ~ O(1); "
+        f"scale-free form rmse/d_max < 1e-5 at f32)")
+    if rel_rmse > 1e-5:
+        log("bench: WARNING accuracy contract violated")
 
     ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
     result = {
-        "metric": f"pca_n{n}_p{p}_k{k}_wall_s",
+        "metric": f"pca_n{n}_p{p}_k{k}_end_to_end_wall_s",
         "value": round(elapsed, 2),
         "unit": "s",
         "vs_baseline": round(ref_scaled / elapsed, 2),

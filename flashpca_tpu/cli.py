@@ -117,13 +117,13 @@ def _block_size_from_memory(memory_mb, n, p, ndim, do_loadings, verbose):
     )
     remain = mem - mem_req
     if remain <= 0:
-        raise SystemExit(
+        raise ValueError(
             "The memory specified using --memory is not sufficient, try "
             f"increasing it to at least {(mem_req + n * 8) // 1048576} MB"
         )
     bs = int(remain // (n * 8))
     if bs < 1:
-        raise SystemExit(
+        raise ValueError(
             "The memory specified using --memory is not sufficient, "
             "try increasing it"
         )
@@ -240,11 +240,18 @@ def main(argv=None) -> int:
 
         block_size = args.blocksize
         if block_size is None and args.memory is not None:
-            block_size = _block_size_from_memory(
-                args.memory, ds.n_samples, ds.n_snps, args.ndim,
-                bool(args.outload), args.verbose)
+            try:
+                block_size = _block_size_from_memory(
+                    args.memory, ds.n_samples, ds.n_snps, args.ndim,
+                    bool(args.outload), args.verbose)
+            except ValueError as e:
+                # same error channel as every other CLI failure (the
+                # reference prints the message + "Use --help" hint)
+                return _die(str(e))
             block_size = min(block_size, ds.n_snps)
             print(timestamp() + f"blocksize: {block_size}")
+
+        stream = {"auto": "auto", "on": True, "off": False}[args.stream]
 
         fam_rownames = [f + TXT_SEP + i for f, i in zip(ds.fam_ids, ds.indiv_ids)]
         snp_rownames = [s + TXT_SEP + a for s, a in zip(ds.snp_ids, ds.ref_alleles)]
@@ -259,9 +266,7 @@ def main(argv=None) -> int:
                 block_size=block_size, do_loadings=bool(args.outload),
                 dtype=dtype, mesh=mesh, batch=args.batch,
                 verbose=args.verbose, operator_mode=args.opmode,
-                streaming={"auto": "auto", "on": True, "off": False}[
-                    args.stream],
-                memory_mb=args.memory,
+                streaming=stream, memory_mb=args.memory,
             )
             print(timestamp() + "PCA done")
             save_text(res.values.reshape(-1, 1), out["val"], precision=prec)
@@ -288,7 +293,8 @@ def main(argv=None) -> int:
                 stand_x=args.standx, stand_y=args.standy, divisor=args.div,
                 maxiter=args.maxiter, tol=args.tol, seed=args.seed,
                 block_size=block_size, dtype=dtype, mesh=mesh,
-                verbose=args.verbose,
+                verbose=args.verbose, streaming=stream,
+                memory_mb=args.memory,
             )
             print(timestamp() + "SCCA done")
             if not res.converged:
@@ -309,7 +315,8 @@ def main(argv=None) -> int:
             else:
                 res = run_ucca(ds, Y, stand_x=args.standx,
                                stand_y=args.standy, block_size=block_size,
-                               dtype=dtype, mesh=mesh)
+                               dtype=dtype, mesh=mesh, streaming=stream,
+                               memory_mb=args.memory)
             print(timestamp() + "UCCA done")
             save_text(res.result, out["ucca"],
                       colnames=["SNP", "R", "Fstat", "P"],
@@ -320,7 +327,8 @@ def main(argv=None) -> int:
             evec = read_text(out["vec"], firstcol=3, skip=1)
             res = run_check(ds, evec, eval_, stand=args.standx,
                             divisor=args.div, block_size=block_size,
-                            dtype=dtype, mesh=mesh)
+                            dtype=dtype, mesh=mesh, streaming=stream,
+                            memory_mb=args.memory)
             for j in range(len(res.err)):
                 print(timestamp() + f"eval({j+1}): {eval_[j]}, "
                       f"sum squared error: {res.err[j]}")
@@ -338,7 +346,7 @@ def main(argv=None) -> int:
             res = run_project(
                 ds, V, meansd=meansd, maf=maf, divisor=args.div,
                 stand=args.standx, block_size=block_size, dtype=dtype,
-                mesh=mesh,
+                mesh=mesh, streaming=stream, memory_mb=args.memory,
             )
             pccol = ["FID" + TXT_SEP + "IID"] + [
                 f"PC{i+1}" for i in range(res.projection.shape[1])]

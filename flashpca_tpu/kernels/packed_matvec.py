@@ -41,39 +41,40 @@ TILE_P = 512      # SNP rows per tile (measured best vs 256 on v5e)
 LANE = 128        # TPU lane width; byte-tile sizes are multiples of this
 
 
-def _decode_plane(packed_i32, s, a0, a1, a2, a3):
+def _decode_plane(packed_i32, s, b0, b1, b2):
     """(TILE_P, TILE_NB) int32-widened bytes -> standardized f32 for
-    2-bit plane s, via the per-SNP cubic through the 4 code values.
+    2-bit plane s, via a per-SNP cubic through the 4 code values.
 
     value(c) for c = 0,1,2,3 must be (2-m)*i, 0, (1-m)*i, (0-m)*i --
-    the reference's scaled_geno_lookup (data.cpp:316-320).  A cubic
-    a0 + t(a1 + t(a2 + t a3)) hits all four exactly and costs 3 FMAs
-    + 1 convert + 2 bit ops per genotype, vs ~10 VPU ops for the
-    shift/mask/select chain (the kernels are VPU-decode-bound).
-    Mosaic legalizes shifts on i32 vectors, not i8, hence the widen.
+    the reference's scaled_geno_lookup (data.cpp:316-320).  The cubic
+    is kept in FACTORED form (t-1)(b0 + t(b1 + t b2)): code 1 is the
+    missing genotype, and (t-1) == 0.0 is exact in f32, so missing
+    decodes to EXACTLY zero regardless of coefficient rounding (the
+    unfactored a0+t(a1+t(a2+t a3)) leaves missing an O(eps_f32 * i)
+    residue when the coefficients are computed without float64, which
+    is the case on real TPUs -- ADVICE r1).  Costs 4 VPU FMAs/muls +
+    1 convert + 2 bit ops per genotype, vs ~10 for a shift/mask/select
+    chain (the kernels are VPU-decode-bound).  Mosaic legalizes shifts
+    on i32 vectors, not i8, hence the widen.
     """
     t = ((packed_i32 >> (2 * s)) & 3).astype(jnp.float32)
-    return a0 + t * (a1 + t * (a2 + t * a3))
+    return (t - 1.0) * (b0 + t * (b1 + t * b2))
 
 
 def _coeff_rows(mean, invsd):
-    """Per-SNP cubic coefficients (4 x (1, p_pad) f32) from mean/inv_sd.
+    """Per-SNP factored-cubic coefficients (3 x (1, p_pad) f32).
 
-    Interpolates y(0)=(2-m)i, y(1)=0, y(2)=(1-m)i, y(3)=-m*i:
-    a1 = (-11 y0 - 9 y2 + 2 y3)/6, a2 = (2 y0 + 4 y2 - y3)/2,
-    a3 = (-y0 - 3 y2 + y3)/6 (standard 4-point Vandermonde solve).
-    Computed in float64 so the f32 coefficients are correctly rounded.
+    (t-1)(b0 + b1 t + b2 t^2) interpolates y(0)=(2-m)i, y(1)=0,
+    y(2)=(1-m)i, y(3)=-m*i with b0 = (m-2)i, b1 = (19-12m)i/6,
+    b2 = (3m-5)i/6 (3-point Vandermonde solve of the quadratic factor;
+    the root at t=1 is structural, not numerical).
     """
-    m = mean.astype(jnp.float64)
-    i = invsd.astype(jnp.float64)
-    y0 = (2.0 - m) * i
-    y2 = (1.0 - m) * i
-    y3 = -m * i
-    a0 = y0
-    a1 = (-11.0 * y0 - 9.0 * y2 + 2.0 * y3) / 6.0
-    a2 = (2.0 * y0 + 4.0 * y2 - y3) / 2.0
-    a3 = (-y0 - 3.0 * y2 + y3) / 6.0
-    return tuple(a.astype(jnp.float32)[None, :] for a in (a0, a1, a2, a3))
+    m = mean.astype(jnp.float32)
+    i = invsd.astype(jnp.float32)
+    b0 = (m - 2.0) * i
+    b1 = (19.0 - 12.0 * m) * i * (1.0 / 6.0)
+    b2 = (3.0 * m - 5.0) * i * (1.0 / 6.0)
+    return tuple(a[None, :] for a in (b0, b1, b2))
 
 
 def _cols(ref):
@@ -81,7 +82,7 @@ def _cols(ref):
     return ref[0, :][:, None]
 
 
-def _crossprod_kernel(packed_ref, a0_ref, a1_ref, a2_ref, a3_ref,
+def _crossprod_kernel(packed_ref, b0_ref, b1_ref, b2_ref,
                       xt_ref, zt_ref):
     """zt[k8, TILE_P] += sum_s xt[s] @ W_s^T, accumulated over byte tiles."""
     j = pl.program_id(1)
@@ -91,11 +92,10 @@ def _crossprod_kernel(packed_ref, a0_ref, a1_ref, a2_ref, a3_ref,
         zt_ref[:] = jnp.zeros_like(zt_ref)
 
     packed = packed_ref[:].astype(jnp.int32)     # (TILE_P, TILE_NB)
-    a0, a1, a2, a3 = (_cols(a0_ref), _cols(a1_ref),
-                      _cols(a2_ref), _cols(a3_ref))
+    b0, b1, b2 = _cols(b0_ref), _cols(b1_ref), _cols(b2_ref)
     acc = zt_ref[:]
     for s in range(4):
-        w = _decode_plane(packed, s, a0, a1, a2, a3)      # (TILE_P, TILE_NB)
+        w = _decode_plane(packed, s, b0, b1, b2)          # (TILE_P, TILE_NB)
         x_s = xt_ref[s]                                   # (k8, TILE_NB)
         acc = acc + jax.lax.dot_general(
             x_s, w, (((1,), (1,)), ((), ())),
@@ -105,7 +105,7 @@ def _crossprod_kernel(packed_ref, a0_ref, a1_ref, a2_ref, a3_ref,
     zt_ref[:] = acc
 
 
-def _matvec_kernel(packed_ref, a0_ref, a1_ref, a2_ref, a3_ref,
+def _matvec_kernel(packed_ref, b0_ref, b1_ref, b2_ref,
                    vt_ref, yt_ref):
     """yt[s, k8, TILE_NB] += vt @ W_s, accumulated over SNP tiles."""
     i = pl.program_id(1)
@@ -115,11 +115,10 @@ def _matvec_kernel(packed_ref, a0_ref, a1_ref, a2_ref, a3_ref,
         yt_ref[:] = jnp.zeros_like(yt_ref)
 
     packed = packed_ref[:].astype(jnp.int32)     # (TILE_P, TILE_NB)
-    a0, a1, a2, a3 = (_cols(a0_ref), _cols(a1_ref),
-                      _cols(a2_ref), _cols(a3_ref))
+    b0, b1, b2 = _cols(b0_ref), _cols(b1_ref), _cols(b2_ref)
     vt = vt_ref[:]                               # (k8, TILE_P)
     for s in range(4):
-        w = _decode_plane(packed, s, a0, a1, a2, a3)      # (TILE_P, TILE_NB)
+        w = _decode_plane(packed, s, b0, b1, b2)          # (TILE_P, TILE_NB)
         yt_ref[s] += jax.lax.dot_general(
             vt, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -154,7 +153,7 @@ def _from_planes(yt, k):
 def crossprod_planes(packed, coeffs, xt, *, interpret=False):
     """zt = [x^T W^T]: (4, k8, nbytes_pad) -> (k8, p_pad).
 
-    packed: (p_pad, nbytes_pad) u8; coeffs: 4 x (1, p_pad) f32 rows.
+    packed: (p_pad, nbytes_pad) u8; coeffs: 3 x (1, p_pad) f32 rows.
     """
     p_pad, nbp = packed.shape
     k8 = xt.shape[1]
@@ -168,7 +167,7 @@ def crossprod_planes(packed, coeffs, xt, *, interpret=False):
         in_specs=[
             pl.BlockSpec((TILE_P, tile_nb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            row_spec, row_spec, row_spec, row_spec,
+            row_spec, row_spec, row_spec,
             pl.BlockSpec((4, k8, tile_nb), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -193,7 +192,7 @@ def matvec_planes(packed, coeffs, vt, *, interpret=False):
         in_specs=[
             pl.BlockSpec((TILE_P, tile_nb), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
-            row_spec, row_spec, row_spec, row_spec,
+            row_spec, row_spec, row_spec,
             pl.BlockSpec((k8, TILE_P), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
         ],

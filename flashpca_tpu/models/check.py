@@ -3,6 +3,13 @@
 Equivalent of ``RandomPCA::check`` (reference: randompca.cpp:627-743):
 per-component squared error of ``(X X^T U)/div - U diag(d)``, plus
 ``mse = sum(err)/(N*K)`` and ``rmse = sqrt(mse)``.
+
+The error reduction runs ON DEVICE and fetches only the (K,) per-
+component sums -- never the (N, K) product matrix (device->host links
+can be pathologically slow; see CLAUDE.md).  ``data`` may also be a
+prebuilt operator and ``evec`` a device array (e.g. the output of
+``pca(..., device_results=True)``), so a solve+check pipeline never
+downloads anything big.
 """
 
 from __future__ import annotations
@@ -15,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
-from ..ops.operator import PackedOperator, DenseOperator
+from ..ops.operator import (DenseOperator, PackedOperator,
+                            StreamingPackedOperator, build_packed_operator)
 from ..ops.standardize import standardize
 
 
@@ -32,56 +40,80 @@ def _div(divisor: str, n: int, p: int) -> float:
 
 def check(
     data,
-    evec: np.ndarray,
-    eval_: np.ndarray,
+    evec,
+    eval_,
     *,
     stand: str = "binom2",
     divisor: str = "p",
     block_size: int | None = None,
     dtype=None,
     mesh=None,
+    streaming: bool | str = "auto",
+    memory_mb: int | None = None,
 ) -> CheckResult:
     """Check eigenvectors/eigenvalues against the data.
 
-    ``data``: PLINK root / PlinkDataset or numeric (N, p) matrix.
-    ``evec``: (N, K) eigenvectors U.  ``eval_``: (K,) eigenvalues d
-    (already divided by div, as written in eigenvalues.txt).
+    ``data``: PLINK root / PlinkDataset, numeric (N, p) matrix, or a
+    prebuilt Packed/Streaming/Dense operator.
+    ``evec``: (N, K) eigenvectors U (numpy or device array).
+    ``eval_``: (K,) eigenvalues d (already divided by div, as written
+    in eigenvalues.txt).
+    ``streaming`` bounds device memory (reference's online check,
+    randompca.cpp:663-703); 'auto' streams when data exceeds HBM.
     """
-    evec = np.asarray(evec, dtype=np.float64)
-    eval_ = np.asarray(eval_, dtype=np.float64).reshape(-1)
-    K = min(evec.shape[1], eval_.shape[0])
+    eval_np = np.asarray(eval_, dtype=np.float64).reshape(-1)
 
     if isinstance(data, str):
         data = PlinkDataset.open(data)
 
-    if isinstance(data, PlinkDataset):
+    op = None
+    if isinstance(data, (PackedOperator, StreamingPackedOperator,
+                         DenseOperator)):
+        op = data
+    elif isinstance(data, PlinkDataset):
         if evec.shape[0] != data.n_samples:
             raise ValueError(
                 "Eigenvector dimension doesn't match data dimension "
                 f"(evec.rows = {evec.shape[0]}; N = {data.n_samples})"
             )
-        if eval_.shape[0] != evec.shape[1]:
+        if eval_np.shape[0] != evec.shape[1]:
             raise ValueError(
                 "Eigenvector dimension doesn't match the number of eigenvalues"
             )
         mean, sd = data.snp_stats(stand)
-        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        op = PackedOperator(
-            data.read_packed(), mean, sd, data.n_samples,
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        op = build_packed_operator(
+            data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
-        n, p = data.n_samples, data.n_snps
-        XXU = np.asarray(op.perform_op(jnp.asarray(evec, dtype=dtype)),
-                         dtype=np.float64)
+
+    if op is not None:
+        n, p = op.n_samples, op.n_snps
+        K = min(evec.shape[1], eval_np.shape[0])
+        U = (evec if isinstance(evec, jax.Array)
+             else jnp.asarray(np.asarray(evec), op.dtype))
+        if U.shape[0] != n:
+            raise ValueError(
+                "Eigenvector dimension doesn't match data dimension "
+                f"(evec.rows = {U.shape[0]}; N = {n})"
+            )
+        XXU = op.perform_op(U)
+        div = _div(divisor, n, p)
+        D = jnp.asarray(eval_np[:K], XXU.dtype)
+        R = XXU[:, :K] * jnp.asarray(1.0 / div, XXU.dtype) - U[:, :K] * D[None, :]
+        err = np.asarray(jnp.sum(R * R, axis=0), dtype=np.float64)
     else:
         X = np.asarray(data, dtype=np.float64)
+        evec_np = np.asarray(evec, dtype=np.float64)
+        K = min(evec_np.shape[1], eval_np.shape[0])
         X_std, _, _ = standardize(X, stand)
         n, p = X.shape
-        XXU = X_std @ (X_std.T @ evec)
+        XXU = X_std @ (X_std.T @ evec_np)
+        div = _div(divisor, n, p)
+        XXU = XXU / div
+        UD2 = evec_np[:, :K] * eval_np[None, :K]
+        err = ((XXU[:, :K] - UD2) ** 2).sum(axis=0)
 
-    div = _div(divisor, n, p)
-    XXU = XXU / div
-    UD2 = evec[:, :K] * eval_[None, :K]
-    err = ((XXU[:, :K] - UD2) ** 2).sum(axis=0)
     mse = float(err.sum() / (n * K))
     return CheckResult(err=err, mse=mse, rmse=float(np.sqrt(mse)))

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
 from ..ops.operator import (DenseOperator, PackedOperator,
-                            StreamingPackedOperator, TallPackedOperator)
+                            StreamingPackedOperator, TallPackedOperator,
+                            build_packed_operator)
 from ..ops.standardize import standardize
 from ..solvers.block_lanczos import eigsh_block, polish_subspace
 from ..solvers.lanczos import eigsh
@@ -96,17 +97,41 @@ def pca(
     operator_mode: str = "auto",
     streaming: bool | str = "auto",
     memory_mb: int | None = None,
+    device_results: bool = False,
 ) -> PCAResult:
     """Compute the top ``ndim`` principal components.
 
     ``data`` may be a PLINK root path / :class:`PlinkDataset` (streaming
-    packed path, stand must be binom/binom2) or a numeric (N, p) matrix
-    (batch path, any standardization; NaN = missing, mean-imputed).
+    packed path, stand must be binom/binom2), a numeric (N, p) matrix
+    (batch path, any standardization; NaN = missing, mean-imputed), or
+    a prebuilt operator (Packed/Streaming/Tall/Dense -- e.g. device-
+    generated data that never had a PLINK fileset).
+
+    ``device_results=True`` keeps the big (N x k) outputs (vectors,
+    projection, loadings) as device arrays instead of fetching them to
+    host numpy -- essential when the device link is slow and the caller
+    consumes them on device (e.g. a follow-up ``check``).
     """
     dtype = dtype or _default_dtype()
 
     if isinstance(data, str):
         data = PlinkDataset.open(data)
+
+    if isinstance(data, TallPackedOperator):
+        _check_ndim(ndim, data.n_samples, data.n_snps)
+        return _pca_tall(
+            data, ndim, divisor, maxiter, tol, seed, do_loadings,
+            data.dtype, ncv, data.center, data.scale,
+        )
+    if isinstance(data, (PackedOperator, StreamingPackedOperator,
+                         DenseOperator)):
+        _check_ndim(ndim, data.n_samples, data.n_snps)
+        return _pca_operator(
+            data, ndim, divisor, maxiter, tol, seed, do_loadings,
+            data.dtype, ncv, data.center, data.scale,
+            fused=not isinstance(data, StreamingPackedOperator),
+            device_results=device_results,
+        )
 
     if isinstance(data, PlinkDataset):
         if stand not in ("binom", "binom2"):
@@ -130,9 +155,14 @@ def pca(
         tall = (operator_mode == "tall"
                 or (operator_mode == "auto" and n > 2 * p))
         if tall:
+            # tall sharding splits the SAMPLE (byte) axis; reuse whatever
+            # axis name the caller's 1-D mesh carries (CLI meshes are
+            # built as ("snps",) -- the name is just a label here)
             op = TallPackedOperator(
                 data.read_packed(), mean, sd, n,
                 block_size=block_size, dtype=dtype, mesh=mesh,
+                axis_name=(mesh.axis_names[0] if mesh is not None
+                           else "samples"),
             )
             return _pca_tall(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
@@ -141,29 +171,14 @@ def pca(
         # streaming: host(/disk)-resident packed data, bounded device
         # memory -- the reference's core capability (README.md:11-12).
         # auto-on when the packed matrix won't fit on the device.
-        stream = streaming
-        if stream == "auto":
-            packed_bytes = data.n_snps * data.nbytes_per_snp
-            limit = None
-            if mesh is None and jax.default_backend() == "tpu":
-                ms = jax.devices()[0].memory_stats()
-                limit = (ms or {}).get("bytes_limit", 16 << 30)
-            stream = bool(limit and packed_bytes > 0.7 * limit)
-        if stream:
-            op = StreamingPackedOperator(
-                data, mean, sd, n, memory_mb=memory_mb, dtype=dtype,
-            )
-            return _pca_operator(
-                op, ndim, divisor, maxiter, tol, seed, do_loadings,
-                dtype, ncv, mean, sd, fused=False,
-            )
-        op = PackedOperator(
-            data.read_packed(), mean, sd, n,
+        op = build_packed_operator(
+            data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
         return _pca_operator(
             op, ndim, divisor, maxiter, tol, seed, do_loadings,
             dtype, ncv, mean, sd,
+            fused=not isinstance(op, StreamingPackedOperator),
         )
 
     X = np.asarray(data, dtype=np.float64)
@@ -207,9 +222,9 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     )
     if not res.converged:
         raise RuntimeError(
-            "eigen-decomposition was not successful: "
-            f"{int(np.sum(res.residuals <= tol))} of {ndim} eigenpairs "
-            f"converged in {res.n_restarts} restarts"
+            "eigen-decomposition was not successful: max scaled residual "
+            f"{float(np.max(res.residuals)):.3e} after {res.n_restarts} "
+            f"restarts (ndim={ndim}, tol={tol})"
         )
 
     lam = res.eigenvalues
@@ -255,7 +270,7 @@ def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
                   dtype, ncv, mean, sd, solver="block",
-                  fused=True) -> PCAResult:
+                  fused=True, device_results=False) -> PCAResult:
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
@@ -283,9 +298,9 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         )
     if not res.converged:
         raise RuntimeError(
-            "eigen-decomposition was not successful: "
-            f"{int(np.sum(res.residuals <= tol))} of {ndim} eigenpairs "
-            f"converged in {res.n_restarts} restarts"
+            "eigen-decomposition was not successful: max scaled residual "
+            f"{float(np.max(res.residuals)):.3e} after {res.n_restarts} "
+            f"restarts (ndim={ndim}, tol={tol})"
         )
 
     lam = res.eigenvalues
@@ -295,18 +310,26 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         # sweeps + host-f64 Rayleigh-Ritz recover near-floor accuracy
         lam, U_dev = polish_subspace(mv, U_dev, iters=2, operands=ops_,
                                      fused=fused)
-    U = np.asarray(op.unpermute(U_dev), dtype=np.float64)
     d = lam / div
-
-    loadings = None
-    if do_loadings:
-        Vt = np.asarray(op.crossprod(jnp.asarray(U, dtype=dtype)),
-                        dtype=np.float64)
-        loadings = Vt * (1.0 / np.sqrt(d) / np.sqrt(div))[None, :]
-
     trace = op.trace / div
     pve = d / trace
-    Px = U * np.sqrt(d)[None, :]
+
+    if device_results:
+        U = op.unpermute(U_dev)
+        Px = U * jnp.asarray(np.sqrt(d), U.dtype)[None, :]
+        loadings = None
+        if do_loadings:
+            Vt = op.crossprod(U)
+            loadings = Vt * jnp.asarray(
+                1.0 / np.sqrt(d) / np.sqrt(div), Vt.dtype)[None, :]
+    else:
+        U = np.asarray(op.unpermute(U_dev), dtype=np.float64)
+        loadings = None
+        if do_loadings:
+            Vt = np.asarray(op.crossprod(jnp.asarray(U, dtype=dtype)),
+                            dtype=np.float64)
+            loadings = Vt * (1.0 / np.sqrt(d) / np.sqrt(div))[None, :]
+        Px = U * np.sqrt(d)[None, :]
 
     return PCAResult(
         values=d,

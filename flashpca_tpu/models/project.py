@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
 from ..io.text import maf2meansd
-from ..ops.operator import PackedOperator
+from ..ops.operator import build_packed_operator
 from ..ops.standardize import VAR_TOL
 
 
@@ -58,6 +58,8 @@ def project(
     ref_alleles: list | None = None,
     snp_ids: list | None = None,
     check_geno: bool = True,
+    streaming: bool | str = "auto",
+    memory_mb: int | None = None,
 ) -> ProjectResult:
     """Project samples in ``data`` onto ``loadings`` (p x k).
 
@@ -106,8 +108,9 @@ def project(
             mean, sd = data.snp_stats(stand)
 
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        op = PackedOperator(
-            data.read_packed(), mean, sd, data.n_samples,
+        # streaming = the reference's online projection (randompca.cpp:790-820)
+        op = build_packed_operator(
+            data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
         div = _resolve_div(divisor, data.n_samples, V.shape[0])

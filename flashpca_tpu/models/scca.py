@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..io.plink import PlinkDataset
-from ..ops.operator import DenseOperator, PackedOperator
+from ..ops.operator import (DenseOperator, PackedOperator,
+                            StreamingPackedOperator, build_packed_operator)
 from ..ops.standardize import standardize
 from ..utils.logging import log
 
@@ -190,20 +191,30 @@ def scca(
     mesh=None,
     verbose: bool = False,
     auto_init: bool = False,
-    engine: str = "device",
+    engine: str = "auto",
+    streaming: bool | str = "auto",
+    memory_mb: int | None = None,
 ) -> SCCAResult:
     """SCCA of ``X`` (PLINK root/dataset or (N, p) matrix) against the
     (N, k) phenotype matrix ``Y``.
 
     ``auto_init=True`` reproduces the R package's initialization: a
     first SCCA run at lambda ~= 0 (an approximate SVD of X^T Y) whose V
-    seeds the penalized run (flashpcaR/R/scca.R:224-246)."""
+    seeds the penalized run (flashpcaR/R/scca.R:224-246).
+
+    ``engine='device'`` runs each dimension's whole penalized power
+    iteration as one jitted while_loop; ``'host'`` drives it from the
+    host one product at a time (required for the streaming operator,
+    whose products stage host blocks -- the analog of the reference's
+    disk-streaming SCCA, randompca.cpp:387-528).  ``'auto'`` picks
+    device for resident operators, host for streaming."""
     if auto_init and V0 is None:
         s0 = scca(
             X, Y, 1e-12, 1e-12, ndim=ndim, stand_x=stand_x,
             stand_y=stand_y, divisor=divisor, maxiter=maxiter, tol=tol,
             seed=seed, block_size=block_size, dtype=dtype, mesh=mesh,
-            verbose=verbose, auto_init=False,
+            verbose=verbose, auto_init=False, engine=engine,
+            streaming=streaming, memory_mb=memory_mb,
         )
         V0 = s0.V
     Y = np.asarray(Y, dtype=np.float64)
@@ -225,8 +236,8 @@ def scca(
         if X.n_samples != n:
             raise ValueError("Y rows must equal the number of samples")
         mean, sd = X.snp_stats(stand_x)
-        op = PackedOperator(
-            X.read_packed(), mean, sd, n,
+        op = build_packed_operator(
+            X, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
     else:
@@ -263,6 +274,19 @@ def scca(
         Px = xv(U)
         Py = Y_std @ V
         return SCCAResult(U=U, V=V, d=d, Px=Px, Py=Py, converged=conv, V0=V0)
+
+    if engine == "auto":
+        engine = ("host" if isinstance(op, StreamingPackedOperator)
+                  else "device")
+    elif engine == "device" and isinstance(op, StreamingPackedOperator):
+        raise ValueError(
+            "engine='device' needs a resident operator (the streaming "
+            "operator's products stage host blocks and cannot be traced "
+            "into the device iteration loop); use engine='host' or "
+            "engine='auto'"
+        )
+    if engine not in ("device", "host"):
+        raise ValueError(f"unknown engine: {engine}")
 
     if engine == "device":
         # whole per-dimension iteration on device: one dispatch + a few

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
-from ..ops.operator import PackedOperator
+from ..ops.operator import build_packed_operator
 from ..ops.standardize import standardize
 
 
@@ -75,9 +75,15 @@ def ucca(
     block_size: int | None = None,
     dtype=None,
     mesh=None,
+    streaming: bool | str = "auto",
+    memory_mb: int | None = None,
 ) -> UccaResult:
     """Per-SNP CCA of ``data`` (PLINK root/dataset or (N, p) matrix)
-    against the (N, k) phenotype matrix Y."""
+    against the (N, k) phenotype matrix Y.
+
+    ``streaming`` bounds device memory via the host-streaming operator
+    (the analog of the reference's online UCCA, randompca.cpp:578-625);
+    'auto' streams when the packed data exceeds device HBM."""
     Y = np.asarray(Y, dtype=np.float64)
     if Y.ndim == 1:
         Y = Y[:, None]
@@ -96,8 +102,8 @@ def ucca(
             raise ValueError("Y rows must equal the number of samples")
         mean, sd = data.snp_stats(stand_x)
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        op = PackedOperator(
-            data.read_packed(), mean, sd, n,
+        op = build_packed_operator(
+            data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
         Yc = Y_std - Y_std.mean(axis=0, keepdims=True)

@@ -280,6 +280,10 @@ class PackedOperator(LinearOperatorBase):
         self.mesh = mesh
         self.axis_name = axis_name
         self.nshards = mesh.shape[axis_name] if mesh is not None else 1
+        # exact f64 standardization stats (drivers report these as
+        # center/scale, the analog of X_meansd)
+        self.center = np.asarray(mean, dtype=np.float64)
+        self.scale = np.asarray(sd, dtype=np.float64)
 
         plan = self.plan_layout(
             p, nbytes, block_size=block_size, dtype=dtype,
@@ -333,6 +337,7 @@ class PackedOperator(LinearOperatorBase):
         self._valid = valid_mask_permuted(n_samples, nbytes_pad, dtype)
         self._build_fns()
         self._sumsq = None
+        self._trace = None
         self.nops = 0
 
     # -- jit/shard_map plumbing --------------------------------------------
@@ -505,8 +510,17 @@ class PackedOperator(LinearOperatorBase):
 
     @property
     def trace(self) -> float:
-        """trace(X X^T) = sum of squares of X (svdwide.cpp:44-45)."""
-        return float(self.snp_sumsq.sum())
+        """trace(X X^T) = sum of squares of X (svdwide.cpp:44-45).
+        Fetches ONE scalar (not the (p,) vector -- device->host links
+        can be very slow); pad rows have invsd == 0 so summing over
+        p_pad is exact."""
+        if self._sumsq is not None:
+            return float(self._sumsq.sum())
+        if self._trace is None:
+            sq = self._sumsq_fn(self.packed, self.mean, self.invsd,
+                                self._valid)
+            self._trace = float(jnp.sum(sq))
+        return self._trace
 
     def stats(self) -> dict:
         """Observability counters (the analog of the reference's nops /
@@ -560,6 +574,8 @@ class TallPackedOperator:
         self.mesh = mesh
         self.axis_name = axis_name
         self.nshards = mesh.shape[axis_name] if mesh is not None else 1
+        self.center = np.asarray(mean, dtype=np.float64)
+        self.scale = np.asarray(sd, dtype=np.float64)
 
         if use_pallas is None:
             use_pallas = (
@@ -636,6 +652,7 @@ class TallPackedOperator:
 
         self._build_fns()
         self._sumsq = None
+        self._trace = None
         self.nops = 0
 
     def _raw_fns(self):
@@ -764,8 +781,15 @@ class TallPackedOperator:
 
     @property
     def trace(self) -> float:
-        """trace(X^T X) = trace(X X^T) = sum of squares of X."""
-        return float(self.snp_sumsq.sum())
+        """trace(X^T X) = trace(X X^T) = sum of squares of X
+        (scalar fetch; see PackedOperator.trace)."""
+        if self._sumsq is not None:
+            return float(self._sumsq.sum())
+        if self._trace is None:
+            sq = self._sumsq_fn(self.packed, self.mean, self.invsd,
+                                self.valid2d)
+            self._trace = float(jnp.sum(sq))
+        return self._trace
 
 
 class StreamingPackedOperator(LinearOperatorBase):
@@ -808,6 +832,8 @@ class StreamingPackedOperator(LinearOperatorBase):
         self.nbytes = int(nbytes)
         self.dtype = dtype
         self._host_packed = packed
+        self.center = np.asarray(mean, dtype=np.float64)
+        self.scale = np.asarray(sd, dtype=np.float64)
 
         use_pallas = PackedOperator.resolve_use_pallas(use_pallas, dtype)
         self.use_pallas = use_pallas
@@ -840,6 +866,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         self._valid = valid_mask_permuted(n_samples, nbytes_pad, dtype)
         self._build_fns()
         self._sumsq = None
+        self._trace = None
         self.nops = 0
 
     def _raw(self):
@@ -961,7 +988,68 @@ class StreamingPackedOperator(LinearOperatorBase):
 
     @property
     def trace(self) -> float:
-        return float(self.snp_sumsq.sum())
+        """Per-block scalar sums (pad rows are inert), one scalar
+        fetch per block."""
+        if self._sumsq is not None:
+            return float(self._sumsq.sum())
+        if self._trace is None:
+            tot = 0.0
+            for pb, mb, ib, _, _ in self._blocks():
+                tot += float(jnp.sum(
+                    self._sumsq_blk(pb, mb, ib, self._valid)))
+            self._trace = tot
+        return self._trace
+
+
+def resolve_streaming(streaming, ds, mesh) -> bool:
+    """Resolve the streaming tri-state ('auto'/True/False) shared by all
+    analysis modes: auto turns streaming on when the packed data would
+    not fit the device's HBM (single real-TPU device only -- a mesh
+    keeps the data sharded and resident).  The reference streams every
+    mode from disk (randompca.cpp:387-528 SCCA, :578-625 UCCA, :663-703
+    check, :790-820 project); here the host->HBM boundary replaces
+    disk->RAM."""
+    if streaming != "auto":
+        return bool(streaming)
+    if mesh is not None or jax.default_backend() != "tpu":
+        return False
+    ms = jax.devices()[0].memory_stats()
+    limit = (ms or {}).get("bytes_limit", 16 << 30)
+    packed_bytes = ds.n_snps * ds.nbytes_per_snp
+    return bool(limit and packed_bytes > 0.7 * limit)
+
+
+def build_packed_operator(
+    ds,
+    mean,
+    sd,
+    *,
+    streaming="auto",
+    memory_mb: int | None = None,
+    block_size: int | None = None,
+    dtype=jnp.float32,
+    mesh: Mesh | None = None,
+):
+    """Build the right packed operator for an analysis mode: HBM-resident
+    (optionally mesh-sharded) or host-streaming with bounded device
+    memory.  ``ds`` is an opened PlinkDataset."""
+    stream = resolve_streaming(streaming, ds, mesh)
+    if stream:
+        if mesh is not None:
+            # silent single-device fallback would drop the user's
+            # sharding request (ADVICE r1)
+            raise ValueError(
+                "streaming mode is single-device (the streaming operator "
+                "has no mesh support); drop --shards/mesh or use "
+                "--stream off"
+            )
+        return StreamingPackedOperator(
+            ds, mean, sd, ds.n_samples, memory_mb=memory_mb, dtype=dtype,
+        )
+    return PackedOperator(
+        ds.read_packed(), mean, sd, ds.n_samples,
+        block_size=block_size, dtype=dtype, mesh=mesh,
+    )
 
 
 class DenseOperator(LinearOperatorBase):
@@ -969,10 +1057,15 @@ class DenseOperator(LinearOperatorBase):
     the analog of ``SVDWide`` (svdwide.h:11-31), used for the
     numeric-matrix API path and as a test oracle."""
 
-    def __init__(self, X_std: np.ndarray, *, dtype=jnp.float32):
+    def __init__(self, X_std: np.ndarray, *, dtype=jnp.float32,
+                 center=None, scale=None):
         X_std = np.asarray(X_std)
         self.n_samples, self.n_snps = X_std.shape
         self.dtype = dtype
+        self.center = (np.zeros(self.n_snps) if center is None
+                       else np.asarray(center, dtype=np.float64))
+        self.scale = (np.ones(self.n_snps) if scale is None
+                      else np.asarray(scale, dtype=np.float64))
         self.X = jnp.asarray(X_std, dtype=dtype)
         self._gram_raw = lambda X, x: X @ (X.T @ x)
         self._gram_fn = jax.jit(self._gram_raw)

@@ -322,17 +322,42 @@ def eigsh_block(
     solver when the problem is too small for blocking.
     """
     b = int(block)
-    if ncv is None:
-        # Block Krylov spaces need more room than scalar Lanczos'
-        # 2*nev+1 to converge in few data passes; ~4*nev + 2 panels
-        # measured best on structured genotype spectra (see tests).
-        ncv = b * (-(-(4 * nev) // b)) + 2 * b
-        ncv = min(ncv, b * ((n - b) // b))
-    ncv = b * (ncv // b) if ncv % b else ncv
+    ncv_user = ncv
+
+    def _ncv_for(bb):
+        if ncv_user is not None:
+            cc = ncv_user
+        else:
+            # Block Krylov spaces need more room than scalar Lanczos'
+            # 2*nev+1 to converge in few data passes; ~4*nev + 2 panels
+            # measured best on structured genotype spectra (see tests).
+            cc = bb * (-(-(4 * nev) // bb)) + 2 * bb
+            cc = min(cc, bb * ((n - bb) // bb))
+        return bb * (cc // bb) if cc % bb else cc
+
+    ncv = _ncv_for(b)
     if ncv + b > n or nev + b > ncv or b < 2:
-        return eigsh(lambda x, *ops: matvec(x[:, None], *ops)[:, 0],
-                     n, nev, maxiter=maxiter, tol=tol, dtype=dtype,
-                     seed=seed, v0=v0, operands=operands)
+        if fused:
+            return eigsh(lambda x, *ops: matvec(x[:, None], *ops)[:, 0],
+                         n, nev, maxiter=maxiter, tol=tol, dtype=dtype,
+                         seed=seed, v0=v0, operands=operands)
+        # The scalar solver jits its whole expansion cycle -- tracing a
+        # NON-traceable streaming matvec there would embed its
+        # host-staged blocks as jit constants (ADVICE r1).  Shrink the
+        # panel until the host-driven block expansion fits instead.
+        bb = b // 2
+        while bb >= 2:
+            cc = _ncv_for(bb)
+            if cc + bb <= n and nev + bb <= cc:
+                b, ncv = bb, cc
+                break
+            bb //= 2
+        else:
+            raise ValueError(
+                f"problem too small for the host-driven block solver "
+                f"(n={n}, nev={nev}, ncv={ncv_user}); use a resident "
+                "operator (fused matvec) instead"
+            )
 
     eps = float(np.finfo(np.dtype(dtype).name).eps)
     eps23 = eps ** (2.0 / 3.0)

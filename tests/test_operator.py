@@ -171,3 +171,32 @@ def test_streaming_pca_matches_resident(small_plink):
     for j in range(3):
         c = abs(np.dot(r_str.vectors[:, j], r_res.vectors[:, j]))
         assert c > 1 - 1e-8
+
+
+def test_streaming_with_mesh_raises(small_plink):
+    from jax.sharding import Mesh
+    from flashpca_tpu.models.pca import pca
+
+    root, _ = small_plink
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("snps",))
+    with pytest.raises(ValueError, match="streaming"):
+        pca(root, 3, streaming=True, mesh=mesh)
+
+
+def test_streaming_small_problem_shrinks_panel(tmp_path):
+    """A streaming (fused=False) solve on a problem too small for the
+    default panel must shrink the panel instead of falling back to the
+    jitted scalar solver (which would trace the non-traceable streaming
+    matvec and embed its host blocks as constants -- ADVICE r1)."""
+    from flashpca_tpu.io.plink import write_bed
+    from flashpca_tpu.models.pca import pca
+
+    rng = np.random.default_rng(9)
+    n, p = 21, 30  # n small enough that block=8 is infeasible
+    geno = rng.binomial(
+        2, rng.uniform(0.2, 0.5, p)[None, :], size=(n, p)).astype(np.float64)
+    root = str(tmp_path / "tiny")
+    write_bed(root, geno)
+    r_str = pca(root, 3, tol=1e-9, streaming=True, memory_mb=1)
+    r_res = pca(root, 3, tol=1e-9, streaming=False)
+    np.testing.assert_allclose(r_str.values, r_res.values, rtol=1e-8)

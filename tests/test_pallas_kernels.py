@@ -83,12 +83,33 @@ def test_packed_operator_pallas_path(small_plink):
     x = rng.standard_normal((ds.n_samples, 3))
     np.testing.assert_allclose(
         np.asarray(op_pl.perform_op(x)), np.asarray(op_ref.perform_op(x)),
-        rtol=1e-4, atol=1e-4)
+        rtol=2e-4, atol=4e-4)
     np.testing.assert_allclose(
         np.asarray(op_pl.crossprod(x)), np.asarray(op_ref.crossprod(x)),
-        rtol=1e-4, atol=1e-4)
+        rtol=2e-4, atol=4e-4)
     v = rng.standard_normal((ds.n_snps, 2))
     np.testing.assert_allclose(
         np.asarray(op_pl.prod(v)), np.asarray(op_ref.prod(v)),
-        rtol=1e-4, atol=1e-4)
+        rtol=2e-4, atol=4e-4)
     np.testing.assert_allclose(op_pl.trace, op_ref.trace, rtol=1e-5)
+
+
+def test_missing_decodes_exactly_zero(fixture):
+    """Code 1 (missing) must contribute EXACTLY zero, not f32-noise:
+    the factored cubic (t-1)(b0 + t(b1 + t b2)) has a structural root
+    at t=1 even with purely-f32 coefficients (ADVICE r1: on real TPUs
+    jax_enable_x64 is off, so any float64 coefficient math silently
+    runs in f32)."""
+    p_pad, nbytes_pad = 512, 128
+    rng = np.random.default_rng(5)
+    # every genotype missing: all bytes 0b01010101
+    packed = jnp.full((p_pad, nbytes_pad), 0x55, dtype=jnp.uint8)
+    mean = jnp.asarray(rng.uniform(0.1, 1.9, p_pad), dtype=jnp.float32)
+    invsd = jnp.asarray(rng.uniform(0.5, 2.0, p_pad), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((nbytes_pad * 4, 3)),
+                    dtype=jnp.float32)
+    z = np.asarray(pk.crossprod_p(packed, mean, invsd, x, interpret=True))
+    assert np.all(z == 0.0)
+    v = jnp.asarray(rng.standard_normal((p_pad, 2)), dtype=jnp.float32)
+    y = np.asarray(pk.matvec_p(packed, mean, invsd, v, interpret=True))
+    assert np.all(y == 0.0)

@@ -113,3 +113,30 @@ def test_pca_sharded_matches(small_plink):
     np.testing.assert_allclose(r2.values, r1.values, rtol=1e-9)
     U = _sign_align(r1.vectors, r2.vectors)
     np.testing.assert_allclose(U, r1.vectors, atol=1e-7)
+
+
+def test_pca_accepts_prebuilt_operator(small_plink):
+    """pca() on a prebuilt operator (device-generated data path) ==
+    pca() on the fileset; device_results keeps outputs on device."""
+    import jax
+    import jax.numpy as jnp
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops.operator import PackedOperator
+
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    op = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                        dtype=jnp.float64)
+    res_op = pca(op, 3, tol=1e-9, do_loadings=True, device_results=True)
+    res_ds = pca(root, 3, tol=1e-9, do_loadings=True)
+    assert isinstance(res_op.vectors, jax.Array)
+    assert isinstance(res_op.projection, jax.Array)
+    assert isinstance(res_op.loadings, jax.Array)
+    np.testing.assert_allclose(res_op.values, res_ds.values, rtol=1e-9)
+    np.testing.assert_allclose(res_op.pve, res_ds.pve, rtol=1e-9)
+    np.testing.assert_allclose(np.abs(np.asarray(res_op.vectors)),
+                               np.abs(res_ds.vectors), atol=1e-7)
+    np.testing.assert_allclose(np.abs(np.asarray(res_op.loadings)),
+                               np.abs(res_ds.loadings), atol=1e-7)
+    np.testing.assert_allclose(res_op.center, res_ds.center, atol=0)

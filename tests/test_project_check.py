@@ -87,3 +87,23 @@ def test_check_dim_validation(small_plink):
     root, _ = small_plink
     with pytest.raises(ValueError, match="doesn't match data dimension"):
         check(root, np.ones((5, 2)), np.ones(2))
+
+
+def test_check_accepts_operator_and_device_evec(small_plink):
+    """check() on a prebuilt operator with device-resident eigenvectors
+    (the pca(device_results=True) -> check pipeline, nothing big ever
+    fetched) == check() via the fileset path."""
+    import jax.numpy as jnp
+    from flashpca_tpu.ops.operator import PackedOperator
+
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    op = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                        dtype=jnp.float64)
+    res = pca(op, 3, tol=1e-9, device_results=True)
+    chk_op = check(op, res.vectors, res.values)
+    chk_ds = check(root, np.asarray(res.vectors), res.values)
+    np.testing.assert_allclose(chk_op.err, chk_ds.err, rtol=1e-9,
+                               atol=1e-18)
+    assert chk_op.mse < 1e-10
