@@ -1,0 +1,73 @@
+"""Mesh (SNP-sharded) coverage for SCCA/UCCA/check/project.
+
+All four accept ``mesh=``; these tests pin shard-invariance of the full
+model outputs on the virtual 8-device CPU mesh (VERDICT r1: the
+parameter was forwarded but never tested end-to-end).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from flashpca_tpu.models.check import check
+from flashpca_tpu.models.pca import pca
+from flashpca_tpu.models.project import project
+from flashpca_tpu.models.scca import scca
+from flashpca_tpu.models.ucca import ucca
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return Mesh(np.array(jax.devices("cpu")[:4]), ("snps",))
+
+
+@pytest.fixture(scope="module")
+def pheno(small_plink):
+    root, geno = small_plink
+    rng = np.random.default_rng(23)
+    Y = rng.normal(size=(geno.shape[0], 3))
+    Y[:, 0] += 0.5 * np.nan_to_num(geno[:, :2]).sum(axis=1)
+    return Y
+
+
+def test_scca_sharded_matches(small_plink, pheno, mesh4):
+    root, _ = small_plink
+    rng = np.random.default_rng(4)
+    V0 = rng.normal(size=(pheno.shape[1], 2))
+    kw = dict(ndim=2, maxiter=1000, tol=1e-9, V0=V0)
+    res_1 = scca(root, pheno, 1e-3, 1e-3, **kw)
+    res_m = scca(root, pheno, 1e-3, 1e-3, mesh=mesh4, **kw)
+    assert res_m.converged == res_1.converged
+    np.testing.assert_allclose(res_m.d, res_1.d, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(res_m.U, res_1.U, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(res_m.V, res_1.V, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(res_m.Px, res_1.Px, rtol=1e-7, atol=1e-9)
+
+
+def test_ucca_sharded_matches(small_plink, pheno, mesh4):
+    root, _ = small_plink
+    res_1 = ucca(root, pheno)
+    res_m = ucca(root, pheno, mesh=mesh4)
+    np.testing.assert_allclose(res_m.result, res_1.result,
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_check_sharded_matches(small_plink, mesh4):
+    root, _ = small_plink
+    res = pca(root, 3, tol=1e-9)
+    chk_1 = check(root, res.vectors, res.values)
+    chk_m = check(root, res.vectors, res.values, mesh=mesh4)
+    np.testing.assert_allclose(chk_m.err, chk_1.err, rtol=1e-8, atol=1e-14)
+    assert chk_m.mse < 1e-10
+
+
+def test_project_sharded_matches(small_plink, mesh4):
+    root, _ = small_plink
+    res = pca(root, 3, tol=1e-9, do_loadings=True)
+    ms = np.column_stack([res.center, res.scale])
+    pr_1 = project(root, res.loadings, meansd=ms)
+    pr_m = project(root, res.loadings, meansd=ms, mesh=mesh4)
+    np.testing.assert_allclose(pr_m.projection, pr_1.projection,
+                               rtol=1e-9, atol=1e-12)
