@@ -1,0 +1,68 @@
+"""Worker for the true multi-process distributed test (run by
+test_multiprocess.py, one instance per process).
+
+Each process owns 4 virtual CPU devices; the 2-process mesh spans 8
+global devices.  Per-host .bed loading (parallel/dist.py) must read
+ONLY the byte ranges of this process's devices; products must be
+shard-count- and process-count-invariant.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    root, pid, nproc, port, outdir = sys.argv[1:6]
+    pid, nproc = int(pid), int(nproc)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from flashpca_tpu.parallel.dist import (
+        init_distributed, snp_mesh, sharded_operator)
+
+    init_distributed(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+    assert len(jax.local_devices()) == 4
+
+    mesh = snp_mesh()
+    op = sharded_operator(root, mesh, dtype=jnp.float64)
+
+    n = op.n_samples
+    rng = np.random.default_rng(0)          # same seed on every process
+    x = rng.standard_normal((n, 2))
+    v = rng.standard_normal((op.n_snps, 2))
+
+    y = op.perform_op(x)                    # psum -> replicated output
+    w = op.prod(v)                          # psum -> replicated output
+    z = op.crossprod(x)                     # SNP-sharded output
+    t = op.trace
+
+    # replicated outputs are fully addressable on every process
+    out = {
+        "y": np.asarray(y),
+        "w": np.asarray(w),
+        "trace": np.asarray(t),
+    }
+    # sharded output: save only the shards THIS process addresses
+    zg = op._cross_fn(op.packed, op.mean, op.invsd,
+                      op.permute(jnp.asarray(x, op.dtype)), op._valid)
+    for sh in zg.addressable_shards:
+        start = sh.index[0].start or 0
+        out[f"z_shard_{start}"] = np.asarray(sh.data)
+    np.savez(os.path.join(outdir, f"worker{pid}.npz"), **out)
+    print(f"worker {pid} ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()
