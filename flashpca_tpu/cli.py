@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "wide", "tall"],
                    help="decompose X X^T (wide), X^T X (tall, for "
                         "N >> p), or pick automatically")
+    p.add_argument("--outstate", metavar="FILE", default=None,
+                   help="write an .npz restart checkpoint (Ritz panel) "
+                        "after the PCA solve, converged or not")
+    p.add_argument("--instate", metavar="FILE", default=None,
+                   help="warm-start the PCA solver from a checkpoint "
+                        "written by --outstate")
     return p
 
 
@@ -267,6 +273,7 @@ def main(argv=None) -> int:
                 dtype=dtype, mesh=mesh, batch=args.batch,
                 verbose=args.verbose, operator_mode=args.opmode,
                 streaming=stream, memory_mb=args.memory,
+                state_in=args.instate, state_out=args.outstate,
             )
             print(timestamp() + "PCA done")
             save_text(res.values.reshape(-1, 1), out["val"], precision=prec)

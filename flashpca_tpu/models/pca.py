@@ -98,6 +98,8 @@ def pca(
     streaming: bool | str = "auto",
     memory_mb: int | None = None,
     device_results: bool = False,
+    state_in: str | None = None,
+    state_out: str | None = None,
 ) -> PCAResult:
     """Compute the top ``ndim`` principal components.
 
@@ -111,6 +113,12 @@ def pca(
     projection, loadings) as device arrays instead of fetching them to
     host numpy -- essential when the device link is slow and the caller
     consumes them on device (e.g. a follow-up ``check``).
+
+    ``state_out`` writes an .npz restart checkpoint (the Ritz panel in
+    sample space) after the solve -- even when it did NOT converge, so
+    an interrupted/maxiter-limited run can resume.  ``state_in`` warm-
+    starts the solver from such a checkpoint (seeds up to one solver
+    panel of columns), typically converging in fewer data passes.
     """
     dtype = dtype or _default_dtype()
 
@@ -122,6 +130,7 @@ def pca(
         return _pca_tall(
             data, ndim, divisor, maxiter, tol, seed, do_loadings,
             data.dtype, ncv, data.center, data.scale,
+            state_in=state_in, state_out=state_out,
         )
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
@@ -131,6 +140,7 @@ def pca(
             data.dtype, ncv, data.center, data.scale,
             fused=not isinstance(data, StreamingPackedOperator),
             device_results=device_results,
+            state_in=state_in, state_out=state_out,
         )
 
     if isinstance(data, PlinkDataset):
@@ -167,6 +177,7 @@ def pca(
             return _pca_tall(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, mean, sd,
+                state_in=state_in, state_out=state_out,
             )
         # streaming: host(/disk)-resident packed data, bounded device
         # memory -- the reference's core capability (README.md:11-12).
@@ -179,6 +190,8 @@ def pca(
             op, ndim, divisor, maxiter, tol, seed, do_loadings,
             dtype, ncv, mean, sd,
             fused=not isinstance(op, StreamingPackedOperator),
+            device_results=device_results,
+            state_in=state_in, state_out=state_out,
         )
 
     X = np.asarray(data, dtype=np.float64)
@@ -200,8 +213,35 @@ def pca(
     )
 
 
+def _solver_v0(op, native_len, dtype, seed, state_in):
+    """Initial vector/panel in the operator's padded device space:
+    a warm-start Ritz panel from a checkpoint, else seeded random."""
+    if state_in is not None:
+        from ..solvers.lanczos import load_state
+
+        st = load_state(state_in)
+        panel = st["vectors"]
+        if panel.shape[0] != native_len:
+            raise ValueError(
+                f"restart state has {panel.shape[0]} rows; expected "
+                f"{native_len}")
+        return np.asarray(op.permute(jnp.asarray(panel, dtype=dtype)))
+    rng = np.random.default_rng(seed)
+    return np.asarray(op.permute(
+        jnp.asarray(rng.standard_normal(native_len), dtype=dtype)))
+
+
+def _save_solver_state(op, res, state_out):
+    if state_out is not None:
+        from ..solvers.lanczos import save_state
+
+        save_state(state_out, np.asarray(op.unpermute(res.eigenvectors)),
+                   res.eigenvalues, res.residuals, res.converged)
+
+
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
-              dtype, ncv, mean, sd) -> PCAResult:
+              dtype, ncv, mean, sd, state_in=None,
+              state_out=None) -> PCAResult:
     """Tall path: eigenpairs of X^T X; identical outputs to the wide
     path: lambda(X^T X) = lambda(X X^T) on the top spectrum,
     U = X V_s Lambda^{-1/2}, and the loadings V equal V_s exactly
@@ -210,9 +250,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
-    rng = np.random.default_rng(seed)
-    v0 = np.asarray(op.permute(
-        jnp.asarray(rng.standard_normal(p), dtype=dtype)))
+    v0 = _solver_v0(op, p, dtype, seed, state_in)
 
     mv, ops_ = op.gram_pure()
     res = eigsh_block(
@@ -220,6 +258,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
         operands=ops_,
     )
+    _save_solver_state(op, res, state_out)
     if not res.converged:
         raise RuntimeError(
             "eigen-decomposition was not successful: max scaled residual "
@@ -270,14 +309,13 @@ def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
                   dtype, ncv, mean, sd, solver="block",
-                  fused=True, device_results=False) -> PCAResult:
+                  fused=True, device_results=False, state_in=None,
+                  state_out=None) -> PCAResult:
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
-    # build v0 in sample space so byte-padding coordinates start at zero
-    rng = np.random.default_rng(seed)
-    v0_n = rng.standard_normal(n)
-    v0 = np.asarray(op.permute(jnp.asarray(v0_n, dtype=dtype)))
+    # v0 built in sample space so byte-padding coordinates start at zero
+    v0 = _solver_v0(op, n, dtype, seed, state_in)
 
     if fused:
         mv, ops_ = op.gram_pure()
@@ -296,6 +334,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
             operands=ops_,
         )
+    _save_solver_state(op, res, state_out)
     if not res.converged:
         raise RuntimeError(
             "eigen-decomposition was not successful: max scaled residual "

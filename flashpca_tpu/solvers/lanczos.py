@@ -53,6 +53,31 @@ class EigshResult:
     residuals: np.ndarray         # (k,) estimated |beta * s| residual norms
 
 
+def save_state(path, vectors, eigenvalues, residuals, converged) -> None:
+    """Persist a Ritz panel as an .npz restart checkpoint.
+
+    The reference has no in-run checkpointing (its persistence story is
+    artifact-based, SURVEY.md section 5); here the Ritz panel (N x k,
+    small) saved after any solve -- converged or not -- warm-starts a
+    later run via the solver's ``v0`` panel seed.  ``vectors`` should be
+    in SAMPLE space (unpermuted) so the state is independent of the
+    operator's padded device layout.
+    """
+    np.savez(
+        path,
+        vectors=np.asarray(vectors, dtype=np.float64),
+        eigenvalues=np.asarray(eigenvalues, dtype=np.float64),
+        residuals=np.asarray(residuals, dtype=np.float64),
+        converged=np.asarray(bool(converged)),
+    )
+
+
+def load_state(path) -> dict:
+    """Load a checkpoint written by :func:`save_state`."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
 def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
     """Run Lanczos steps j = l .. ncv-1 on device.
 
