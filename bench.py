@@ -129,6 +129,38 @@ def generate_dataset(n, p, seed=7):
     return packed, mean, sd
 
 
+def measure_streaming(log):
+    """Host->device streaming operator throughput: random host-resident
+    packed bytes (any codes decode), a few gram passes, packed GB/s.
+    Over a remote tunnel this is upload-bound; on a local host it
+    measures the DMA+decode pipeline with the reused staging buffers."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+    n = int(os.environ.get("FLASHPCA_STREAM_N", 62_720))
+    p = int(os.environ.get("FLASHPCA_STREAM_P", 12_544))
+    rng = np.random.default_rng(3)
+    nbytes = (n + 3) // 4
+    packed = rng.integers(0, 256, size=(p, nbytes), dtype=np.uint8)
+    maf = rng.uniform(0.1, 0.5, p)
+    op = StreamingPackedOperator(
+        packed, 2 * maf, np.sqrt(2 * maf * (1 - maf)), n, memory_mb=256)
+    x = jnp.asarray(rng.standard_normal((n, 8)), dtype=op.dtype)
+    float(jnp.sum(op.perform_op(x)))            # warm compiles
+    t0 = time.time()
+    npass = 3
+    for _ in range(npass):
+        y = op.perform_op(x)
+    float(jnp.sum(y))
+    dt = time.time() - t0
+    gbps = npass * p * nbytes / dt / 1e9
+    log(f"bench: streaming gram {npass}x ({p}x{nbytes} bytes, "
+        f"{op.n_blocks} blocks/pass) in {dt:.1f}s -> {gbps:.2f} GB/s "
+        "packed host->device")
+    return gbps
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -217,6 +249,12 @@ def main():
         f"scale-free form rmse/d_max < 1e-5 at f32)")
     if rel_rmse > 1e-5:
         log("bench: WARNING accuracy contract violated")
+
+    if platform == "tpu":
+        try:
+            measure_streaming(log)
+        except Exception as e:  # keep the headline metric robust
+            log(f"bench: streaming measurement failed: {e}")
 
     ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
     result = {

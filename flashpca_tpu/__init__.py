@@ -21,5 +21,6 @@ from .models import (
     scca, SCCAResult,
 )
 from .models.scca import cv_scca, CVSCCAResult
+from .models.scca_split import split_scca, SplitSCCAResult
 from .solvers.lanczos import eigsh
 from .solvers.block_lanczos import eigsh_block

@@ -282,3 +282,47 @@ def write_bed(path_root: str, genotypes: np.ndarray,
     with open(path_root + ".fam", "w") as fh:
         for i, fid in enumerate(fam_ids):
             fh.write(f"{fid}\t{fid}\t0\t0\t0\t-9\n")
+
+
+def subset_samples(ds: PlinkDataset, sample_idx, out_root: str,
+                   block_size: int = 8192) -> str:
+    """Write a new PLINK fileset holding only the given samples.
+
+    The in-framework equivalent of scca.sh's external
+    ``plink --keep/--remove --make-bed`` split step (scca.sh:42-50):
+    SNP blocks are unpacked, column-subset, and repacked 2-bit, so
+    memory stays bounded by one block regardless of p.  Returns
+    ``out_root``.
+    """
+    idx = np.asarray(sample_idx)
+    if idx.dtype == bool:
+        idx = np.flatnonzero(idx)
+    n_out = int(idx.size)
+    if n_out < 1:
+        raise ValueError("sample subset is empty")
+    nb_out = bytes_per_snp(n_out)
+    with open(out_root + ".bed", "wb") as fh:
+        fh.write(BED_MAGIC)
+        for start in range(0, ds.n_snps, block_size):
+            stop = min(start + block_size, ds.n_snps)
+            codes = ds.read_codes(start, stop)[:, idx]
+            m = codes.shape[0]
+            padded = np.zeros((m, nb_out * PACK_DENSITY), dtype=np.uint8)
+            padded[:, :n_out] = codes
+            shaped = padded.reshape(m, nb_out, PACK_DENSITY)
+            packed = (
+                shaped[:, :, 0]
+                | (shaped[:, :, 1] << 2)
+                | (shaped[:, :, 2] << 4)
+                | (shaped[:, :, 3] << 6)
+            ).astype(np.uint8)
+            fh.write(packed.tobytes())
+    import shutil
+
+    shutil.copyfile(ds.bim_path, out_root + ".bim")
+    with open(ds.fam_path) as fh:
+        fam_lines = fh.read().splitlines()
+    with open(out_root + ".fam", "w") as fh:
+        for i in idx:
+            fh.write(fam_lines[i] + "\n")
+    return out_root

@@ -150,50 +150,53 @@ def _from_planes(yt, k):
     return yt.transpose(1, 0, 2).reshape(k8, 4 * nbp).T[:, :k]
 
 
-def crossprod_planes(packed, coeffs, xt, *, interpret=False):
+def crossprod_planes(packed, coeffs, xt, *, interpret=False,
+                     tile_p=None):
     """zt = [x^T W^T]: (4, k8, nbytes_pad) -> (k8, p_pad).
 
     packed: (p_pad, nbytes_pad) u8; coeffs: 3 x (1, p_pad) f32 rows.
     """
     p_pad, nbp = packed.shape
     k8 = xt.shape[1]
+    tp = tile_p or TILE_P
     tile_nb = _tile_nb(nbp)
-    grid = (p_pad // TILE_P, nbp // tile_nb)
-    row_spec = pl.BlockSpec((1, TILE_P), lambda i, j: (0, i),
+    grid = (p_pad // tp, nbp // tile_nb)
+    row_spec = pl.BlockSpec((1, tp), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _crossprod_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_P, tile_nb), lambda i, j: (i, j),
+            pl.BlockSpec((tp, tile_nb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
             pl.BlockSpec((4, k8, tile_nb), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k8, TILE_P), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((k8, tp), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k8, p_pad), jnp.float32),
         interpret=interpret,
     )(packed, *coeffs, xt)
 
 
-def matvec_planes(packed, coeffs, vt, *, interpret=False):
+def matvec_planes(packed, coeffs, vt, *, interpret=False, tile_p=None):
     """yt = W^T v in plane layout: (k8, p_pad) -> (4, k8, nbytes_pad)."""
     p_pad, nbp = packed.shape
     k8 = vt.shape[0]
+    tp = tile_p or TILE_P
     tile_nb = _tile_nb(nbp)
-    grid = (nbp // tile_nb, p_pad // TILE_P)
-    row_spec = pl.BlockSpec((1, TILE_P), lambda j, i: (0, i),
+    grid = (nbp // tile_nb, p_pad // tp)
+    row_spec = pl.BlockSpec((1, tp), lambda j, i: (0, i),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _matvec_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_P, tile_nb), lambda j, i: (i, j),
+            pl.BlockSpec((tp, tile_nb), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
-            pl.BlockSpec((k8, TILE_P), lambda j, i: (0, i),
+            pl.BlockSpec((k8, tp), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, k8, tile_nb), lambda j, i: (0, 0, j),
@@ -211,28 +214,28 @@ def _round_k(k: int) -> int:
     return max(8, ((k + 7) // 8) * 8)
 
 
-def crossprod_p(packed, mean, invsd, xp, *, interpret=False):
+def crossprod_p(packed, mean, invsd, xp, *, interpret=False, tile_p=None):
     """z = W xp: (n4, k) -> (p_pad, k)."""
     p_pad, nbp = packed.shape
     k = xp.shape[1]
     k8 = _round_k(k)
     xt = _to_planes(xp.astype(jnp.float32), nbp, k8)
     zt = crossprod_planes(packed, _coeff_rows(mean, invsd), xt,
-                          interpret=interpret)
+                          interpret=interpret, tile_p=tile_p)
     return zt.T[:, :k]
 
 
-def matvec_p(packed, mean, invsd, v, *, interpret=False):
+def matvec_p(packed, mean, invsd, v, *, interpret=False, tile_p=None):
     """y = W^T v: (p_pad, k) -> (n4, k)."""
     k = v.shape[1]
     k8 = _round_k(k)
     vt = _pad_k(v.astype(jnp.float32), k8).T      # (k8, p_pad)
     yt = matvec_planes(packed, _coeff_rows(mean, invsd), vt,
-                       interpret=interpret)
+                       interpret=interpret, tile_p=tile_p)
     return _from_planes(yt, k)
 
 
-def gram_matvec_p(packed, mean, invsd, xp, *, interpret=False):
+def gram_matvec_p(packed, mean, invsd, xp, *, interpret=False, tile_p=None):
     """yp = W^T (W xp): (n4, k) -> (n4, k).  Two fused passes over the
     packed bytes; the standardized matrix never exists in HBM."""
     p_pad, nbp = packed.shape
@@ -240,6 +243,8 @@ def gram_matvec_p(packed, mean, invsd, xp, *, interpret=False):
     k8 = _round_k(k)
     coeffs = _coeff_rows(mean, invsd)
     xt = _to_planes(xp.astype(jnp.float32), nbp, k8)
-    zt = crossprod_planes(packed, coeffs, xt, interpret=interpret)
-    yt = matvec_planes(packed, coeffs, zt, interpret=interpret)
+    zt = crossprod_planes(packed, coeffs, xt, interpret=interpret,
+                          tile_p=tile_p)
+    yt = matvec_planes(packed, coeffs, zt, interpret=interpret,
+                       tile_p=tile_p)
     return _from_planes(yt, k)

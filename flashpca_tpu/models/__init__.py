@@ -3,3 +3,4 @@ from .project import project, ProjectResult
 from .check import check, CheckResult
 from .ucca import ucca, wilks, UccaResult
 from .scca import scca, SCCAResult, soft_thresh, norm_thresh, make_gaussian
+from .scca_split import split_scca, SplitSCCAResult

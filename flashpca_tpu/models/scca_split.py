@@ -1,0 +1,176 @@
+"""SCCA split-validation pipeline.
+
+In-framework equivalent of the reference's ``scca.sh`` + ``scca_pred.R``
+workflow (scca.sh:39-85, scca_pred.R:17-84):
+
+1. split samples into train/test (the awk + ``plink --keep`` step,
+   scca.sh:42-50 -- here :func:`flashpca_tpu.io.plink.subset_samples`);
+2. run SCCA on the training set over a (lambda1, lambda2) grid
+   (the GNU-parallel flashpca runs, scca.sh:65-79);
+3. standardize the TEST genotypes/phenotypes with the TRAINING
+   statistics and project them onto each model's U/V (the ``predict``
+   step, scca.sh:81-89, fixing scca_pred.R's "TODO: scale by original
+   scaling of Y in training data");
+4. score each grid point by the test-set canonical correlations
+   ``cor(X_test U_j, Y_test V_j)`` (scca_pred.R:74-80).
+
+Unlike ``cv_scca`` (matrix-only k-fold CV), this pipeline runs on PLINK
+filesets end to end, so the genotypes stay 2-bit packed throughout.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.plink import PlinkDataset, subset_samples
+from ..ops.standardize import VAR_TOL, standardize
+from ..utils.logging import log
+from .scca import scca
+
+
+@dataclass
+class SplitSCCAResult:
+    train_idx: np.ndarray     # sample indices of the training split
+    test_idx: np.ndarray
+    lambda1: np.ndarray
+    lambda2: np.ndarray
+    ndim: int
+    corr_train: np.ndarray    # (ndim, n1, n2) train canonical corr
+    corr_test: np.ndarray     # (ndim, n1, n2) test canonical corr
+    nzero_x: np.ndarray       # (ndim, n1, n2) non-zeros in U
+    nzero_y: np.ndarray
+    converged: np.ndarray     # (n1, n2)
+    opt_dim: int
+    best_lambda1: float
+    best_lambda2: float
+    best_corr: float
+
+    def __repr__(self):
+        return (f"SplitSCCAResult(best_lambda1={self.best_lambda1:g}, "
+                f"best_lambda2={self.best_lambda2:g}, "
+                f"best_corr={self.best_corr:.4f})")
+
+
+def split_scca(
+    data,
+    Y: np.ndarray,
+    lambda1=None,
+    lambda2=None,
+    *,
+    ndim: int = 10,
+    prop_train: float = 0.8,
+    seed: int = 1,
+    opt_dim: int = 1,
+    stand_x: str = "binom2",
+    stand_y: str = "sd",
+    workdir: str | None = None,
+    verbose: bool = False,
+    **scca_kwargs,
+) -> SplitSCCAResult:
+    """Train/test split-validation of SCCA penalties on PLINK data.
+
+    ``data``: PLINK root / PlinkDataset.  ``Y``: (N, k) phenotypes in
+    .fam order (scca.sh requires the same order, scca.sh:15-17).
+    ``workdir``: where the train/test filesets are written (a temp dir
+    by default).  Extra kwargs go to :func:`scca` (e.g. ``maxiter``,
+    ``tol``, ``mesh``, ``streaming``).
+    """
+    if isinstance(data, str):
+        data = PlinkDataset.open(data)
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n = data.n_samples
+    if Y.shape[0] != n:
+        raise ValueError("Y rows must match the number of samples")
+    if not (0.0 < prop_train < 1.0):
+        raise ValueError("prop_train must be in (0, 1)")
+
+    lambda1 = np.atleast_1d(np.asarray(
+        lambda1 if lambda1 is not None else np.linspace(1e-3, 5e-3, 5),
+        dtype=np.float64))
+    lambda2 = np.atleast_1d(np.asarray(
+        lambda2 if lambda2 is not None else np.array([1e-5, 1e-4, 1e-3]),
+        dtype=np.float64))
+    if not (1 <= opt_dim <= ndim):
+        raise ValueError("opt_dim must be between 1 and ndim")
+
+    rng = np.random.default_rng(seed)
+    train = rng.uniform(size=n) < prop_train     # awk rand() < p split
+    if train.all() or not train.any():
+        raise ValueError("degenerate train/test split; adjust prop_train")
+    train_idx = np.flatnonzero(train)
+    test_idx = np.flatnonzero(~train)
+
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="scca_split_")
+    base = os.path.basename(data.bed_path)[:-4]
+    root_train = subset_samples(
+        data, train_idx, os.path.join(workdir, base + "_train"))
+    ds_train = PlinkDataset.open(root_train)
+    ds_test_idx = test_idx
+
+    Y_train = Y[train_idx]
+    Y_test = Y[test_idx]
+    # training-set standardization stats, applied to BOTH splits
+    Yt_std, y_mean, y_sd = standardize(Y_train.copy(), stand_y)
+    y_inv = np.where(y_sd > VAR_TOL,
+                     1.0 / np.where(y_sd > VAR_TOL, y_sd, 1.0), 0.0)
+    Yte_std = (Y_test - y_mean[None, :]) * y_inv[None, :]
+    x_mean, x_sd = ds_train.snp_stats(stand_x)
+    x_inv = np.where(x_sd > VAR_TOL,
+                     1.0 / np.where(x_sd > VAR_TOL, x_sd, 1.0), 0.0)
+    # test genotypes standardized with TRAIN stats, missing -> 0
+    from ..io.plink import CODE_IS_NA, CODE_TO_DOSAGE
+
+    codes_te = data.read_codes()[:, test_idx]            # (p, n_test)
+    Xte = (CODE_TO_DOSAGE[codes_te] - x_mean[:, None]) * x_inv[:, None]
+    Xte[CODE_IS_NA[codes_te]] = 0.0
+    Xte = Xte.T                                          # (n_test, p)
+
+    n1, n2 = len(lambda1), len(lambda2)
+    corr_train = np.full((ndim, n1, n2), np.nan)
+    corr_test = np.full((ndim, n1, n2), np.nan)
+    nzx = np.zeros((ndim, n1, n2))
+    nzy = np.zeros((ndim, n1, n2))
+    conv = np.zeros((n1, n2), dtype=bool)
+
+    def _diag_corr(A, B):
+        out = np.full(A.shape[1], np.nan)
+        for j in range(A.shape[1]):
+            a, b = A[:, j], B[:, j]
+            if a.std() > 0 and b.std() > 0:
+                out[j] = np.corrcoef(a, b)[0, 1]
+        return out
+
+    for i, l1 in enumerate(lambda1):
+        for j, l2 in enumerate(lambda2):
+            log(f"-> lambda1={l1:g} lambda2={l2:g}", verbose=verbose)
+            res = scca(ds_train, Y_train, float(l1), float(l2),
+                       ndim=ndim, stand_x=stand_x, stand_y=stand_y,
+                       seed=seed, verbose=verbose, **scca_kwargs)
+            conv[i, j] = res.converged
+            nzx[:, i, j] = np.count_nonzero(res.U, axis=0)
+            nzy[:, i, j] = np.count_nonzero(res.V, axis=0)
+            if not res.converged:
+                continue
+            corr_train[:, i, j] = _diag_corr(res.Px, res.Py)
+            corr_test[:, i, j] = _diag_corr(Xte @ res.U, Yte_std @ res.V)
+
+    sl = corr_test[opt_dim - 1]
+    if np.all(np.isnan(sl)):
+        raise RuntimeError("no model converged on any penalty pair")
+    best = np.unravel_index(np.nanargmax(sl), sl.shape)
+    return SplitSCCAResult(
+        train_idx=train_idx, test_idx=test_idx,
+        lambda1=lambda1, lambda2=lambda2, ndim=ndim,
+        corr_train=corr_train, corr_test=corr_test,
+        nzero_x=nzx, nzero_y=nzy, converged=conv, opt_dim=opt_dim,
+        best_lambda1=float(lambda1[best[0]]),
+        best_lambda2=float(lambda2[best[1]]),
+        best_corr=float(sl[best]),
+    )

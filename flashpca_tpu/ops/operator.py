@@ -867,6 +867,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         self._build_fns()
         self._sumsq = None
         self._trace = None
+        self._stage = None
         self.nops = 0
 
     def _raw(self):
@@ -910,14 +911,41 @@ class StreamingPackedOperator(LinearOperatorBase):
     def _blocks(self):
         """Yield (packed_dev, mean_dev, invsd_dev, start, size) per block.
         device_put is async: the next block uploads while the previous
-        one computes."""
+        one computes.
+
+        Two REUSED staging buffers (double-buffered) avoid a fresh
+        multi-GB allocation + page-fault sweep per block.  The runtime
+        may treat a numpy source as immutable-until-transfer-completes,
+        and Python dispatch runs ahead of the device, so buffer i%2 is
+        only rewritten after the device array created from it two
+        blocks ago is ready -- that still overlaps block i's upload
+        with block i-1's compute.  On the CPU backend device_put may
+        ALIAS the numpy buffer outright (zero-copy), so reuse is
+        disabled there."""
         bs = self.block_snps
+        reuse = jax.default_backend() != "cpu"
+        if reuse and self._stage is None:
+            self._stage = [
+                np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
+                for _ in range(2)
+            ]
+        inflight = [None, None]
         for i in range(self.n_blocks):
             lo = i * bs
             hi = min(lo + bs, self.n_snps)
-            buf = np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
+            if reuse:
+                buf = self._stage[i % 2]
+                if inflight[i % 2] is not None:
+                    inflight[i % 2].block_until_ready()
+                if hi - lo < bs:
+                    buf[hi - lo:] = 0
+            else:
+                buf = np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
             buf[: hi - lo, : self.nbytes] = self._host_packed[lo:hi]
-            yield (jax.device_put(buf),
+            pb = jax.device_put(buf)
+            if reuse:
+                inflight[i % 2] = pb
+            yield (pb,
                    jax.device_put(self._mean_pad[lo: lo + bs]),
                    jax.device_put(self._invsd_pad[lo: lo + bs]),
                    lo, hi - lo)

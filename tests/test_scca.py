@@ -163,3 +163,44 @@ def test_plot_helpers(rng, tmp_path):
     res = pca(X, 3, stand="sd", tol=1e-8)
     ax = plot_pcs(res, labels=(np.arange(n) % 3))
     assert ax is not None
+
+
+def test_subset_samples_roundtrip(small_plink, tmp_path):
+    """subset_samples (the plink --keep/--remove analog) must preserve
+    codes exactly, including missing genotypes and fam rows."""
+    from flashpca_tpu.io.plink import PlinkDataset, subset_samples
+
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    rng = np.random.default_rng(6)
+    idx = np.sort(rng.choice(ds.n_samples, size=40, replace=False))
+    out = subset_samples(ds, idx, str(tmp_path / "sub"), block_size=10)
+    ds2 = PlinkDataset.open(out)
+    assert ds2.n_samples == 40 and ds2.n_snps == ds.n_snps
+    np.testing.assert_array_equal(ds2.read_codes(),
+                                  ds.read_codes()[:, idx])
+    assert ds2.fam_ids == [ds.fam_ids[i] for i in idx]
+    assert list(ds2.snp_ids) == list(ds.snp_ids)
+
+
+def test_split_scca_pipeline(small_plink, tmp_path):
+    """End-to-end scca.sh-equivalent pipeline: split, grid, test-set
+    projection with train statistics, penalty selection."""
+    from flashpca_tpu.models.scca_split import split_scca
+
+    root, geno = small_plink
+    rng = np.random.default_rng(7)
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    Y[:, 0] += 0.8 * np.nan_to_num(geno[:, :4]).sum(axis=1)
+
+    res = split_scca(root, Y, lambda1=[1e-3, 5e-2], lambda2=[1e-4],
+                     ndim=2, prop_train=0.7, seed=3,
+                     workdir=str(tmp_path), maxiter=500, tol=1e-6)
+    assert res.corr_test.shape == (2, 2, 1)
+    assert res.converged.all()
+    # the training fileset really is a subset
+    assert len(res.train_idx) + len(res.test_idx) == n
+    # signal phenotype: best test correlation should be clearly positive
+    assert res.best_corr > 0.3
+    assert res.best_lambda1 in (1e-3, 5e-2)
