@@ -420,6 +420,19 @@ class PackedOperator(LinearOperatorBase):
         self._cross_fn = jax.jit(cross)
         self._mv_fn = jax.jit(mv)
         self._sumsq_fn = jax.jit(sumsq)
+        # pure wrappers built ONCE: solvers jit with the matvec as a
+        # static argument, so a stable function identity means repeat
+        # solves reuse the compiled cycle programs instead of
+        # re-tracing (a multi-second saving per call on remote devices)
+        self._pure_gram = (
+            lambda xp, packed, mean, invsd, valid:
+                gram(packed, mean, invsd, xp, valid))
+        self._pure_cross = (
+            lambda xp, packed, mean, invsd, valid:
+                cross(packed, mean, invsd, xp, valid))
+        self._pure_mv = (
+            lambda v, packed, mean, invsd, valid:
+                mv(packed, mean, invsd, v, valid))
 
     # -- permuted-space interface (used by the eigensolver; no per-call
     #    permutes or host transfers) ------------------------------------------
@@ -446,31 +459,21 @@ class PackedOperator(LinearOperatorBase):
         program would be embedded as an MLIR constant, which
         MATERIALIZES the multi-GB buffer on the host.  The returned fn
         is UNJITTED -- nesting an inner jit inside the solver's cycle
-        program stalls the remote compile pipeline."""
-        fn = self._gram_raw
-
-        def matvec(xp, packed, mean, invsd, valid):
-            return fn(packed, mean, invsd, xp, valid)
-
-        return matvec, (self.packed, self.mean, self.invsd, self._valid)
+        program stalls the remote compile pipeline.  The same function
+        object is returned every call (stable identity for solver-side
+        static-argument jit caching)."""
+        return self._pure_gram, (self.packed, self.mean, self.invsd,
+                                 self._valid)
 
     def products_pure(self):
         """(cross_fn, mv_fn, operands) for device-resident iteration
         loops (e.g. SCCA): ``cross_fn(xp, *operands)`` = X^T x in
         (padded) SNP space for a PERMUTED sample-space input, and
         ``mv_fn(v, *operands)`` = X v in permuted sample space for a
-        (p_pad, k) input.  Unjitted and constant-free, like gram_pure."""
-        cross = self._cross_raw
-        mv = self._mv_raw
-
-        def cross_fn(xp, packed, mean, invsd, valid):
-            return cross(packed, mean, invsd, xp, valid)
-
-        def mv_fn(v, packed, mean, invsd, valid):
-            return mv(packed, mean, invsd, v, valid)
-
-        return cross_fn, mv_fn, (self.packed, self.mean, self.invsd,
-                                 self._valid)
+        (p_pad, k) input.  Unjitted and constant-free, like gram_pure;
+        stable function identities across calls."""
+        return self._pure_cross, self._pure_mv, (
+            self.packed, self.mean, self.invsd, self._valid)
 
     @property
     def op_dim(self) -> int:
@@ -721,6 +724,9 @@ class TallPackedOperator:
         self._gram_fn = jax.jit(gram)
         self._prod_fn = jax.jit(prod)
         self._sumsq_fn = jax.jit(sumsq)
+        self._pure_gram = (
+            lambda v, packed, mean, invsd, valid2d:
+                gram(packed, mean, invsd, v, valid2d))
 
     # -- solver interface (SNP space; no permutation needed) ---------------
     @property
@@ -749,12 +755,8 @@ class TallPackedOperator:
 
     def gram_pure(self):
         """(fn, operands): see PackedOperator.gram_pure."""
-        fn = self._gram_raw
-
-        def matvec(v, packed, mean, invsd, valid2d):
-            return fn(packed, mean, invsd, v, valid2d)
-
-        return matvec, (self.packed, self.mean, self.invsd, self.valid2d)
+        return self._pure_gram, (self.packed, self.mean, self.invsd,
+                                 self.valid2d)
 
     def prod(self, v):
         """y = X v: (p,) or (p, k) -> (N,) or (N, k), natural order."""
@@ -804,6 +806,11 @@ class StreamingPackedOperator(LinearOperatorBase):
     README.md:12) still runs on one chip.  Successive ``device_put`` +
     jitted-accumulate calls pipeline naturally: JAX dispatch is async,
     so block i+1 uploads while block i computes.
+
+    With a ``mesh`` each staged block is additionally SNP-sharded over
+    the devices (per-device memory = block/nshards, partial products
+    psum'd over ICI) -- the multi-chip generalization for cohorts
+    larger than even the AGGREGATE device memory.
     """
 
     def __init__(
@@ -817,6 +824,8 @@ class StreamingPackedOperator(LinearOperatorBase):
         memory_mb: int | None = None,
         dtype=jnp.float32,
         use_pallas: bool | str | None = None,
+        mesh: Mesh | None = None,
+        axis_name: str = "snps",
     ):
         from ..io.plink import PlinkDataset
 
@@ -834,6 +843,9 @@ class StreamingPackedOperator(LinearOperatorBase):
         self._host_packed = packed
         self.center = np.asarray(mean, dtype=np.float64)
         self.scale = np.asarray(sd, dtype=np.float64)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.nshards = mesh.shape[axis_name] if mesh is not None else 1
 
         use_pallas = PackedOperator.resolve_use_pallas(use_pallas, dtype)
         self.use_pallas = use_pallas
@@ -852,7 +864,8 @@ class StreamingPackedOperator(LinearOperatorBase):
             else:
                 block_snps = max(1, (1 << 30) // nbytes_pad)  # ~1 GiB
         t = _TILE_P if use_pallas else 1
-        block_snps = max(t, (min(block_snps, p) // t) * t)
+        chunk = t * self.nshards
+        block_snps = max(chunk, (min(block_snps, p) // chunk) * chunk)
         self.block_snps = int(block_snps)
         self.n_blocks = -(-p // block_snps)
         self.p_pad = self.n_blocks * block_snps
@@ -871,6 +884,9 @@ class StreamingPackedOperator(LinearOperatorBase):
         self.nops = 0
 
     def _raw(self):
+        # under a mesh the raw fns see PER-SHARD rows, so the inner
+        # scan block size must divide block_snps / nshards
+        per = self.block_snps // self.nshards
         if self.use_pallas:
             from ..kernels import packed_matvec as _pk
 
@@ -878,9 +894,9 @@ class StreamingPackedOperator(LinearOperatorBase):
             return (partial(_pk.gram_matvec_p, interpret=interp),
                     partial(_pk.crossprod_p, interpret=interp),
                     partial(_pk.matvec_p, interpret=interp),
-                    partial(snp_sumsq_p, block_size=self.block_snps))
-        bs = min(self.block_snps, 8192)
-        while self.block_snps % bs:
+                    partial(snp_sumsq_p, block_size=per))
+        bs = min(per, 8192)
+        while per % bs:
             bs -= 1
         return (partial(gram_matvec_p, block_size=bs),
                 partial(crossprod_p, block_size=bs),
@@ -890,17 +906,59 @@ class StreamingPackedOperator(LinearOperatorBase):
     def _build_fns(self):
         raw_gram, raw_cross, raw_mv, raw_sumsq = self._raw()
 
-        def gram_acc(pb, mb, ib, xp, valid, acc):
-            return acc + raw_gram(pb, mb, ib, xp * valid[:, None])
+        if self.mesh is not None:
+            # streaming x mesh: each staged block is SNP-row-sharded
+            # over the devices, partial products psum over ICI -- the
+            # multi-chip path for cohorts larger than aggregate HBM
+            # (per-device memory = block/nshards).
+            from jax import shard_map
 
-        def cross_blk(pb, mb, ib, xp, valid):
-            return raw_cross(pb, mb, ib, xp * valid[:, None])
+            ax = self.axis_name
+            row, snp = P(ax, None), P(ax)
+            rep, v1 = P(None, None), P(None)
 
-        def mv_acc(pb, mb, ib, vb, valid, acc):
-            return acc + raw_mv(pb, mb, ib, vb)
+            gram_shard = shard_map(
+                lambda pb, mb, ib, xp, valid: lax.psum(
+                    raw_gram(pb, mb, ib, xp * valid[:, None]), ax),
+                mesh=self.mesh,
+                in_specs=(row, snp, snp, rep, v1), out_specs=rep)
+            cross_shard = shard_map(
+                lambda pb, mb, ib, xp, valid: raw_cross(
+                    pb, mb, ib, xp * valid[:, None]),
+                mesh=self.mesh,
+                in_specs=(row, snp, snp, rep, v1), out_specs=row)
+            mv_shard = shard_map(
+                lambda pb, mb, ib, vb, valid: lax.psum(
+                    raw_mv(pb, mb, ib, vb), ax),
+                mesh=self.mesh,
+                in_specs=(row, snp, snp, row, v1), out_specs=rep)
+            sumsq_shard = shard_map(
+                raw_sumsq, mesh=self.mesh,
+                in_specs=(row, snp, snp, v1), out_specs=snp)
 
-        def sumsq_blk(pb, mb, ib, valid):
-            return raw_sumsq(pb, mb, ib, valid)
+            def gram_acc(pb, mb, ib, xp, valid, acc):
+                return acc + gram_shard(pb, mb, ib, xp, valid)
+
+            def cross_blk(pb, mb, ib, xp, valid):
+                return cross_shard(pb, mb, ib, xp, valid)
+
+            def mv_acc(pb, mb, ib, vb, valid, acc):
+                return acc + mv_shard(pb, mb, ib, vb, valid)
+
+            def sumsq_blk(pb, mb, ib, valid):
+                return sumsq_shard(pb, mb, ib, valid)
+        else:
+            def gram_acc(pb, mb, ib, xp, valid, acc):
+                return acc + raw_gram(pb, mb, ib, xp * valid[:, None])
+
+            def cross_blk(pb, mb, ib, xp, valid):
+                return raw_cross(pb, mb, ib, xp * valid[:, None])
+
+            def mv_acc(pb, mb, ib, vb, valid, acc):
+                return acc + raw_mv(pb, mb, ib, vb)
+
+            def sumsq_blk(pb, mb, ib, valid):
+                return raw_sumsq(pb, mb, ib, valid)
 
         self._gram_acc = jax.jit(gram_acc)
         self._cross_blk = jax.jit(cross_blk)
@@ -913,17 +971,21 @@ class StreamingPackedOperator(LinearOperatorBase):
         device_put is async: the next block uploads while the previous
         one computes.
 
-        Two REUSED staging buffers (double-buffered) avoid a fresh
-        multi-GB allocation + page-fault sweep per block.  The runtime
-        may treat a numpy source as immutable-until-transfer-completes,
-        and Python dispatch runs ahead of the device, so buffer i%2 is
-        only rewritten after the device array created from it two
-        blocks ago is ready -- that still overlaps block i's upload
-        with block i-1's compute.  On the CPU backend device_put may
-        ALIAS the numpy buffer outright (zero-copy), so reuse is
-        disabled there."""
+        Staging-buffer reuse (FLASHPCA_STAGE_REUSE=1, default OFF)
+        double-buffers two preallocated host arrays instead of a fresh
+        allocation per block, syncing on the device array created from
+        the same buffer two blocks ago before rewriting it.  It is
+        OPT-IN because it is only safe where (a) device_put does not
+        alias the numpy buffer (it may on CPU) and (b) block_until_ready
+        truly waits for the host->device copy -- on remote-tunnel
+        backends it can return early (see CLAUDE.md), making the
+        rewrite race unverifiable, so the safe default is a fresh
+        buffer per block."""
         bs = self.block_snps
-        reuse = jax.default_backend() != "cpu"
+        import os as _os
+
+        reuse = (_os.environ.get("FLASHPCA_STAGE_REUSE") == "1"
+                 and jax.default_backend() != "cpu")
         if reuse and self._stage is None:
             self._stage = [
                 np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
@@ -942,13 +1004,19 @@ class StreamingPackedOperator(LinearOperatorBase):
             else:
                 buf = np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
             buf[: hi - lo, : self.nbytes] = self._host_packed[lo:hi]
-            pb = jax.device_put(buf)
+            if self.mesh is not None:
+                row_sh = NamedSharding(self.mesh, P(self.axis_name, None))
+                snp_sh = NamedSharding(self.mesh, P(self.axis_name))
+                pb = jax.device_put(buf, row_sh)
+                mb = jax.device_put(self._mean_pad[lo: lo + bs], snp_sh)
+                ib = jax.device_put(self._invsd_pad[lo: lo + bs], snp_sh)
+            else:
+                pb = jax.device_put(buf)
+                mb = jax.device_put(self._mean_pad[lo: lo + bs])
+                ib = jax.device_put(self._invsd_pad[lo: lo + bs])
             if reuse:
                 inflight[i % 2] = pb
-            yield (pb,
-                   jax.device_put(self._mean_pad[lo: lo + bs]),
-                   jax.device_put(self._invsd_pad[lo: lo + bs]),
-                   lo, hi - lo)
+            yield (pb, mb, ib, lo, hi - lo)
 
     # -- products ----------------------------------------------------------
     def _gram(self, x2):
@@ -1063,16 +1131,9 @@ def build_packed_operator(
     memory.  ``ds`` is an opened PlinkDataset."""
     stream = resolve_streaming(streaming, ds, mesh)
     if stream:
-        if mesh is not None:
-            # silent single-device fallback would drop the user's
-            # sharding request (ADVICE r1)
-            raise ValueError(
-                "streaming mode is single-device (the streaming operator "
-                "has no mesh support); drop --shards/mesh or use "
-                "--stream off"
-            )
         return StreamingPackedOperator(
             ds, mean, sd, ds.n_samples, memory_mb=memory_mb, dtype=dtype,
+            mesh=mesh,
         )
     return PackedOperator(
         ds.read_packed(), mean, sd, ds.n_samples,
@@ -1099,6 +1160,9 @@ class DenseOperator(LinearOperatorBase):
         self._gram_fn = jax.jit(self._gram_raw)
         self._cross_fn = jax.jit(lambda X, x: X.T @ x)
         self._mv_fn = jax.jit(lambda X, v: X @ v)
+        self._pure_gram = lambda x, X: X @ (X.T @ x)
+        self._pure_cross = lambda x, X: X.T @ x
+        self._pure_mv = lambda v, X: X @ v
         self.nops = 0
 
     # identity "permutation" so the eigensolver can treat both operators
@@ -1118,24 +1182,12 @@ class DenseOperator(LinearOperatorBase):
 
     def gram_pure(self):
         """(fn, operands): see PackedOperator.gram_pure."""
-        fn = self._gram_raw
-
-        def matvec(x, X):
-            return fn(X, x)
-
-        return matvec, (self.X,)
+        return self._pure_gram, (self.X,)
 
     def products_pure(self):
         """(cross_fn, mv_fn, operands): see PackedOperator.products_pure
         (identity sample permutation here)."""
-
-        def cross_fn(x, X):
-            return X.T @ x
-
-        def mv_fn(v, X):
-            return X @ v
-
-        return cross_fn, mv_fn, (self.X,)
+        return self._pure_cross, self._pure_mv, (self.X,)
 
     @property
     def op_dim(self) -> int:

@@ -117,6 +117,16 @@ def _hoist(matvec, example, operands):
     return jax.closure_convert(matvec, example)
 
 
+@partial(jax.jit,
+         static_argnames=("mv", "l", "nsteps", "b", "jitter"),
+         donate_argnums=(0,))
+def _expand_cycle_block_jit(V, key, consts, *, mv, l, nsteps, b, jitter):
+    """Module-level jit wrapper: with ``mv`` static and a STABLE
+    function identity (operators cache their pure closures), repeat
+    solves reuse the compiled cycle program instead of re-tracing."""
+    return _expand_cycle_block(mv, V, key, consts, l, nsteps, b, jitter)
+
+
 def _expand_cycle_block(matvec, V, key, consts, l, nsteps, b, jitter):
     """Expand panels t = 0..nsteps-1 starting at column l (static).
 
@@ -236,6 +246,31 @@ def _expand_cycle_host(matvec, V, key, l, nsteps, b, jitter):
     return V, H_all, R_all
 
 
+@partial(jax.jit, static_argnames=("mv", "rank_tol"))
+def _polish_sweep_jit(U, consts, *, mv, rank_tol):
+    Y = mv(U, *consts)
+    Q, _, _ = _panel_orth(Y, rank_tol)
+    Q, _, _ = _panel_orth(Q, rank_tol)
+    return Q
+
+
+@partial(jax.jit, static_argnames=("mv",))
+def _polish_project_jit(U, consts, *, mv):
+    Y = mv(U, *consts)
+    G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
+    return Y, G
+
+
+@partial(jax.jit, static_argnames=("rank_tol",))
+def _orth2x_jit(Y, *, rank_tol):
+    return _panel_orth(_panel_orth(Y, rank_tol)[0], rank_tol)[0]
+
+
+@jax.jit
+def _gram_small_jit(U, Y):
+    return jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
+
+
 def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
     """Refine converged Ritz vectors by orthogonal (subspace) iteration
     with a final host-f64 Rayleigh-Ritz.
@@ -252,35 +287,23 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
     if fused:
         mv_pure, consts = _hoist(matvec, jnp.zeros(U.shape, U.dtype),
                                  operands)
+
+        def sweep(U, consts):
+            return _polish_sweep_jit(U, consts, mv=mv_pure,
+                                     rank_tol=rank_tol)
+
+        def project(U, consts):
+            return _polish_project_jit(U, consts, mv=mv_pure)
     else:
         mv_host = ((lambda Q: matvec(Q, *operands)) if operands else matvec)
         mv_pure, consts = (lambda Q: mv_host(Q)), ()
 
-    orth2x = jax.jit(lambda Y: _panel_orth(
-        _panel_orth(Y, rank_tol)[0], rank_tol)[0])
-    gram_small = jax.jit(lambda U, Y: jnp.dot(
-        U.T, Y, precision=lax.Precision.HIGHEST))
-
-    if fused:
-        @jax.jit
         def sweep(U, consts):
-            Y = mv_pure(U, *consts)
-            Q, _, _ = _panel_orth(Y, rank_tol)
-            Q, _, _ = _panel_orth(Q, rank_tol)
-            return Q
-
-        @jax.jit
-        def project(U, consts):
-            Y = mv_pure(U, *consts)
-            G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
-            return Y, G
-    else:
-        def sweep(U, consts):
-            return orth2x(mv_pure(U))
+            return _orth2x_jit(mv_pure(U), rank_tol=rank_tol)
 
         def project(U, consts):
             Y = mv_pure(U)
-            return Y, gram_small(U, Y)
+            return Y, _gram_small_jit(U, Y)
 
     for _ in range(iters):
         U = sweep(U, consts)
@@ -385,11 +408,11 @@ def eigsh_block(
 
     if fused:
         mv_pure, consts = _hoist(matvec, jnp.zeros((n, b), dtype), operands)
-        expand = jax.jit(
-            partial(_expand_cycle_block, mv_pure, b=b, jitter=jitter),
-            static_argnames=("l", "nsteps"),
-            donate_argnums=(0,),
-        )
+
+        def expand(V, key, consts, l, nsteps):
+            return _expand_cycle_block_jit(
+                V, key, consts, mv=mv_pure, l=l, nsteps=nsteps, b=b,
+                jitter=jitter)
     else:
         mv_host = ((lambda Q: matvec(Q, *operands)) if operands else matvec)
 

@@ -78,6 +78,15 @@ def load_state(path) -> dict:
         return {k: z[k] for k in z.files}
 
 
+@partial(jax.jit,
+         static_argnames=("mv", "l", "ncv", "deflate_tol"),
+         donate_argnums=(0,))
+def _expand_cycle_jit(V, key, consts, *, mv, l, ncv, deflate_tol):
+    """Module-level jit wrapper (static, stable-identity mv): repeat
+    solves reuse the compiled cycle program."""
+    return _expand_cycle(mv, V, key, consts, l, ncv, deflate_tol)
+
+
 def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
     """Run Lanczos steps j = l .. ncv-1 on device.
 
@@ -182,12 +191,10 @@ def eigsh(
         mv_pure, consts = matvec, tuple(operands)
     else:
         mv_pure, consts = jax.closure_convert(matvec, jnp.zeros((n,), dtype))
-    expand = jax.jit(
-        partial(_expand_cycle, mv_pure, ncv=ncv,
-                deflate_tol=10.0 * eps),
-        static_argnames=("l",),
-        donate_argnums=(0,),
-    )
+
+    def expand(V, key, consts, l):
+        return _expand_cycle_jit(V, key, consts, mv=mv_pure, l=l,
+                                 ncv=ncv, deflate_tol=10.0 * eps)
 
     nops = 0
     l = 0  # number of kept Ritz vectors after restart (0 on first cycle)

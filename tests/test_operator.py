@@ -173,14 +173,42 @@ def test_streaming_pca_matches_resident(small_plink):
         assert c > 1 - 1e-8
 
 
-def test_streaming_with_mesh_raises(small_plink):
+def test_streaming_with_mesh_matches(small_plink):
+    """Streaming x mesh: host-staged blocks SNP-sharded over devices
+    (the beyond-aggregate-HBM path) must match the unsharded result."""
     from jax.sharding import Mesh
+    from flashpca_tpu.io.plink import PlinkDataset
     from flashpca_tpu.models.pca import pca
+    from flashpca_tpu.ops.operator import StreamingPackedOperator
 
     root, _ = small_plink
-    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("snps",))
-    with pytest.raises(ValueError, match="streaming"):
-        pca(root, 3, streaming=True, mesh=mesh)
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("snps",))
+    rng = np.random.default_rng(12)
+    op_m = StreamingPackedOperator(ds, mean, sd, ds.n_samples,
+                                   block_snps=8, mesh=mesh,
+                                   dtype=jnp.float64)
+    op_1 = StreamingPackedOperator(ds, mean, sd, ds.n_samples,
+                                   block_snps=8, dtype=jnp.float64)
+    assert op_m.n_blocks > 1
+    x = rng.standard_normal((ds.n_samples, 3))
+    v = rng.standard_normal((ds.n_snps, 2))
+    np.testing.assert_allclose(np.asarray(op_m.perform_op(x)),
+                               np.asarray(op_1.perform_op(x)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(op_m.crossprod(x)),
+                               np.asarray(op_1.crossprod(x)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(op_m.prod(v)),
+                               np.asarray(op_1.prod(v)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(op_m.trace, op_1.trace, rtol=1e-12)
+
+    # end-to-end sharded streaming pca
+    r_m = pca(root, 3, tol=1e-9, streaming=True, memory_mb=1, mesh=mesh)
+    r_1 = pca(root, 3, tol=1e-9, streaming=False)
+    np.testing.assert_allclose(r_m.values, r_1.values, rtol=1e-8)
 
 
 def test_streaming_small_problem_shrinks_panel(tmp_path):
