@@ -65,3 +65,43 @@ def plot_pcs(result, dims=(1, 2), labels=None, ax=None, **kwargs):
     ax.set_xlabel(f"PC{dims[0]}")
     ax.set_ylabel(f"PC{dims[1]}")
     return ax
+
+
+def plot_split_scca(res, dim: int = 1, ax=None, **kwargs):
+    """Split-validation curves (scca_pred.R:36-42, 74-84): test-set
+    canonical correlation vs lambda1, one line per lambda2, with the
+    training correlation dashed for comparison."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    d = dim - 1
+    for j, l2 in enumerate(res.lambda2):
+        ax.plot(res.lambda1, res.corr_test[d, :, j], marker="o",
+                label=f"test $\\lambda_2$={l2:g}", **kwargs)
+        ax.plot(res.lambda1, res.corr_train[d, :, j], marker=".",
+                linestyle="--", alpha=0.5,
+                label=f"train $\\lambda_2$={l2:g}", **kwargs)
+    ax.set_xscale("log")
+    ax.set_xlabel("$\\lambda_1$")
+    ax.set_ylabel(f"canonical correlation (dim {dim})")
+    ax.legend(fontsize="small")
+    return ax
+
+
+def plot_split_scca_sparsity(res, dim: int = 1, ax=None, **kwargs):
+    """Test correlation vs number of non-zero U entries (the reference's
+    matplot(nzu1, R.trn1) panel, scca_pred.R:40-41)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    d = dim - 1
+    for j, l2 in enumerate(res.lambda2):
+        ax.plot(res.nzero_x[d, :, j], res.corr_test[d, :, j], marker="o",
+                label=f"$\\lambda_2$={l2:g}", **kwargs)
+    ax.set_xscale("log")
+    ax.set_xlabel("non-zero entries in U")
+    ax.set_ylabel(f"test correlation (dim {dim})")
+    ax.legend(fontsize="small")
+    return ax

@@ -204,3 +204,21 @@ def test_split_scca_pipeline(small_plink, tmp_path):
     # signal phenotype: best test correlation should be clearly positive
     assert res.best_corr > 0.3
     assert res.best_lambda1 in (1e-3, 5e-2)
+
+
+def test_split_scca_plots(small_plink, tmp_path, rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from flashpca_tpu.models.scca_split import split_scca
+    from flashpca_tpu.plots import plot_split_scca, plot_split_scca_sparsity
+
+    root, geno = small_plink
+    Y = rng.normal(size=(geno.shape[0], 2))
+    res = split_scca(root, Y, lambda1=[1e-3, 1e-2], lambda2=[1e-4],
+                     ndim=2, prop_train=0.7, seed=5,
+                     workdir=str(tmp_path), maxiter=300, tol=1e-5)
+    ax = plot_split_scca(res)
+    assert ax.get_xlabel()
+    ax2 = plot_split_scca_sparsity(res)
+    assert ax2.get_ylabel()
