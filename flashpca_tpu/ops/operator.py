@@ -1107,10 +1107,12 @@ def resolve_streaming(streaming, ds, mesh) -> bool:
     disk->RAM."""
     if streaming != "auto":
         return bool(streaming)
-    if mesh is not None or jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu":
         return False
     ms = jax.devices()[0].memory_stats()
     limit = (ms or {}).get("bytes_limit", 16 << 30)
+    if mesh is not None:
+        limit *= mesh.size   # resident data is sharded: aggregate HBM
     packed_bytes = ds.n_snps * ds.nbytes_per_snp
     return bool(limit and packed_bytes > 0.7 * limit)
 

@@ -359,7 +359,10 @@ def eigsh_block(
         return bb * (cc // bb) if cc % bb else cc
 
     ncv = _ncv_for(b)
-    if ncv + b > n or nev + b > ncv or b < 2:
+    # require a full panel of headroom beyond the basis (ncv + 2b <= n):
+    # when ncv + b == n the Krylov basis saturates the whole space and
+    # the deflation-injection cycle can stall above the tolerance
+    if ncv + 2 * b > n or nev + b > ncv or b < 2:
         if fused:
             return eigsh(lambda x, *ops: matvec(x[:, None], *ops)[:, 0],
                          n, nev, maxiter=maxiter, tol=tol, dtype=dtype,
@@ -371,7 +374,7 @@ def eigsh_block(
         bb = b // 2
         while bb >= 2:
             cc = _ncv_for(bb)
-            if cc + bb <= n and nev + bb <= cc:
+            if cc + 2 * bb <= n and nev + bb <= cc:
                 b, ncv = bb, cc
                 break
             bb //= 2

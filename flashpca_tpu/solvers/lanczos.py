@@ -176,6 +176,11 @@ def eigsh(
     if v0 is None:
         v0 = rng.standard_normal(n)
     v0 = np.asarray(v0, dtype=np.float64)
+    if v0.ndim == 2:
+        # a warm-start Ritz PANEL (e.g. a restart checkpoint routed via
+        # the block solver's small-problem fallback): seed with the
+        # dominant Ritz vector
+        v0 = v0[:, 0]
     v0 = v0 / np.linalg.norm(v0)
 
     key = jax.random.PRNGKey(seed)

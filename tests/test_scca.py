@@ -222,3 +222,21 @@ def test_split_scca_plots(small_plink, tmp_path, rng):
     assert ax.get_xlabel()
     ax2 = plot_split_scca_sparsity(res)
     assert ax2.get_ylabel()
+
+
+def test_scca_accepts_prebuilt_operator(small_plink, rng):
+    import jax.numpy as jnp
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops.operator import PackedOperator
+
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    op = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                        dtype=jnp.float64)
+    Y = rng.normal(size=(ds.n_samples, 3))
+    V0 = rng.normal(size=(3, 2))
+    res_op = scca(op, Y, 1e-3, 1e-3, ndim=2, maxiter=800, tol=1e-9, V0=V0)
+    res_ds = scca(root, Y, 1e-3, 1e-3, ndim=2, maxiter=800, tol=1e-9, V0=V0)
+    np.testing.assert_allclose(res_op.d, res_ds.d, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res_op.U, res_ds.U, rtol=1e-8, atol=1e-10)

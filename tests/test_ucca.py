@@ -81,3 +81,20 @@ def test_ucca_output_shape(xy):
     res = ucca(X, Y)
     assert res.result.shape == (X.shape[1], 3)
     assert ((res.pval >= 0) & (res.pval <= 1)).all()
+
+
+def test_ucca_accepts_prebuilt_operator(small_plink, rng):
+    import jax.numpy as jnp
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops.operator import PackedOperator
+
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    op = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                        dtype=jnp.float64)
+    Y = rng.normal(size=(ds.n_samples, 3))
+    res_op = ucca(op, Y)
+    res_ds = ucca(root, Y)
+    np.testing.assert_allclose(res_op.result, res_ds.result,
+                               rtol=1e-10, atol=1e-12)
