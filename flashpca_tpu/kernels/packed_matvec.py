@@ -155,6 +155,9 @@ def crossprod_planes(packed, coeffs, xt, *, interpret=False,
     """zt = [x^T W^T]: (4, k8, nbytes_pad) -> (k8, p_pad).
 
     packed: (p_pad, nbytes_pad) u8; coeffs: 3 x (1, p_pad) f32 rows.
+    ``tile_p`` overrides TILE_P for offline autotuning sweeps (the
+    production layout keeps p_pad a TILE_P multiple; measured sweep:
+    256/512/1024 within 10%, 512 default).
     """
     p_pad, nbp = packed.shape
     k8 = xt.shape[1]

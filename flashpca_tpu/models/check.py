@@ -62,6 +62,8 @@ def check(
     randompca.cpp:663-703); 'auto' streams when data exceeds HBM.
     """
     eval_np = np.asarray(eval_, dtype=np.float64).reshape(-1)
+    if not isinstance(evec, jax.Array):
+        evec = np.asarray(evec, dtype=np.float64)
 
     if isinstance(data, str):
         data = PlinkDataset.open(data)
@@ -97,6 +99,10 @@ def check(
             raise ValueError(
                 "Eigenvector dimension doesn't match data dimension "
                 f"(evec.rows = {U.shape[0]}; N = {n})"
+            )
+        if eval_np.shape[0] != U.shape[1]:
+            raise ValueError(
+                "Eigenvector dimension doesn't match the number of eigenvalues"
             )
         XXU = op.perform_op(U)
         div = _div(divisor, n, p)

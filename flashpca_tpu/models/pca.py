@@ -131,6 +131,7 @@ def pca(
             data, ndim, divisor, maxiter, tol, seed, do_loadings,
             data.dtype, ncv, data.center, data.scale,
             state_in=state_in, state_out=state_out,
+            device_results=device_results,
         )
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
@@ -178,6 +179,7 @@ def pca(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, mean, sd,
                 state_in=state_in, state_out=state_out,
+                device_results=device_results,
             )
         # streaming: host(/disk)-resident packed data, bounded device
         # memory -- the reference's core capability (README.md:11-12).
@@ -241,7 +243,7 @@ def _save_solver_state(op, res, state_out):
 
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
               dtype, ncv, mean, sd, state_in=None,
-              state_out=None) -> PCAResult:
+              state_out=None, device_results=False) -> PCAResult:
     """Tall path: eigenpairs of X^T X; identical outputs to the wide
     path: lambda(X^T X) = lambda(X X^T) on the top spectrum,
     U = X V_s Lambda^{-1/2}, and the loadings V equal V_s exactly
@@ -270,16 +272,20 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     V_dev = res.eigenvectors
     if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
         lam, V_dev = polish_subspace(mv, V_dev, iters=2, operands=ops_)
-    Vs = np.asarray(op.unpermute(V_dev), dtype=np.float64)
     d = lam / div
-
-    U = np.asarray(
-        op.prod(jnp.asarray(Vs, dtype=dtype)), dtype=np.float64)
-    U = U / np.sqrt(lam)[None, :]
-
     trace = op.trace / div
     pve = d / trace
-    Px = U * np.sqrt(d)[None, :]
+
+    if device_results:
+        Vs = op.unpermute(V_dev)
+        U = op.prod(Vs) * jnp.asarray(1.0 / np.sqrt(lam), dtype)[None, :]
+        Px = U * jnp.asarray(np.sqrt(d), U.dtype)[None, :]
+    else:
+        Vs = np.asarray(op.unpermute(V_dev), dtype=np.float64)
+        U = np.asarray(
+            op.prod(jnp.asarray(Vs, dtype=dtype)), dtype=np.float64)
+        U = U / np.sqrt(lam)[None, :]
+        Px = U * np.sqrt(d)[None, :]
 
     return PCAResult(
         values=d,

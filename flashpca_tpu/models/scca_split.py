@@ -27,6 +27,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..io.plink import PlinkDataset, subset_samples
+from ..ops.operator import build_packed_operator
 from ..ops.standardize import VAR_TOL, standardize
 from ..utils.logging import log
 from .scca import scca
@@ -112,7 +113,9 @@ def split_scca(
     root_train = subset_samples(
         data, train_idx, os.path.join(workdir, base + "_train"))
     ds_train = PlinkDataset.open(root_train)
-    ds_test_idx = test_idx
+    root_test = subset_samples(
+        data, test_idx, os.path.join(workdir, base + "_test"))
+    ds_test = PlinkDataset.open(root_test)
 
     Y_train = Y[train_idx]
     Y_test = Y[test_idx]
@@ -121,16 +124,20 @@ def split_scca(
     y_inv = np.where(y_sd > VAR_TOL,
                      1.0 / np.where(y_sd > VAR_TOL, y_sd, 1.0), 0.0)
     Yte_std = (Y_test - y_mean[None, :]) * y_inv[None, :]
-    x_mean, x_sd = ds_train.snp_stats(stand_x)
-    x_inv = np.where(x_sd > VAR_TOL,
-                     1.0 / np.where(x_sd > VAR_TOL, x_sd, 1.0), 0.0)
-    # test genotypes standardized with TRAIN stats, missing -> 0
-    from ..io.plink import CODE_IS_NA, CODE_TO_DOSAGE
+    # test genotypes stay 2-bit packed: an operator built over the TEST
+    # fileset with the TRAIN standardization stats projects via prod()
+    # (memory bounded like everything else -- never a dense (n, p) X)
+    import jax
+    import jax.numpy as jnp
 
-    codes_te = data.read_codes()[:, test_idx]            # (p, n_test)
-    Xte = (CODE_TO_DOSAGE[codes_te] - x_mean[:, None]) * x_inv[:, None]
-    Xte[CODE_IS_NA[codes_te]] = 0.0
-    Xte = Xte.T                                          # (n_test, p)
+    x_mean, x_sd = ds_train.snp_stats(stand_x)
+    op_test = build_packed_operator(
+        ds_test, x_mean, x_sd,
+        streaming=scca_kwargs.get("streaming", "auto"),
+        memory_mb=scca_kwargs.get("memory_mb"),
+        dtype=(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
+        mesh=scca_kwargs.get("mesh"),
+    )
 
     n1, n2 = len(lambda1), len(lambda2)
     corr_train = np.full((ndim, n1, n2), np.nan)
@@ -159,7 +166,8 @@ def split_scca(
             if not res.converged:
                 continue
             corr_train[:, i, j] = _diag_corr(res.Px, res.Py)
-            corr_test[:, i, j] = _diag_corr(Xte @ res.U, Yte_std @ res.V)
+            px_test = np.asarray(op_test.prod(res.U), dtype=np.float64)
+            corr_test[:, i, j] = _diag_corr(px_test, Yte_std @ res.V)
 
     sl = corr_test[opt_dim - 1]
     if np.all(np.isnan(sl)):

@@ -104,6 +104,9 @@ def ucca(
         op = data
         dtype = op.dtype
     elif isinstance(data, PlinkDataset):
+        if data.n_samples != n:
+            # fail BEFORE the full-file stats pass and device upload
+            raise ValueError("Y rows must equal the number of samples")
         mean, sd = data.snp_stats(stand_x)
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         op = build_packed_operator(

@@ -881,6 +881,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         self._sumsq = None
         self._trace = None
         self._stage = None
+        self._inflight = [None, None]
         self.nops = 0
 
     def _raw(self):
@@ -991,7 +992,10 @@ class StreamingPackedOperator(LinearOperatorBase):
                 np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
                 for _ in range(2)
             ]
-        inflight = [None, None]
+        # persists ACROSS products: back-to-back unforced products would
+        # otherwise rewrite a buffer whose previous-call copy is still
+        # in flight
+        inflight = self._inflight
         for i in range(self.n_blocks):
             lo = i * bs
             hi = min(lo + bs, self.n_snps)

@@ -31,6 +31,7 @@ Algorithm (Wu & Simon thick restart, generalized to blocks):
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -117,14 +118,19 @@ def _hoist(matvec, example, operands):
     return jax.closure_convert(matvec, example)
 
 
-@partial(jax.jit,
-         static_argnames=("mv", "l", "nsteps", "b", "jitter"),
-         donate_argnums=(0,))
-def _expand_cycle_block_jit(V, key, consts, *, mv, l, nsteps, b, jitter):
-    """Module-level jit wrapper: with ``mv`` static and a STABLE
-    function identity (operators cache their pure closures), repeat
-    solves reuse the compiled cycle program instead of re-tracing."""
-    return _expand_cycle_block(mv, V, key, consts, l, nsteps, b, jitter)
+@functools.lru_cache(maxsize=32)
+def _expand_jit_for(mv, b, jitter):
+    """Bounded cache of jitted cycle programs keyed by (matvec, b,
+    jitter): operators return STABLE pure-closure identities, so repeat
+    solves on the same operator reuse the compiled program instead of
+    re-tracing, while the LRU bound keeps a long-running process that
+    loops over many operators from accumulating compiled executables
+    without limit (an unbounded module-level static-arg jit would)."""
+    return jax.jit(
+        partial(_expand_cycle_block, mv, b=b, jitter=jitter),
+        static_argnames=("l", "nsteps"),
+        donate_argnums=(0,),
+    )
 
 
 def _expand_cycle_block(matvec, V, key, consts, l, nsteps, b, jitter):
@@ -246,24 +252,30 @@ def _expand_cycle_host(matvec, V, key, l, nsteps, b, jitter):
     return V, H_all, R_all
 
 
-@partial(jax.jit, static_argnames=("mv", "rank_tol"))
-def _polish_sweep_jit(U, consts, *, mv, rank_tol):
-    Y = mv(U, *consts)
-    Q, _, _ = _panel_orth(Y, rank_tol)
-    Q, _, _ = _panel_orth(Q, rank_tol)
-    return Q
+@functools.lru_cache(maxsize=32)
+def _polish_jits_for(mv, rank_tol):
+    """Bounded cache of jitted polish programs (see _expand_jit_for)."""
+
+    @jax.jit
+    def sweep(U, consts):
+        Y = mv(U, *consts)
+        Q, _, _ = _panel_orth(Y, rank_tol)
+        Q, _, _ = _panel_orth(Q, rank_tol)
+        return Q
+
+    @jax.jit
+    def project(U, consts):
+        Y = mv(U, *consts)
+        G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
+        return Y, G
+
+    return sweep, project
 
 
-@partial(jax.jit, static_argnames=("mv",))
-def _polish_project_jit(U, consts, *, mv):
-    Y = mv(U, *consts)
-    G = jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
-    return Y, G
-
-
-@partial(jax.jit, static_argnames=("rank_tol",))
-def _orth2x_jit(Y, *, rank_tol):
-    return _panel_orth(_panel_orth(Y, rank_tol)[0], rank_tol)[0]
+@functools.lru_cache(maxsize=8)
+def _orth2x_for(rank_tol):
+    return jax.jit(lambda Y: _panel_orth(
+        _panel_orth(Y, rank_tol)[0], rank_tol)[0])
 
 
 @jax.jit
@@ -287,19 +299,14 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
     if fused:
         mv_pure, consts = _hoist(matvec, jnp.zeros(U.shape, U.dtype),
                                  operands)
-
-        def sweep(U, consts):
-            return _polish_sweep_jit(U, consts, mv=mv_pure,
-                                     rank_tol=rank_tol)
-
-        def project(U, consts):
-            return _polish_project_jit(U, consts, mv=mv_pure)
+        sweep, project = _polish_jits_for(mv_pure, rank_tol)
     else:
         mv_host = ((lambda Q: matvec(Q, *operands)) if operands else matvec)
         mv_pure, consts = (lambda Q: mv_host(Q)), ()
+        orth2x = _orth2x_for(rank_tol)
 
         def sweep(U, consts):
-            return _orth2x_jit(mv_pure(U), rank_tol=rank_tol)
+            return orth2x(mv_pure(U))
 
         def project(U, consts):
             Y = mv_pure(U)
@@ -411,11 +418,10 @@ def eigsh_block(
 
     if fused:
         mv_pure, consts = _hoist(matvec, jnp.zeros((n, b), dtype), operands)
+        expand_jit = _expand_jit_for(mv_pure, b, jitter)
 
         def expand(V, key, consts, l, nsteps):
-            return _expand_cycle_block_jit(
-                V, key, consts, mv=mv_pure, l=l, nsteps=nsteps, b=b,
-                jitter=jitter)
+            return expand_jit(V, key, consts, l=l, nsteps=nsteps)
     else:
         mv_host = ((lambda Q: matvec(Q, *operands)) if operands else matvec)
 

@@ -32,6 +32,7 @@ Implementation is TPU-first rather than a Spectra port:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable
@@ -78,13 +79,16 @@ def load_state(path) -> dict:
         return {k: z[k] for k in z.files}
 
 
-@partial(jax.jit,
-         static_argnames=("mv", "l", "ncv", "deflate_tol"),
-         donate_argnums=(0,))
-def _expand_cycle_jit(V, key, consts, *, mv, l, ncv, deflate_tol):
-    """Module-level jit wrapper (static, stable-identity mv): repeat
-    solves reuse the compiled cycle program."""
-    return _expand_cycle(mv, V, key, consts, l, ncv, deflate_tol)
+@functools.lru_cache(maxsize=32)
+def _expand_jit_for(mv, ncv, deflate_tol):
+    """Bounded cache of jitted scalar-cycle programs (stable-identity
+    mv reuses the compiled program across solves; LRU bounds the global
+    footprint -- see block_lanczos._expand_jit_for)."""
+    return jax.jit(
+        partial(_expand_cycle, mv, ncv=ncv, deflate_tol=deflate_tol),
+        static_argnames=("l",),
+        donate_argnums=(0,),
+    )
 
 
 def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
@@ -197,9 +201,10 @@ def eigsh(
     else:
         mv_pure, consts = jax.closure_convert(matvec, jnp.zeros((n,), dtype))
 
+    expand_jit = _expand_jit_for(mv_pure, ncv, 10.0 * eps)
+
     def expand(V, key, consts, l):
-        return _expand_cycle_jit(V, key, consts, mv=mv_pure, l=l,
-                                 ncv=ncv, deflate_tol=10.0 * eps)
+        return expand_jit(V, key, consts, l=l)
 
     nops = 0
     l = 0  # number of kept Ritz vectors after restart (0 on first cycle)

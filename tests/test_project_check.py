@@ -107,3 +107,12 @@ def test_check_accepts_operator_and_device_evec(small_plink):
     np.testing.assert_allclose(chk_op.err, chk_ds.err, rtol=1e-9,
                                atol=1e-18)
     assert chk_op.mse < 1e-10
+
+
+def test_check_accepts_list_evec(small_plink):
+    """Regression: list inputs for evec must still work (the old code
+    normalized via np.asarray before touching .shape)."""
+    root, _ = small_plink
+    res = pca(root, 2, tol=1e-9)
+    chk = check(root, [list(r) for r in res.vectors], list(res.values))
+    assert chk.mse < 1e-10

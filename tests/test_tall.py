@@ -124,3 +124,17 @@ def test_tall_sharded_via_pca_with_snps_mesh(tall_plink):
     for j in range(3):
         c = abs(np.dot(res_s.vectors[:, j], res_r.vectors[:, j]))
         assert c > 1 - 1e-8
+
+
+def test_tall_device_results(tall_plink):
+    import jax
+
+    res_d = pca(tall_plink, 3, tol=1e-9, operator_mode="tall",
+                do_loadings=True, device_results=True)
+    res_h = pca(tall_plink, 3, tol=1e-9, operator_mode="tall",
+                do_loadings=True)
+    assert isinstance(res_d.vectors, jax.Array)
+    assert isinstance(res_d.loadings, jax.Array)
+    np.testing.assert_allclose(res_d.values, res_h.values, rtol=1e-10)
+    np.testing.assert_allclose(np.abs(np.asarray(res_d.vectors)),
+                               np.abs(res_h.vectors), atol=1e-8)
