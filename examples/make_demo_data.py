@@ -13,6 +13,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def make_demo(outdir: str, n: int = 300, p: int = 600, seed: int = 11):
     from flashpca_tpu.io.plink import write_bed
