@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "(flag-compatible with flashpca 2.x)",
     )
     p.add_argument("--help", action="help")
+    p.add_argument("--cca", action="store_true",
+                   help="perform canonical correlation analysis (CCA) "
+                        "[DISABLED, matches the reference]")
     p.add_argument("--scca", action="store_true",
                    help="perform sparse canonical correlation analysis (SCCA)")
     p.add_argument("--ucca", action="store_true",
@@ -147,11 +150,16 @@ def main(argv=None) -> int:
     print(timestamp() + "arguments: flashpca-tpu "
           + " ".join(argv if argv is not None else sys.argv[1:]))
 
-    modes = [m for m in ("scca", "ucca", "project", "check")
+    modes = [m for m in ("cca", "scca", "ucca", "project", "check")
              if getattr(args, m)]
     if len(modes) > 1:
         return _die(f"conflicting modes requested: --{modes[0]}, --{modes[1]}")
     mode = modes[0] if modes else "pca"
+    if mode == "cca":
+        # flag exists but is rejected, exactly like flashpca.cpp:142-157
+        # (which prints no "Use --help" hint for this one)
+        print("Error: CCA is currently disabled", file=sys.stderr)
+        return 1
 
     if mode == "project":
         if not args.inload:

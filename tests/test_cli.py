@@ -109,6 +109,14 @@ def test_cli_conflicting_modes(small_plink, workdir):
     assert main(["--scca", "--ucca", "--bfile", root, "--notime"]) == 1
 
 
+def test_cli_cca_disabled(small_plink, workdir, capsys):
+    """--cca parses but is rejected (flashpca.cpp:142-157)."""
+    root, _ = small_plink
+    assert main(["--cca", "--bfile", root, "--notime"]) == 1
+    assert "CCA is currently disabled" in capsys.readouterr().err
+    assert main(["--cca", "--ucca", "--bfile", root, "--notime"]) == 1
+
+
 def test_cli_project_needs_inload(small_plink, workdir):
     root, _ = small_plink
     assert main(["--project", "--bfile", root, "--notime"]) == 1
