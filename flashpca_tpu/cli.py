@@ -229,6 +229,10 @@ def main(argv=None) -> int:
     mesh = None
     ndev = len(jax.devices())
     nshards = args.shards if args.shards is not None else ndev
+    if nshards > ndev:
+        # never clamp silently: the user sized per-device memory on it
+        return _die(f"--shards {nshards} exceeds the {ndev} available "
+                    f"device(s)")
     if nshards > 1:
         from jax.sharding import Mesh
         mesh = Mesh(np.array(jax.devices()[:nshards]), ("snps",))

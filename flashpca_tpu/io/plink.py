@@ -226,23 +226,31 @@ class PlinkDataset:
         return np.ascontiguousarray(dosage.T)
 
     def snp_stats(self, method: str = "binom2",
-                  block_size: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+                  block_size: int = 8192,
+                  snp_range: tuple[int, int] | None = None,
+                  ) -> tuple[np.ndarray, np.ndarray]:
         """Exact per-SNP (mean, sd) computed blockwise over the file.
 
         Uses the native OpenMP LUT kernel (csrc/bedio.cpp) when built;
-        numpy blockwise fallback otherwise."""
+        numpy blockwise fallback otherwise.  ``snp_range=(lo, hi)``
+        restricts the computation (and the file IO) to that SNP range --
+        the per-host primitive for multi-host stats (parallel/dist.py),
+        where each process reads only its own byte range."""
         from . import cbed
 
         if method not in ("binom", "binom2"):
             raise ValueError(f"unknown standardisation method: {method}")
+        lo, hi = (0, self.n_snps) if snp_range is None else snp_range
         if cbed.available():
-            return cbed.stats(self.read_packed(), self.n_samples, method)
-        means = np.empty(self.n_snps, dtype=np.float64)
-        sds = np.empty(self.n_snps, dtype=np.float64)
-        for start in range(0, self.n_snps, block_size):
-            stop = min(start + block_size, self.n_snps)
+            return cbed.stats(self.read_packed(lo, hi), self.n_samples,
+                              method)
+        means = np.empty(hi - lo, dtype=np.float64)
+        sds = np.empty(hi - lo, dtype=np.float64)
+        for start in range(lo, hi, block_size):
+            stop = min(start + block_size, hi)
             codes = self.read_codes(start, stop)
-            means[start:stop], sds[start:stop] = snp_stats_from_codes(codes, method)
+            means[start - lo: stop - lo], sds[start - lo: stop - lo] = (
+                snp_stats_from_codes(codes, method))
         return means, sds
 
 
@@ -321,7 +329,10 @@ def subset_samples(ds: PlinkDataset, sample_idx, out_root: str,
 
     shutil.copyfile(ds.bim_path, out_root + ".bim")
     with open(ds.fam_path) as fh:
-        fam_lines = fh.read().splitlines()
+        # skip blank lines so row i matches sample index i exactly as
+        # read_fam assigns indices (a blank line would otherwise shift
+        # every later sample's FID/IID)
+        fam_lines = [ln for ln in fh.read().splitlines() if ln.strip()]
     with open(out_root + ".fam", "w") as fh:
         for i in idx:
             fh.write(fam_lines[i] + "\n")

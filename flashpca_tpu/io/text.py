@@ -145,11 +145,9 @@ def save_text(
     precision: int = 7,
 ) -> None:
     """Write a tab-separated text table in the reference's format."""
-    m = np.atleast_2d(np.asarray(matrix, dtype=np.float64))
-    if m.ndim == 1:
-        m = m.reshape(-1, 1)
-    if np.asarray(matrix).ndim == 1:
-        m = np.asarray(matrix, dtype=np.float64).reshape(-1, 1)
+    m = np.asarray(matrix, dtype=np.float64)
+    # a vector writes as ONE VALUE PER ROW (eigenvalues/pve files)
+    m = m.reshape(-1, 1) if m.ndim == 1 else np.atleast_2d(m)
     with open(filename, "w") as out:
         if colnames:
             out.write(TXT_SEP.join(colnames) + "\n")

@@ -131,7 +131,7 @@ def pca(
             data, ndim, divisor, maxiter, tol, seed, do_loadings,
             data.dtype, ncv, data.center, data.scale,
             state_in=state_in, state_out=state_out,
-            device_results=device_results,
+            device_results=device_results, verbose=verbose,
         )
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
@@ -141,7 +141,7 @@ def pca(
             data.dtype, ncv, data.center, data.scale,
             fused=not isinstance(data, StreamingPackedOperator),
             device_results=device_results,
-            state_in=state_in, state_out=state_out,
+            state_in=state_in, state_out=state_out, verbose=verbose,
         )
 
     if isinstance(data, PlinkDataset):
@@ -155,16 +155,30 @@ def pca(
             X = data.read_matrix()
             return _pca_matrix(
                 X, ndim, stand, divisor, maxiter, tol, seed,
-                do_loadings, dtype, ncv, check_geno=False,
+                do_loadings, dtype, ncv, check_geno=False, verbose=verbose,
             )
         mean, sd = data.snp_stats(stand)
         if operator_mode not in ("auto", "wide", "tall"):
             raise ValueError(f"unknown operator_mode: {operator_mode}")
         # tall regime (n >> p): decompose the p x p Gram X^T X instead
         # of the n x n X X^T -- the path the reference stubbed
-        # (svdtall.cpp; see SURVEY.md 2.1)
+        # (svdtall.cpp; see SURVEY.md 2.1).  The tall operator is
+        # HBM-resident only, so a streaming request (explicit, or auto
+        # resolving on for data larger than HBM) takes precedence over
+        # the auto-tall heuristic; forcing BOTH is a visible conflict.
+        from ..ops.operator import resolve_streaming
+
+        stream_on = resolve_streaming(streaming, data, mesh)
         tall = (operator_mode == "tall"
-                or (operator_mode == "auto" and n > 2 * p))
+                or (operator_mode == "auto" and n > 2 * p and not stream_on))
+        if tall and stream_on:
+            if streaming is True:
+                raise ValueError(
+                    "operator_mode='tall' has no streaming variant; use "
+                    "operator_mode='wide' (or 'auto') with streaming, or "
+                    "drop streaming for the HBM-resident tall path"
+                )
+            stream_on = False   # operator_mode='tall' forced, auto-stream off
         if tall:
             # tall sharding splits the SAMPLE (byte) axis; reuse whatever
             # axis name the caller's 1-D mesh carries (CLI meshes are
@@ -179,13 +193,13 @@ def pca(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, mean, sd,
                 state_in=state_in, state_out=state_out,
-                device_results=device_results,
+                device_results=device_results, verbose=verbose,
             )
         # streaming: host(/disk)-resident packed data, bounded device
         # memory -- the reference's core capability (README.md:11-12).
         # auto-on when the packed matrix won't fit on the device.
         op = build_packed_operator(
-            data, mean, sd, streaming=streaming, memory_mb=memory_mb,
+            data, mean, sd, streaming=stream_on, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
         return _pca_operator(
@@ -194,6 +208,7 @@ def pca(
             fused=not isinstance(op, StreamingPackedOperator),
             device_results=device_results,
             state_in=state_in, state_out=state_out,
+            verbose=verbose,
         )
 
     X = np.asarray(data, dtype=np.float64)
@@ -211,7 +226,7 @@ def pca(
     _check_ndim(ndim, X.shape[0], X.shape[1])
     return _pca_matrix(
         X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
-        dtype, ncv, check_geno=False,
+        dtype, ncv, check_geno=False, verbose=verbose,
     )
 
 
@@ -243,7 +258,8 @@ def _save_solver_state(op, res, state_out):
 
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
               dtype, ncv, mean, sd, state_in=None,
-              state_out=None, device_results=False) -> PCAResult:
+              state_out=None, device_results=False,
+              verbose=False) -> PCAResult:
     """Tall path: eigenpairs of X^T X; identical outputs to the wide
     path: lambda(X^T X) = lambda(X X^T) on the top spectrum,
     U = X V_s Lambda^{-1/2}, and the loadings V equal V_s exactly
@@ -258,7 +274,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     res = eigsh_block(
         mv, op.op_dim, ndim, block=16, ncv=ncv,
         maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
-        operands=ops_,
+        operands=ops_, verbose=verbose,
     )
     _save_solver_state(op, res, state_out)
     if not res.converged:
@@ -304,19 +320,19 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
 
 def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
-                dtype, ncv, check_geno):
+                dtype, ncv, check_geno, verbose=False):
     X_std, mean, sd = standardize(X, stand)
     op = DenseOperator(X_std, dtype=dtype)
     return _pca_operator(
         op, ndim, divisor, maxiter, tol, seed, do_loadings, dtype, ncv,
-        mean, sd,
+        mean, sd, verbose=verbose,
     )
 
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
                   dtype, ncv, mean, sd, solver="block",
                   fused=True, device_results=False, state_in=None,
-                  state_out=None) -> PCAResult:
+                  state_out=None, verbose=False) -> PCAResult:
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
@@ -336,7 +352,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         res = eigsh_block(
             mv, op.op_dim, ndim, block=16, ncv=ncv,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
-            operands=ops_, fused=fused,
+            operands=ops_, fused=fused, verbose=verbose,
         )
     else:
         res = eigsh(

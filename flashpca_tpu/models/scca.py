@@ -22,6 +22,7 @@ float64 -- the deflation is inherently sequential per dimension
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 
@@ -172,6 +173,18 @@ def _scca_dim_device(cross_fn, mv_fn, U, V, Yp, j, v0_j, consts,
     return u, v, it, conv, uz, vz, d_j
 
 
+@functools.lru_cache(maxsize=32)
+def _dim_jit_for(cross_fn, mv_fn, maxiter):
+    """Bounded cache of jitted per-dimension programs keyed by the
+    operator's STABLE pure-product identities (ops/operator.py caches
+    them for exactly this reason) -- repeat solves on the same operator
+    (auto_init's two runs, cv/grid searches) reuse the compiled
+    while_loop instead of re-tracing it; same pattern as the solvers'
+    _expand_jit_for."""
+    return jax.jit(partial(_scca_dim_device, cross_fn, mv_fn,
+                           maxiter=maxiter))
+
+
 def scca(
     X,
     Y: np.ndarray,
@@ -303,9 +316,7 @@ def scca(
         cross_fn, mv_fn, consts = op.products_pure()
         Yp = op.permute(jnp.asarray(Y_std, dtype=dtype))
         p_dev = (op.p_pad if isinstance(op, PackedOperator) else p)
-        dim_fn = jax.jit(
-            partial(_scca_dim_device, cross_fn, mv_fn, maxiter=maxiter),
-        )
+        dim_fn = _dim_jit_for(cross_fn, mv_fn, maxiter)
         U_dev = jnp.zeros((p_dev, ndim), dtype=dtype)
         V_dev = jnp.asarray(V, dtype=dtype)
         V0_dev = jnp.asarray(V0, dtype=dtype)

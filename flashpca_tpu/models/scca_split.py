@@ -131,11 +131,22 @@ def split_scca(
     import jax.numpy as jnp
 
     x_mean, x_sd = ds_train.snp_stats(stand_x)
+    op_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     op_test = build_packed_operator(
         ds_test, x_mean, x_sd,
         streaming=scca_kwargs.get("streaming", "auto"),
         memory_mb=scca_kwargs.get("memory_mb"),
-        dtype=(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
+        dtype=op_dtype,
+        mesh=scca_kwargs.get("mesh"),
+    )
+    # ONE train operator for the whole grid: every (l1, l2) cell reuses
+    # the stats pass, the device upload, and (via the operator's stable
+    # product identities) the compiled SCCA dimension program
+    op_train = build_packed_operator(
+        ds_train, x_mean, x_sd,
+        streaming=scca_kwargs.get("streaming", "auto"),
+        memory_mb=scca_kwargs.get("memory_mb"),
+        dtype=op_dtype,
         mesh=scca_kwargs.get("mesh"),
     )
 
@@ -157,7 +168,7 @@ def split_scca(
     for i, l1 in enumerate(lambda1):
         for j, l2 in enumerate(lambda2):
             log(f"-> lambda1={l1:g} lambda2={l2:g}", verbose=verbose)
-            res = scca(ds_train, Y_train, float(l1), float(l2),
+            res = scca(op_train, Y_train, float(l1), float(l2),
                        ndim=ndim, stand_x=stand_x, stand_y=stand_y,
                        seed=seed, verbose=verbose, **scca_kwargs)
             conv[i, j] = res.converged

@@ -118,14 +118,17 @@ def ucca(
             raise ValueError("Y rows must equal the number of samples")
         Yc = Y_std - Y_std.mean(axis=0, keepdims=True)
         # cov(x_j, Y) = x_j^T Yc / (n-1): Yc columns sum to zero, so the
-        # x-mean correction vanishes -- one crossprod pass suffices
-        covXY = np.asarray(
-            op.crossprod(jnp.asarray(Yc, dtype=dtype)), dtype=np.float64
-        ) / (n - 1.0)
-        # var(x_j) of the standardized column (not exactly 1 with missing)
-        xsum = np.asarray(
-            op.crossprod(jnp.ones((n,), dtype=dtype)), dtype=np.float64
+        # x-mean correction vanishes.  The all-ones column (for the
+        # per-SNP sums) rides the SAME pass -- the kernels are
+        # decode-bound, extra panel columns are nearly free, and a
+        # second pass would double the host->HBM traffic when streaming
+        both = np.concatenate([Yc, np.ones((n, 1))], axis=1)
+        out = np.asarray(
+            op.crossprod(jnp.asarray(both, dtype=dtype)), dtype=np.float64
         )
+        covXY = out[:, :k] / (n - 1.0)
+        xsum = out[:, k]
+        # var(x_j) of the standardized column (not exactly 1 with missing)
         xsumsq = op.snp_sumsq
         varx = (xsumsq - xsum * xsum / n) / (n - 1.0)
     else:

@@ -1212,6 +1212,12 @@ class DenseOperator(LinearOperatorBase):
         return self._mv_fn(self.X, v2)
 
     @property
+    def snp_sumsq(self) -> np.ndarray:
+        """Per-SNP sum of squares (same contract as PackedOperator's)."""
+        return np.asarray(jnp.sum(self.X * self.X, axis=0),
+                          dtype=np.float64)
+
+    @property
     def trace(self) -> float:
-        X = np.asarray(self.X, dtype=np.float64)
-        return float(np.sum(X * X))
+        # reduce on device; only the scalar crosses the (slow) link
+        return float(jnp.sum(self.X * self.X))

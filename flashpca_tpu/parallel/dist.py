@@ -90,6 +90,42 @@ def load_sharded_packed(
         (p_pad, nbytes_pad), sharding, local)
 
 
+def sharded_snp_stats(
+    ds: PlinkDataset,
+    mesh: Mesh,
+    p_pad: int,
+    *,
+    stand: str = "binom2",
+    axis_name: str = "snps",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-SNP (mean, sd) with PER-HOST IO: each process computes stats
+    only for its own devices' SNP ranges (reading only those file
+    bytes), then the (p,)-length vectors are allgathered.  With one
+    process this is exactly ``ds.snp_stats(stand)``.  Keeps the stats
+    pass host-scalable like the shard load itself ("every host can read
+    ONLY its own shard of the file", module docstring)."""
+    if jax.process_count() == 1:
+        return ds.snp_stats(stand)
+    rows = plan_row_shards(p_pad, mesh.shape[axis_name])
+    mean = np.zeros(ds.n_snps, dtype=np.float64)
+    sd = np.zeros(ds.n_snps, dtype=np.float64)
+    me = jax.process_index()
+    for dev, (start, stop) in zip(mesh.devices.reshape(-1), rows):
+        if dev.process_index != me:
+            continue
+        lo, hi = min(start, ds.n_snps), min(stop, ds.n_snps)
+        if hi > lo:
+            mean[lo:hi], sd[lo:hi] = ds.snp_stats(
+                stand, snp_range=(lo, hi))
+    from jax.experimental import multihost_utils
+
+    # shard ranges are disjoint and zero elsewhere: summing the
+    # allgathered copies reassembles the global vectors
+    mean = np.asarray(multihost_utils.process_allgather(mean)).sum(axis=0)
+    sd = np.asarray(multihost_utils.process_allgather(sd)).sum(axis=0)
+    return mean, sd
+
+
 def sharded_operator(
     data,
     mesh: Mesh | None = None,
@@ -110,11 +146,12 @@ def sharded_operator(
     ds = PlinkDataset.open(data) if isinstance(data, str) else data
     if mesh is None:
         mesh = snp_mesh(axis_name=axis_name)
-    mean, sd = ds.snp_stats(stand)
 
     plan = PackedOperator.plan_layout(
         ds.n_snps, ds.nbytes_per_snp, block_size=block_size, dtype=dtype,
         nshards=mesh.shape[axis_name], use_pallas=use_pallas)
+    mean, sd = sharded_snp_stats(ds, mesh, plan["p_pad"], stand=stand,
+                                 axis_name=axis_name)
     packed = load_sharded_packed(
         ds, mesh, p_pad=plan["p_pad"], nbytes_pad=plan["nbytes_pad"],
         axis_name=axis_name)

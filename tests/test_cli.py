@@ -135,3 +135,11 @@ def test_cli_missing_bfile(workdir):
 def test_cli_ndim_cap(small_plink, workdir):
     root, _ = small_plink
     assert main(["--bfile", root, "--ndim", "100", "--notime"]) == 1
+
+
+def test_cli_shards_exceeding_devices(small_plink, workdir, capsys):
+    """--shards beyond the device count errors instead of silently
+    clamping (the user sized per-device memory on it)."""
+    root, _ = small_plink
+    assert main(["--bfile", root, "--shards", "999", "--notime"]) == 1
+    assert "exceeds" in capsys.readouterr().err

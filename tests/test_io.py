@@ -111,3 +111,35 @@ def test_read_text_firstcol(tmp_path):
         fh.write("fam1 id1 1.5 2.5\nfam2 id2 3.5 4.5\n")
     M = read_text(f, firstcol=3)
     np.testing.assert_allclose(M, [[1.5, 2.5], [3.5, 4.5]])
+
+
+def test_subset_samples_skips_blank_fam_lines(small_plink, tmp_path):
+    """A blank line in the .fam must not shift FID/IID pairing
+    (sample indices are assigned over non-blank rows)."""
+    import shutil
+    from flashpca_tpu.io.plink import PlinkDataset, subset_samples
+
+    root, geno = small_plink
+    root2 = str(tmp_path / "blanky")
+    for ext in (".bed", ".bim"):
+        shutil.copyfile(root + ext, root2 + ext)
+    lines = [ln for ln in open(root + ".fam").read().splitlines()
+             if ln.strip()]
+    with open(root2 + ".fam", "w") as fh:
+        fh.write(lines[0] + "\n\n")          # blank line after sample 0
+        fh.write("\n".join(lines[1:]) + "\n")
+    ds = PlinkDataset.open(root2)
+    out = subset_samples(ds, [0, 2, 5], str(tmp_path / "sub"))
+    got = [ln.split()[:2] for ln in open(out + ".fam").read().splitlines()]
+    want = [lines[i].split()[:2] for i in (0, 2, 5)]
+    assert got == want
+
+
+def test_snp_stats_range(small_plink):
+    from flashpca_tpu.io.plink import PlinkDataset
+
+    ds = PlinkDataset.open(small_plink[0])
+    mean, sd = ds.snp_stats("binom2")
+    m2, s2 = ds.snp_stats("binom2", snp_range=(5, 21))
+    np.testing.assert_array_equal(m2, mean[5:21])
+    np.testing.assert_array_equal(s2, sd[5:21])

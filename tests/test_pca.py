@@ -140,3 +140,4 @@ def test_pca_accepts_prebuilt_operator(small_plink):
     np.testing.assert_allclose(np.abs(np.asarray(res_op.loadings)),
                                np.abs(res_ds.loadings), atol=1e-7)
     np.testing.assert_allclose(res_op.center, res_ds.center, atol=0)
+

@@ -138,3 +138,33 @@ def test_tall_device_results(tall_plink):
     np.testing.assert_allclose(res_d.values, res_h.values, rtol=1e-10)
     np.testing.assert_allclose(np.abs(np.asarray(res_d.vectors)),
                                np.abs(res_h.vectors), atol=1e-8)
+
+
+def test_tall_forced_with_streaming_conflicts(tall_plink):
+    """operator_mode='tall' has no streaming variant: forcing both must
+    be a visible error, not a silent HBM-resident upload."""
+    with pytest.raises(ValueError, match="streaming"):
+        pca(tall_plink, ndim=2, operator_mode="tall", streaming=True)
+
+
+def test_tall_streaming_overrides_auto_tall(tall_plink, monkeypatch):
+    """Explicit streaming=True on an n > 2p cohort must take the
+    streaming wide path (bounded device memory), not auto-tall."""
+    import importlib
+
+    from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+    mpca = importlib.import_module("flashpca_tpu.models.pca")
+
+    seen = {}
+    orig = mpca._pca_operator
+
+    def spy(op, *a, **kw):
+        seen["op"] = op
+        return orig(op, *a, **kw)
+
+    monkeypatch.setattr(mpca, "_pca_operator", spy)
+    res = pca(tall_plink, ndim=2, streaming=True)
+    assert isinstance(seen["op"], StreamingPackedOperator)
+    res2 = pca(tall_plink, ndim=2, streaming=False)
+    np.testing.assert_allclose(res.values, res2.values, rtol=1e-8)

@@ -98,3 +98,17 @@ def test_ucca_accepts_prebuilt_operator(small_plink, rng):
     res_ds = ucca(root, Y)
     np.testing.assert_allclose(res_op.result, res_ds.result,
                                rtol=1e-10, atol=1e-12)
+
+
+def test_ucca_accepts_dense_operator(xy):
+    """DenseOperator is admitted by ucca's operator branch and must
+    produce the same moments path (snp_sumsq regression)."""
+    import jax.numpy as jnp
+    from flashpca_tpu.ops.operator import DenseOperator
+
+    X, Y = xy
+    Xs, _, _ = standardize(X.copy(), "binom2")
+    res_op = ucca(DenseOperator(Xs, dtype=jnp.float64), Y)
+    res_mx = ucca(X, Y)
+    np.testing.assert_allclose(res_op.result, res_mx.result,
+                               rtol=1e-9, atol=1e-12)
