@@ -9,9 +9,18 @@ The phenotype file is FID IID pheno1 pheno2 ... in .fam order, exactly
 like the reference pipeline requires (scca.sh:13-17).
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("FLASHPCA_FORCE_CPU") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import flashpca_tpu as fp
 from flashpca_tpu.io.text import read_text
@@ -30,8 +39,9 @@ def main():
                                           5.1e-3, 5.2e-3]]))
     lambda2 = np.array([1e-5, 1e-4, 1e-3])
 
+    ndim = min(10, Y.shape[1])   # at most as many dims as phenotypes
     res = fp.split_scca(
-        root, Y, lambda1, lambda2, ndim=10, prop_train=0.8, seed=1,
+        root, Y, lambda1, lambda2, ndim=ndim, prop_train=0.8, seed=1,
         workdir=outdir, verbose=True, maxiter=500, tol=1e-6,
     )
     print(res)

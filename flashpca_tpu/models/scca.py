@@ -268,6 +268,13 @@ def scca(
         X_std, _, _ = standardize(Xm, stand_x)
         op = DenseOperator(X_std, dtype=dtype)
     p = op.n_snps
+    # more canonical dimensions than the spaces support cannot converge
+    # (deflation exhausts the Y side); error like scca.R:210-215
+    max_dim = min(p, n, k)
+    if ndim > max_dim:
+        raise ValueError(
+            f"You asked for {ndim} dimensions, but only {max_dim} allowed"
+        )
 
     def xt(y_n):  # u-step product: X^T y, scaled
         return np.asarray(

@@ -109,6 +109,8 @@ def split_scca(
 
     if workdir is None:
         workdir = tempfile.mkdtemp(prefix="scca_split_")
+    else:
+        os.makedirs(workdir, exist_ok=True)
     base = os.path.basename(data.bed_path)[:-4]
     root_train = subset_samples(
         data, train_idx, os.path.join(workdir, base + "_train"))

@@ -359,9 +359,15 @@ def eigsh_block(
             cc = ncv_user
         else:
             # Block Krylov spaces need more room than scalar Lanczos'
-            # 2*nev+1 to converge in few data passes; ~4*nev + 2 panels
-            # measured best on structured genotype spectra (see tests).
-            cc = bb * (-(-(4 * nev) // bb)) + 2 * bb
+            # 2*nev+1; ~4*nev (rounded up to whole panels) measured best
+            # on structured genotype spectra.  Full-bench sweep at
+            # 501,760 x 100,352 (k in {10,20,40}, b=16): 4*nev converges
+            # in 16/21/79 panel ops vs 39/39/88 with a +2-panel slack --
+            # the extra basis room makes each thick restart KEEP more,
+            # expanding less usefully per data pass.  The max() keeps a
+            # panel of post-restart headroom for small nev.
+            cc = max(4 * nev, nev + 2 * bb)
+            cc = bb * (-(-cc // bb))
             cc = min(cc, bb * ((n - bb) // bb))
         return bb * (cc // bb) if cc % bb else cc
 
