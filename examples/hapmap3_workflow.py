@@ -13,13 +13,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-if os.environ.get("FLASHPCA_FORCE_CPU") == "1":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _env  # noqa: F401,E402  (repo path + FLASHPCA_FORCE_CPU handling)
 
 import flashpca_tpu as fp  # noqa: E402
 
@@ -28,6 +23,7 @@ def main():
     root = sys.argv[1] if len(sys.argv) > 1 else (
         "/root/reference/HapMap3/data")
     outdir = sys.argv[2] if len(sys.argv) > 2 else "."
+    os.makedirs(outdir, exist_ok=True)
 
     # ------------------------------------------------------------------ PCA
     res = fp.pca(root, ndim=10, do_loadings=True)

@@ -14,13 +14,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-if os.environ.get("FLASHPCA_FORCE_CPU") == "1":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _env  # noqa: F401,E402  (repo path + FLASHPCA_FORCE_CPU handling)
 
 import flashpca_tpu as fp
 from flashpca_tpu.io.text import read_text

@@ -10,15 +10,10 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _env  # noqa: F401,E402  (repo path + FLASHPCA_FORCE_CPU handling)
 
 import numpy as np
-
-if os.environ.get("FLASHPCA_FORCE_CPU") == "1":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
 
 import flashpca_tpu as fp
 from flashpca_tpu.io.text import read_text

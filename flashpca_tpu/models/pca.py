@@ -250,14 +250,11 @@ def _solver_v0(op, native_len, dtype, seed, state_in):
 
 def _save_solver_state(op, res, state_out):
     if state_out is not None:
-        import jax
-
-        # multi-host SPMD: the panel is replicated, so one writer is
-        # enough -- and avoids racing on a shared filesystem path
-        if jax.process_index() != 0:
-            return
         from ..solvers.lanczos import save_state
 
+        # Every process writes (the panel is replicated and identical,
+        # and hosts may not share a filesystem); save_state's atomic
+        # rename makes concurrent shared-path writes benign.
         save_state(state_out, np.asarray(op.unpermute(res.eigenvectors)),
                    res.eigenvalues, res.residuals, res.converged)
 

@@ -245,6 +245,17 @@ def scca(
         X = PlinkDataset.open(X)
 
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    # more canonical dimensions than the spaces support cannot converge
+    # (deflation exhausts the Y side); error like scca.R:210-215 --
+    # checked BEFORE the potentially huge genotype load/operator build
+    p = (X.n_snps if isinstance(X, (PlinkDataset, PackedOperator,
+                                    StreamingPackedOperator, DenseOperator))
+         else np.shape(X)[1])
+    max_dim = min(p, n, k)
+    if ndim > max_dim:
+        raise ValueError(
+            f"You asked for {ndim} dimensions, but only {max_dim} allowed"
+        )
     if isinstance(X, (PackedOperator, StreamingPackedOperator,
                       DenseOperator)):
         # prebuilt operator (e.g. device-generated data): X-side
@@ -268,13 +279,6 @@ def scca(
         X_std, _, _ = standardize(Xm, stand_x)
         op = DenseOperator(X_std, dtype=dtype)
     p = op.n_snps
-    # more canonical dimensions than the spaces support cannot converge
-    # (deflation exhausts the Y side); error like scca.R:210-215
-    max_dim = min(p, n, k)
-    if ndim > max_dim:
-        raise ValueError(
-            f"You asked for {ndim} dimensions, but only {max_dim} allowed"
-        )
 
     def xt(y_n):  # u-step product: X^T y, scaled
         return np.asarray(

@@ -361,8 +361,10 @@ def eigsh_block(
             # Block Krylov spaces need more room than scalar Lanczos'
             # 2*nev+1; ~4*nev (rounded up to whole panels) measured best
             # on structured genotype spectra.  Full-bench sweep at
-            # 501,760 x 100,352 (k in {10,20,40}, b=16): 4*nev converges
-            # in 16/21/79 panel ops vs 39/39/88 with a +2-panel slack --
+            # 501,760 x 100,352 (b=16): 4*nev converges in 16/21/79
+            # panel ops at k=20/10/40 vs 39/39/88 with a +2-panel
+            # slack (the committed bench's own pca() run: 15 at k=20;
+            # the sweep harness seeds its own init) --
             # the extra basis room makes each thick restart KEEP more,
             # expanding less usefully per data pass.  The max() keeps a
             # panel of post-restart headroom for small nev.

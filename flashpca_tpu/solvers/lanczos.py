@@ -63,14 +63,24 @@ def save_state(path, vectors, eigenvalues, residuals, converged) -> None:
     later run via the solver's ``v0`` panel seed.  ``vectors`` should be
     in SAMPLE space (unpermuted) so the state is independent of the
     operator's padded device layout.
+
+    The write is atomic (tmp file + rename) and safe under concurrent
+    identical writes: in a multi-host SPMD run every process saves the
+    same replicated panel, so on a shared filesystem the last rename
+    wins with identical content, and on host-local disks every host
+    gets its own copy for restart.
     """
-    np.savez(
-        path,
+    import os
+
+    tmp = f"{path}.{os.getpid()}.tmp.npz"  # .npz suffix: savez writes
+    np.savez(                              # exactly this path
+        tmp,
         vectors=np.asarray(vectors, dtype=np.float64),
         eigenvalues=np.asarray(eigenvalues, dtype=np.float64),
         residuals=np.asarray(residuals, dtype=np.float64),
         converged=np.asarray(bool(converged)),
     )
+    os.replace(tmp, str(path))
 
 
 def load_state(path) -> dict:
