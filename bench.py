@@ -161,6 +161,41 @@ def measure_streaming(log):
     return gbps
 
 
+def measure_extra_modes(op, n, log):
+    """FLASHPCA_BENCH_EXTRA=1: time SCCA iterations and a full UCCA
+    scan at the same scale on the already-resident operator (the
+    docs/PERFORMANCE.md 'other modes' numbers).  SCCA is capped at a
+    fixed iteration count -- the per-iteration cost (two fused passes +
+    deflation + thresholding in one jitted while_loop) is the metric,
+    not statistical convergence on synthetic phenotypes."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.models.scca import scca
+    from flashpca_tpu.models.ucca import ucca
+
+    rng = np.random.default_rng(11)
+    Y = rng.standard_normal((n, 10))
+
+    iters = 10
+    t0 = time.time()
+    # lambda=0: plain penalized power iteration -- soft-thresholding on
+    # random phenotypes would zero u and trip the all-zero abort before
+    # the iteration count is reached, invalidating the timing
+    sc = scca(op, Y[:, :2], lambda1=0.0, lambda2=0.0, ndim=1,
+              maxiter=iters, tol=0.0)
+    dt = time.time() - t0
+    log(f"bench: scca 1 dim x {iters} iters (incl compile) in {dt:.1f}s "
+        f"-> {dt / iters:.2f} s/iter upper bound (d stays 0 for "
+        f"iteration-capped dims, reference semantics "
+        f"randompca.cpp:502-518)")
+
+    t0 = time.time()
+    uc = ucca(op, Y)
+    dt = time.time() - t0
+    log(f"bench: ucca full scan ({op.n_snps} SNPs x {Y.shape[1]} phenos) "
+        f"in {dt:.1f}s; median R={np.median(uc.result[:, 0]):.4f}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -255,6 +290,12 @@ def main():
             measure_streaming(log)
         except Exception as e:  # keep the headline metric robust
             log(f"bench: streaming measurement failed: {e}")
+
+    if os.environ.get("FLASHPCA_BENCH_EXTRA") == "1":
+        try:
+            measure_extra_modes(op, n, log)
+        except Exception as e:
+            log(f"bench: extra-mode measurement failed: {e}")
 
     ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
     result = {

@@ -16,6 +16,9 @@
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -138,6 +141,17 @@ void bed_codes(const uint8_t* packed, int64_t p, int64_t nbytes,
             orow[i] = (row[i >> 2] >> (2 * (i & 3))) & 3;
         }
     }
+}
+
+// CLI --numthreads for the native kernels (the reference wires its
+// flag to omp_set_num_threads, flashpca.cpp:571-577).  n <= 0 leaves
+// the OpenMP default untouched.
+void bed_set_num_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
 }
 
 }  // extern "C"

@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blocksize", "-b", type=int, default=None,
                    help="size of block, in number of SNPs")
     p.add_argument("--numthreads", "-n", type=int, default=1,
-                   help="ignored (XLA manages threading)")
+                   help="OpenMP threads for the native host IO kernels "
+                        "(XLA manages device threading itself)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--bed"), p.add_argument("--bim"), p.add_argument("--fam")
     p.add_argument("--pheno")
@@ -142,6 +143,12 @@ def _block_size_from_memory(memory_mb, n, p, ndim, do_loadings, verbose):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     set_show_timestamp(not args.notime)
+    if args.numthreads and args.numthreads > 0:
+        # XLA manages device threading; this caps the native host
+        # decode kernels like the reference (flashpca.cpp:571-577)
+        from .io.cbed import set_num_threads
+
+        set_num_threads(args.numthreads)
 
     if args.version:
         print(f"flashpca-tpu {__version__}", file=sys.stderr)

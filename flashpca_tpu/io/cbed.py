@@ -51,8 +51,20 @@ def load() -> ctypes.CDLL | None:
                               np.ctypeslib.ndpointer(np.uint8,
                                                      flags="C_CONTIGUOUS")]
     lib.bed_codes.restype = None
+    if hasattr(lib, "bed_set_num_threads"):  # absent in older builds
+        lib.bed_set_num_threads.argtypes = [ctypes.c_int]
+        lib.bed_set_num_threads.restype = None
     _LIB = lib
     return lib
+
+
+def set_num_threads(n: int) -> None:
+    """Set the native kernels' OpenMP thread count (CLI --numthreads;
+    the reference's omp_set_num_threads wiring, flashpca.cpp:571-577).
+    No-op if the native library is absent or predates the export."""
+    lib = load()
+    if lib is not None and hasattr(lib, "bed_set_num_threads"):
+        lib.bed_set_num_threads(int(n))
 
 
 def available() -> bool:

@@ -143,3 +143,39 @@ def test_snp_stats_range(small_plink):
     m2, s2 = ds.snp_stats("binom2", snp_range=(5, 21))
     np.testing.assert_array_equal(m2, mean[5:21])
     np.testing.assert_array_equal(s2, sd[5:21])
+
+
+def test_padding_bits_ignored(tmp_path):
+    """The 2-bit slots beyond sample N in each SNP's last byte are
+    padding; corrupting them must not change any result (the operator
+    masks them via _valid, the dense loaders clip to N)."""
+    import flashpca_tpu as fp
+
+    rng = np.random.default_rng(3)
+    g = rng.binomial(2, 0.3, size=(61, 20)).astype(float)  # 61 % 4 == 1
+    root = str(tmp_path / "toy")
+    write_bed(root, g)
+    ds = PlinkDataset.open(root)
+    clean = {
+        "pca": np.asarray(fp.pca(root, ndim=4, seed=1).values),
+        "stats": ds.snp_stats("binom2"),
+        "mat": ds.read_matrix(),
+        "codes": ds.read_codes(),
+    }
+
+    nbytes = bytes_per_snp(61)
+    with open(root + ".bed", "rb") as fh:
+        raw = bytearray(fh.read())
+    for j in range(20):  # set all 3 padding slots of every SNP to 1-bits
+        raw[3 + j * nbytes + (nbytes - 1)] |= 0b11111100
+    with open(root + ".bed", "wb") as fh:
+        fh.write(bytes(raw))
+
+    ds2 = PlinkDataset.open(root)
+    assert np.array_equal(
+        clean["pca"], np.asarray(fp.pca(root, ndim=4, seed=1).values))
+    m2, s2 = ds2.snp_stats("binom2")
+    assert np.array_equal(clean["stats"][0], m2)
+    assert np.array_equal(clean["stats"][1], s2)
+    assert np.array_equal(clean["mat"], ds2.read_matrix())
+    assert np.array_equal(clean["codes"], ds2.read_codes())
