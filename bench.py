@@ -168,32 +168,34 @@ def measure_extra_modes(op, n, log):
     fixed iteration count -- the per-iteration cost (two fused passes +
     deflation + thresholding in one jitted while_loop) is the metric,
     not statistical convergence on synthetic phenotypes."""
-    import jax.numpy as jnp
-
     from flashpca_tpu.models.scca import scca
     from flashpca_tpu.models.ucca import ucca
 
     rng = np.random.default_rng(11)
     Y = rng.standard_normal((n, 10))
 
-    iters = 10
-    t0 = time.time()
     # lambda=0: plain penalized power iteration -- soft-thresholding on
     # random phenotypes would zero u and trip the all-zero abort before
-    # the iteration count is reached, invalidating the timing
-    sc = scca(op, Y[:, :2], lambda1=0.0, lambda2=0.0, ndim=1,
-              maxiter=iters, tol=0.0)
+    # the iteration count is reached, invalidating the timing.  Warm
+    # the jitted while_loop engine first: its compile plus tunnel
+    # first-exec noise would otherwise dominate the measurement.
+    scca(op, Y[:, :2], lambda1=0.0, lambda2=0.0, ndim=1, maxiter=1,
+         tol=0.0)
+    iters = 10
+    t0 = time.time()
+    scca(op, Y[:, :2], lambda1=0.0, lambda2=0.0, ndim=1,
+         maxiter=iters, tol=0.0)
     dt = time.time() - t0
-    log(f"bench: scca 1 dim x {iters} iters (incl compile) in {dt:.1f}s "
-        f"-> {dt / iters:.2f} s/iter upper bound (d stays 0 for "
-        f"iteration-capped dims, reference semantics "
-        f"randompca.cpp:502-518)")
+    log(f"bench: scca 1 dim x {iters} iters (warm) in {dt:.1f}s "
+        f"-> {dt / iters:.2f} s/iter (d stays 0 for iteration-capped "
+        f"dims, reference semantics randompca.cpp:502-518)")
 
+    ucca(op, Y)                      # warm the compiled scan
     t0 = time.time()
     uc = ucca(op, Y)
     dt = time.time() - t0
-    log(f"bench: ucca full scan ({op.n_snps} SNPs x {Y.shape[1]} phenos) "
-        f"in {dt:.1f}s; median R={np.median(uc.result[:, 0]):.4f}")
+    log(f"bench: ucca full scan ({op.n_snps} SNPs x {Y.shape[1]} phenos, "
+        f"warm) in {dt:.1f}s; median R={np.median(uc.result[:, 0]):.4f}")
 
 
 def main():

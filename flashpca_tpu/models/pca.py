@@ -93,6 +93,7 @@ def pca(
     batch: bool = False,
     check_geno: bool = True,
     ncv: int | None = None,
+    panel: int = 16,
     verbose: bool = False,
     operator_mode: str = "auto",
     streaming: bool | str = "auto",
@@ -114,6 +115,11 @@ def pca(
     host numpy -- essential when the device link is slow and the caller
     consumes them on device (e.g. a follow-up ``check``).
 
+    ``panel`` is the block-Lanczos panel width (columns decoded per
+    data pass).  16 measured fastest end-to-end on TPU (decode-bound
+    kernels make panel columns nearly free to ~32; see
+    docs/PERFORMANCE.md); tuning is rarely needed.
+
     ``state_out`` writes an .npz restart checkpoint (the Ritz panel in
     sample space) after the solve -- even when it did NOT converge, so
     an interrupted/maxiter-limited run can resume.  ``state_in`` warm-
@@ -129,7 +135,7 @@ def pca(
         _check_ndim(ndim, data.n_samples, data.n_snps)
         return _pca_tall(
             data, ndim, divisor, maxiter, tol, seed, do_loadings,
-            data.dtype, ncv, data.center, data.scale,
+            data.dtype, ncv, data.center, data.scale, panel=panel,
             state_in=state_in, state_out=state_out,
             device_results=device_results, verbose=verbose,
         )
@@ -138,7 +144,7 @@ def pca(
         _check_ndim(ndim, data.n_samples, data.n_snps)
         return _pca_operator(
             data, ndim, divisor, maxiter, tol, seed, do_loadings,
-            data.dtype, ncv, data.center, data.scale,
+            data.dtype, ncv, data.center, data.scale, panel=panel,
             fused=not isinstance(data, StreamingPackedOperator),
             device_results=device_results,
             state_in=state_in, state_out=state_out, verbose=verbose,
@@ -155,7 +161,8 @@ def pca(
             X = data.read_matrix()
             return _pca_matrix(
                 X, ndim, stand, divisor, maxiter, tol, seed,
-                do_loadings, dtype, ncv, check_geno=False, verbose=verbose,
+                do_loadings, dtype, ncv, check_geno=False, panel=panel,
+                verbose=verbose,
             )
         mean, sd = data.snp_stats(stand)
         if operator_mode not in ("auto", "wide", "tall"):
@@ -191,7 +198,7 @@ def pca(
             )
             return _pca_tall(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
-                dtype, ncv, mean, sd,
+                dtype, ncv, mean, sd, panel=panel,
                 state_in=state_in, state_out=state_out,
                 device_results=device_results, verbose=verbose,
             )
@@ -204,7 +211,7 @@ def pca(
         )
         return _pca_operator(
             op, ndim, divisor, maxiter, tol, seed, do_loadings,
-            dtype, ncv, mean, sd,
+            dtype, ncv, mean, sd, panel=panel,
             fused=not isinstance(op, StreamingPackedOperator),
             device_results=device_results,
             state_in=state_in, state_out=state_out,
@@ -226,7 +233,7 @@ def pca(
     _check_ndim(ndim, X.shape[0], X.shape[1])
     return _pca_matrix(
         X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
-        dtype, ncv, check_geno=False, verbose=verbose,
+        dtype, ncv, check_geno=False, panel=panel, verbose=verbose,
     )
 
 
@@ -260,7 +267,7 @@ def _save_solver_state(op, res, state_out):
 
 
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
-              dtype, ncv, mean, sd, state_in=None,
+              dtype, ncv, mean, sd, panel=16, state_in=None,
               state_out=None, device_results=False,
               verbose=False) -> PCAResult:
     """Tall path: eigenpairs of X^T X; identical outputs to the wide
@@ -275,7 +282,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
     mv, ops_ = op.gram_pure()
     res = eigsh_block(
-        mv, op.op_dim, ndim, block=16, ncv=ncv,
+        mv, op.op_dim, ndim, block=panel, ncv=ncv,
         maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
         operands=ops_, verbose=verbose,
     )
@@ -323,17 +330,17 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
 
 def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
-                dtype, ncv, check_geno, verbose=False):
+                dtype, ncv, check_geno, panel=16, verbose=False):
     X_std, mean, sd = standardize(X, stand)
     op = DenseOperator(X_std, dtype=dtype)
     return _pca_operator(
         op, ndim, divisor, maxiter, tol, seed, do_loadings, dtype, ncv,
-        mean, sd, verbose=verbose,
+        mean, sd, panel=panel, verbose=verbose,
     )
 
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
-                  dtype, ncv, mean, sd, solver="block",
+                  dtype, ncv, mean, sd, solver="block", panel=16,
                   fused=True, device_results=False, state_in=None,
                   state_out=None, verbose=False) -> PCAResult:
     n, p = op.n_samples, op.n_snps
@@ -353,7 +360,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         # sweep (b in {8,16,32} at 500k x 50k, k=20) picked 16 (35%
         # faster than 8; 32 over-restarts on clustered spectra)
         res = eigsh_block(
-            mv, op.op_dim, ndim, block=16, ncv=ncv,
+            mv, op.op_dim, ndim, block=panel, ncv=ncv,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
             operands=ops_, fused=fused, verbose=verbose,
         )

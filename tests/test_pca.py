@@ -141,3 +141,21 @@ def test_pca_accepts_prebuilt_operator(small_plink):
                                np.abs(res_ds.loadings), atol=1e-7)
     np.testing.assert_allclose(res_op.center, res_ds.center, atol=0)
 
+
+
+def test_pca_panel_width_invariance(small_plink):
+    """The solver panel width is a performance knob only: results must
+    match across panel sizes (different Krylov schedules, same
+    eigenpairs)."""
+    from flashpca_tpu.models.pca import pca
+
+    root, _ = small_plink
+    res8 = pca(root, 3, tol=1e-10, panel=8)
+    res16 = pca(root, 3, tol=1e-10)           # default panel=16
+    res4 = pca(root, 3, tol=1e-10, panel=4)
+    np.testing.assert_allclose(res8.values, res16.values, rtol=1e-8)
+    np.testing.assert_allclose(res4.values, res16.values, rtol=1e-8)
+    np.testing.assert_allclose(np.abs(res8.vectors), np.abs(res16.vectors),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.abs(res4.vectors), np.abs(res16.vectors),
+                               atol=1e-6)
