@@ -13,4 +13,11 @@ from .genotypes import (
     dense_standardized_np,
     valid_mask_permuted,
 )
-from .operator import PackedOperator, DenseOperator
+from .operator import (
+    PackedOperator,
+    DenseOperator,
+    StreamingPackedOperator,
+    TallPackedOperator,
+    build_packed_operator,
+    resolve_streaming,
+)

@@ -330,7 +330,7 @@ def eigsh_block(
     n: int,
     nev: int,
     *,
-    block: int = 8,
+    block: int = 16,  # measured-best panel width (docs/PERFORMANCE.md)
     ncv: int | None = None,
     maxiter: int = 500,
     tol: float = 1e-6,
