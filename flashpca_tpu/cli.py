@@ -48,9 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="size of block, in MB")
     p.add_argument("--blocksize", "-b", type=int, default=None,
                    help="size of block, in number of SNPs")
-    p.add_argument("--numthreads", "-n", type=int, default=1,
+    p.add_argument("--numthreads", "-n", type=int, default=None,
                    help="OpenMP threads for the native host IO kernels "
-                        "(XLA manages device threading itself)")
+                        "(XLA manages device threading itself; default: "
+                        "the OpenMP runtime's own default, all cores)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--bed"), p.add_argument("--bim"), p.add_argument("--fam")
     p.add_argument("--pheno")
@@ -143,9 +144,13 @@ def _block_size_from_memory(memory_mb, n, p, ndim, do_loadings, verbose):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     set_show_timestamp(not args.notime)
-    if args.numthreads and args.numthreads > 0:
+    if args.numthreads is not None and args.numthreads > 0:
         # XLA manages device threading; this caps the native host
-        # decode kernels like the reference (flashpca.cpp:571-577)
+        # decode kernels like the reference (flashpca.cpp:571-577).
+        # Only an EXPLICIT flag caps them: the reference's default of 1
+        # throttles its compute GEMMs, but here the host kernels are IO
+        # prep, and capping them to 1 by default would silently slow
+        # the stats pass on big cohorts (review r2).
         from .io.cbed import set_num_threads
 
         set_num_threads(args.numthreads)

@@ -68,20 +68,33 @@ def check(
     if isinstance(data, str):
         data = PlinkDataset.open(data)
 
-    op = None
-    if isinstance(data, (PackedOperator, StreamingPackedOperator,
-                         DenseOperator)):
-        op = data
-    elif isinstance(data, PlinkDataset):
-        if evec.shape[0] != data.n_samples:
+    # one validation for dataset and prebuilt-operator inputs alike --
+    # BEFORE the full-file stats pass / operator build, so a shape
+    # mismatch fails in milliseconds, not after a biobank-scale scan
+    n_expected = (data.n_samples
+                  if isinstance(data, (PlinkDataset, PackedOperator,
+                                       StreamingPackedOperator,
+                                       DenseOperator)) else None)
+    if n_expected is not None:
+        if evec.shape[0] != n_expected:
             raise ValueError(
                 "Eigenvector dimension doesn't match data dimension "
-                f"(evec.rows = {evec.shape[0]}; N = {data.n_samples})"
+                f"(evec.rows = {evec.shape[0]}; N = {n_expected})"
             )
         if eval_np.shape[0] != evec.shape[1]:
             raise ValueError(
                 "Eigenvector dimension doesn't match the number of eigenvalues"
             )
+
+    op = None
+    if isinstance(data, (PackedOperator, StreamingPackedOperator,
+                         DenseOperator)):
+        from ..ops.operator import check_operator_conflicts
+
+        check_operator_conflicts(data, dtype=dtype, mesh=mesh,
+                                 streaming=streaming)
+        op = data
+    elif isinstance(data, PlinkDataset):
         mean, sd = data.snp_stats(stand)
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32)
@@ -95,19 +108,21 @@ def check(
         K = min(evec.shape[1], eval_np.shape[0])
         U = (evec if isinstance(evec, jax.Array)
              else jnp.asarray(np.asarray(evec), op.dtype))
-        if U.shape[0] != n:
-            raise ValueError(
-                "Eigenvector dimension doesn't match data dimension "
-                f"(evec.rows = {U.shape[0]}; N = {n})"
-            )
-        if eval_np.shape[0] != U.shape[1]:
-            raise ValueError(
-                "Eigenvector dimension doesn't match the number of eigenvalues"
-            )
         XXU = op.perform_op(U)
         div = _div(divisor, n, p)
-        D = jnp.asarray(eval_np[:K], XXU.dtype)
-        R = XXU[:, :K] * jnp.asarray(1.0 / div, XXU.dtype) - U[:, :K] * D[None, :]
+        # The residual is a near-cancelling subtraction of two O(d)
+        # quantities; accumulate it in f64 when the runtime allows
+        # (x64 on, e.g. CPU) so the reported err matches the
+        # reference's f64 semantics (randompca.cpp:684-697) even for
+        # an f32 operator.  On an x64-off TPU the matvec itself is f32
+        # and the residual floor is ~eps_f32*d per element -- compare
+        # against the scale-free rmse/d_max form there (see bench.py).
+        rdt = jnp.float64 if jax.config.jax_enable_x64 else XXU.dtype
+        Ur = (jnp.asarray(evec, rdt) if rdt == jnp.float64
+              and not isinstance(evec, jax.Array) else U)
+        D = jnp.asarray(eval_np[:K], rdt)
+        R = (XXU[:, :K].astype(rdt) * jnp.asarray(1.0 / div, rdt)
+             - Ur[:, :K].astype(rdt) * D[None, :])
         err = np.asarray(jnp.sum(R * R, axis=0), dtype=np.float64)
     else:
         X = np.asarray(data, dtype=np.float64)

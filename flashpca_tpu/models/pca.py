@@ -126,11 +126,24 @@ def pca(
     starts the solver from such a checkpoint (seeds up to one solver
     panel of columns), typically converging in fewer data passes.
     """
+    dtype_arg = dtype          # None unless the caller chose explicitly
     dtype = dtype or _default_dtype()
 
     if isinstance(data, str):
         data = PlinkDataset.open(data)
 
+    if isinstance(data, (TallPackedOperator, PackedOperator,
+                         StreamingPackedOperator, DenseOperator)):
+        # a prebuilt operator fixes dtype/sharding/residency; explicit
+        # conflicting kwargs raise instead of being dropped silently
+        from ..ops.operator import check_operator_conflicts
+
+        check_operator_conflicts(data, dtype=dtype_arg, mesh=mesh,
+                                 streaming=streaming)
+        if batch:
+            raise ValueError(
+                "batch=True has no effect on a prebuilt operator"
+            )
     if isinstance(data, TallPackedOperator):
         _check_ndim(ndim, data.n_samples, data.n_snps)
         return _pca_tall(

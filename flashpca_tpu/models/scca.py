@@ -244,6 +244,7 @@ def scca(
     if isinstance(X, str):
         X = PlinkDataset.open(X)
 
+    dtype_arg = dtype          # None unless the caller chose explicitly
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     # more canonical dimensions than the spaces support cannot converge
     # (deflation exhausts the Y side); error like scca.R:210-215 --
@@ -259,7 +260,12 @@ def scca(
     if isinstance(X, (PackedOperator, StreamingPackedOperator,
                       DenseOperator)):
         # prebuilt operator (e.g. device-generated data): X-side
-        # standardization is baked into it
+        # standardization is baked into it; conflicting explicit
+        # kwargs raise instead of being dropped silently
+        from ..ops.operator import check_operator_conflicts
+
+        check_operator_conflicts(X, dtype=dtype_arg, mesh=mesh,
+                                 streaming=streaming)
         if X.n_samples != n:
             raise ValueError("Y rows must equal the number of samples")
         op = X

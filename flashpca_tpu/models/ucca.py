@@ -101,6 +101,10 @@ def ucca(
     op = None
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
+        from ..ops.operator import check_operator_conflicts
+
+        check_operator_conflicts(data, dtype=dtype, mesh=mesh,
+                                 streaming=streaming)
         op = data
         dtype = op.dtype
     elif isinstance(data, PlinkDataset):

@@ -20,4 +20,5 @@ from .operator import (
     TallPackedOperator,
     build_packed_operator,
     resolve_streaming,
+    check_operator_conflicts,
 )

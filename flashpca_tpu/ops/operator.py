@@ -1121,6 +1121,41 @@ def resolve_streaming(streaming, ds, mesh) -> bool:
     return bool(limit and packed_bytes > 0.7 * limit)
 
 
+def check_operator_conflicts(op, *, dtype=None, mesh=None,
+                             streaming="auto"):
+    """Reject keyword requests that a PREBUILT operator cannot honor.
+
+    Prebuilt operators carry their own dtype, sharding and residency;
+    the analysis modes (pca/scca/ucca/check/project) previously dropped
+    a caller's explicit ``dtype=``/``mesh=``/``streaming=`` silently
+    when an operator was passed as the data argument (review r2) -- a
+    caller writing ``ucca(op_f32, Y, dtype=jnp.float64)`` believed the
+    accuracy knob took effect.  Conflicts raise instead."""
+    if dtype is not None and np.dtype(dtype) != np.dtype(op.dtype):
+        raise ValueError(
+            f"dtype={np.dtype(dtype).name} conflicts with the prebuilt "
+            f"{type(op).__name__}'s dtype={np.dtype(op.dtype).name}; "
+            "rebuild the operator with the desired dtype"
+        )
+    if mesh is not None and getattr(op, "mesh", None) is not mesh:
+        raise ValueError(
+            "mesh= conflicts with the prebuilt operator's device "
+            "placement; build the operator on the target mesh instead"
+        )
+    is_stream = isinstance(op, StreamingPackedOperator)
+    if streaming is True and not is_stream:
+        raise ValueError(
+            "streaming=True was passed with an HBM-resident prebuilt "
+            "operator; build a StreamingPackedOperator (or pass the "
+            "PLINK data directly) for bounded device memory"
+        )
+    if streaming is False and is_stream:
+        raise ValueError(
+            "streaming=False was passed with a prebuilt streaming "
+            "operator; build a resident PackedOperator instead"
+        )
+
+
 def build_packed_operator(
     ds,
     mean,

@@ -120,10 +120,17 @@ def sharded_snp_stats(
     from jax.experimental import multihost_utils
 
     # shard ranges are disjoint and zero elsewhere: summing the
-    # allgathered copies reassembles the global vectors
-    mean = np.asarray(multihost_utils.process_allgather(mean)).sum(axis=0)
-    sd = np.asarray(multihost_utils.process_allgather(sd)).sum(axis=0)
-    return mean, sd
+    # allgathered copies reassembles the global vectors.  The gather
+    # goes through device arrays, and with x64 off (the real-TPU
+    # default) JAX canonicalizes f64 -> f32, silently rounding the
+    # stats (review r2) -- so ship the f64 BIT PATTERNS as int32 lanes
+    # and reinterpret after the gather; sum only in host f64.
+    def _allgather_f64(arr):
+        bits = np.ascontiguousarray(arr).view(np.int32)      # (2n,)
+        g = np.asarray(multihost_utils.process_allgather(bits))
+        return np.ascontiguousarray(g).view(np.float64).sum(axis=0)
+
+    return _allgather_f64(mean), _allgather_f64(sd)
 
 
 def sharded_operator(

@@ -68,12 +68,17 @@ def save_state(path, vectors, eigenvalues, residuals, converged) -> None:
     identical writes: in a multi-host SPMD run every process saves the
     same replicated panel, so on a shared filesystem the last rename
     wins with identical content, and on host-local disks every host
-    gets its own copy for restart.
+    gets its own copy for restart.  The tmp name carries a random
+    token, not just the pid: two HOSTS sharing a filesystem can share
+    a pid, and a pid-only name would let their writes interleave into
+    one corrupt tmp file (review r2).
     """
     import os
+    import uuid
 
-    tmp = f"{path}.{os.getpid()}.tmp.npz"  # .npz suffix: savez writes
-    np.savez(                              # exactly this path
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.npz"
+    np.savez(                              # .npz suffix: savez writes
+                                           # exactly this path
         tmp,
         vectors=np.asarray(vectors, dtype=np.float64),
         eigenvalues=np.asarray(eigenvalues, dtype=np.float64),

@@ -12,10 +12,15 @@ import sys
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
+MODE = sys.argv[6] if len(sys.argv) > 6 else "full"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# mode "stats32" leaves x64 OFF (the real-TPU default) to prove the
+# f64 stats survive the process_allgather bit-exactly even when JAX
+# would canonicalize f64 device arrays to f32 (review r2)
+jax.config.update("jax_enable_x64", MODE != "stats32")
 
 
 def main():
@@ -36,6 +41,20 @@ def main():
     assert len(jax.local_devices()) == 4
 
     mesh = snp_mesh()
+
+    if MODE == "stats32":
+        from flashpca_tpu.io.plink import PlinkDataset
+        from flashpca_tpu.ops.operator import PackedOperator
+        from flashpca_tpu.parallel.dist import sharded_snp_stats
+
+        ds = PlinkDataset.open(root)
+        plan = PackedOperator.plan_layout(
+            ds.n_snps, ds.nbytes_per_snp, nshards=mesh.shape["snps"])
+        mean, sd = sharded_snp_stats(ds, mesh, plan["p_pad"])
+        np.savez(os.path.join(outdir, f"worker{pid}.npz"),
+                 mean=mean, sd=sd)
+        print(f"worker {pid} ok", flush=True)
+        return
     op = sharded_operator(root, mesh, dtype=jnp.float64)
 
     n = op.n_samples

@@ -21,10 +21,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_shard_invariance(small_plink, tmp_path):
-    root, _ = small_plink
+def _run_workers(root, outdir, mode="full", nproc=2):
     port = _free_port()
-    outdir = str(tmp_path)
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
 
     env = dict(os.environ)
@@ -38,10 +36,11 @@ def test_two_process_shard_invariance(small_plink, tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, root, str(pid), "2", str(port), outdir],
+            [sys.executable, worker, root, str(pid), str(nproc),
+             str(port), outdir, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for pr in procs:
@@ -54,6 +53,11 @@ def test_two_process_shard_invariance(small_plink, tmp_path):
         outs.append(out.decode(errors="replace"))
     for pid, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"worker {pid} failed:\n{out}"
+
+
+def test_two_process_shard_invariance(small_plink, tmp_path):
+    root, _ = small_plink
+    _run_workers(root, str(tmp_path))
 
     # single-process dense oracle
     from flashpca_tpu.io.plink import PlinkDataset
@@ -93,3 +97,21 @@ def test_two_process_shard_invariance(small_plink, tmp_path):
                                rtol=1e-9, atol=1e-9)
     # padding rows (if any) are exactly zero
     assert np.all(got[ds.n_snps:] == 0.0)
+
+
+def test_two_process_stats_exact_f64_without_x64(small_plink, tmp_path):
+    """sharded_snp_stats must return EXACT f64 stats even with x64 off
+    (the real-TPU default): the gather ships bit patterns, not device
+    f64 arrays that JAX would canonicalize to f32 (review r2)."""
+    root, _ = small_plink
+    _run_workers(root, str(tmp_path), mode="stats32")
+
+    from flashpca_tpu.io.plink import PlinkDataset
+
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    for pid in range(2):
+        d = np.load(tmp_path / f"worker{pid}.npz")
+        assert d["mean"].dtype == np.float64
+        np.testing.assert_array_equal(d["mean"], mean)
+        np.testing.assert_array_equal(d["sd"], sd)

@@ -1,0 +1,104 @@
+"""Prebuilt-operator inputs must REJECT conflicting explicit kwargs.
+
+A prebuilt operator fixes dtype/sharding/residency; before review r2
+the analysis modes silently dropped a caller's explicit ``dtype=``/
+``streaming=``/``mesh=`` when an operator was passed as the data
+argument (e.g. ``ucca(op_f32, Y, dtype=jnp.float64)`` returned f32
+results with no indication the accuracy knob was ignored).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flashpca_tpu.io.plink import PlinkDataset
+from flashpca_tpu.models.check import check
+from flashpca_tpu.models.pca import pca
+from flashpca_tpu.models.scca import scca
+from flashpca_tpu.models.ucca import ucca
+from flashpca_tpu.ops.operator import (PackedOperator,
+                                       StreamingPackedOperator)
+
+
+@pytest.fixture(scope="module")
+def ops(small_plink):
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    resident = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                              dtype=jnp.float32)
+    streaming = StreamingPackedOperator(ds, mean, sd, ds.n_samples,
+                                        dtype=jnp.float32)
+    return resident, streaming
+
+
+@pytest.fixture(scope="module")
+def pheno(small_plink):
+    root, geno = small_plink
+    rng = np.random.default_rng(3)
+    return rng.normal(size=(geno.shape[0], 3))
+
+
+def test_pca_rejects_dtype_conflict(ops):
+    resident, _ = ops
+    with pytest.raises(ValueError, match="dtype"):
+        pca(resident, 2, dtype=jnp.float64)
+
+
+def test_pca_rejects_forced_streaming_on_resident(ops):
+    resident, _ = ops
+    with pytest.raises(ValueError, match="streaming"):
+        pca(resident, 2, streaming=True)
+
+
+def test_pca_rejects_disabled_streaming_on_streaming_op(ops):
+    _, streaming = ops
+    with pytest.raises(ValueError, match="streaming"):
+        pca(streaming, 2, streaming=False)
+
+
+def test_pca_rejects_batch_on_operator(ops):
+    resident, _ = ops
+    with pytest.raises(ValueError, match="batch"):
+        pca(resident, 2, batch=True)
+
+
+def test_pca_rejects_mesh_conflict(ops):
+    import jax
+    from jax.sharding import Mesh
+
+    resident, _ = ops
+    mesh = Mesh(np.array(jax.devices()[:1]), ("snps",))
+    with pytest.raises(ValueError, match="mesh"):
+        pca(resident, 2, mesh=mesh)
+
+
+def test_check_rejects_dtype_conflict(ops, small_plink):
+    resident, _ = ops
+    evec = np.zeros((resident.n_samples, 2))
+    with pytest.raises(ValueError, match="dtype"):
+        check(resident, evec, np.ones(2), dtype=jnp.float64)
+
+
+def test_ucca_rejects_dtype_conflict(ops, pheno):
+    resident, _ = ops
+    with pytest.raises(ValueError, match="dtype"):
+        ucca(resident, pheno, dtype=jnp.float64)
+
+
+def test_scca_rejects_dtype_conflict(ops, pheno):
+    resident, _ = ops
+    rng = np.random.default_rng(5)
+    V0 = rng.normal(size=(pheno.shape[1], 2))
+    with pytest.raises(ValueError, match="dtype"):
+        scca(resident, pheno, 1e-3, 1e-3, ndim=2, V0=V0,
+             dtype=jnp.float64)
+
+
+def test_matching_kwargs_still_accepted(ops):
+    """Non-conflicting explicit kwargs (same dtype, auto streaming)
+    keep working."""
+    resident, _ = ops
+    res = pca(resident, 2, dtype=jnp.float32, streaming="auto", tol=1e-6)
+    assert res.values.shape == (2,)
