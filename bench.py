@@ -18,6 +18,12 @@ algorithm is linear in the data size).
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 Environment overrides: FLASHPCA_BENCH_N, FLASHPCA_BENCH_P,
 FLASHPCA_BENCH_K, FLASHPCA_BENCH_TOL.
+
+FLASHPCA_BENCH_MODE=tall switches to the n >> p regime the reference
+stubbed (svdtall.cpp dead code): >1M individuals x 50k SNPs -- the
+same 12.6 GB of packed data -- through `TallPackedOperator` (p x p
+Gram X^T X).  This demonstrates the reference's ">= 1M individuals"
+claim (README.md:12) resident on ONE chip.
 """
 
 from __future__ import annotations
@@ -213,11 +219,19 @@ def main():
         pass
 
     platform = jax.devices()[0].platform
+    mode = os.environ.get("FLASHPCA_BENCH_MODE", "wide")
     n = int(os.environ.get("FLASHPCA_BENCH_N", 0))
     p = int(os.environ.get("FLASHPCA_BENCH_P", 0))
     k = int(os.environ.get("FLASHPCA_BENCH_K", 20))
     tol = float(os.environ.get("FLASHPCA_BENCH_TOL", 1e-6))
 
+    if mode == "tall" and not n and not p:
+        if platform == "tpu":
+            # > 1M individuals; ceil(N/4) = 250880 = 490*512,
+            # p = 98*512 -- same 12.59 GB packed as the wide bench
+            n, p = 1_003_520, 50_176
+        else:
+            n, p = 40_000, 2_000
     if not n or not p:
         if platform == "tpu":
             # fit packed (p, ceil(N/4)) + decode blocks in HBM
@@ -234,7 +248,7 @@ def main():
 
     from flashpca_tpu.models.check import check
     from flashpca_tpu.models.pca import pca
-    from flashpca_tpu.ops.operator import PackedOperator
+    from flashpca_tpu.ops.operator import PackedOperator, TallPackedOperator
     from flashpca_tpu.solvers.block_lanczos import eigsh_block, polish_subspace
 
     t0 = time.time()
@@ -243,7 +257,10 @@ def main():
         f"in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    op = PackedOperator(packed, mean, sd, n, dtype=jnp.float32)
+    if mode == "tall":
+        op = TallPackedOperator(packed, mean, sd, n, dtype=jnp.float32)
+    else:
+        op = PackedOperator(packed, mean, sd, n, dtype=jnp.float32)
     del packed
     # Warm every compiled program the end-to-end run will hit (excluded
     # from timing, like the reference's one-time process startup): the
@@ -256,10 +273,16 @@ def main():
                 dtype=op.dtype, seed=1, operands=ops_)       # cycle program
     polish_subspace(mv, jnp.zeros((op.op_dim, k), op.dtype),
                     iters=1, operands=ops_)                  # polish programs
-    float(jnp.sum(op._sumsq_fn(op.packed, op.mean, op.invsd,
-                               op._valid)))                  # trace (no cache)
-    float(jnp.sum(op.perform_op(
-        jnp.ones((n, k), op.dtype))))                        # check's k-gram
+    if mode == "tall":
+        float(jnp.sum(op._sumsq_fn(op.packed, op.mean, op.invsd,
+                                   op.valid2d)))             # trace
+        float(jnp.sum(op.prod(
+            jnp.ones((p, k), op.dtype))))                    # U = X V tail
+    else:
+        float(jnp.sum(op._sumsq_fn(op.packed, op.mean, op.invsd,
+                                   op._valid)))              # trace (no cache)
+        float(jnp.sum(op.perform_op(
+            jnp.ones((n, k), op.dtype))))                    # check's k-gram
     log(f"bench: operator built + programs warmed in {time.time() - t0:.1f}s")
 
     # -- the measured end-to-end user path -------------------------------
@@ -275,33 +298,43 @@ def main():
     log(f"bench: top eigenvalues d=lam/p: {np.round(res.values, 4)[:5]}")
     log(f"bench: pve: {np.round(res.pve, 5)[:5]} trace={res.trace:.1f}")
 
-    # -- accuracy contract: --check on the result ------------------------
-    t1 = time.time()
-    chk = check(op, res.vectors, res.values)
-    d_max = float(np.max(res.values))
-    rel_rmse = chk.rmse / d_max
-    log(f"bench: check in {time.time() - t1:.1f}s: mse={chk.mse:.3e} "
-        f"rmse={chk.rmse:.3e} rmse/d_max={rel_rmse:.3e} "
-        f"(reference contract README.md:207: mse < 1e-8 at d ~ O(1); "
-        f"scale-free form rmse/d_max < 1e-5 at f32)")
-    if rel_rmse > 1e-5:
-        log("bench: WARNING accuracy contract violated")
+    # -- accuracy contract -----------------------------------------------
+    if mode == "tall":
+        # check() verifies XX^T U (wide semantics); the tall solve's
+        # accuracy evidence is the solver's own scaled residual
+        # ||X^T X v - theta v|| / theta_max at acceptance
+        rel = float(np.max(res.residuals)) / (
+            float(np.max(res.values)) * p)   # values = lam/div, div=p
+        log(f"bench: tall solve max scaled residual {rel:.3e} "
+            f"(acceptance threshold ~eps_f32^(2/3))")
+    else:
+        t1 = time.time()
+        chk = check(op, res.vectors, res.values)
+        d_max = float(np.max(res.values))
+        rel_rmse = chk.rmse / d_max
+        log(f"bench: check in {time.time() - t1:.1f}s: mse={chk.mse:.3e} "
+            f"rmse={chk.rmse:.3e} rmse/d_max={rel_rmse:.3e} "
+            f"(reference contract README.md:207: mse < 1e-8 at d ~ O(1); "
+            f"scale-free form rmse/d_max < 1e-5 at f32)")
+        if rel_rmse > 1e-5:
+            log("bench: WARNING accuracy contract violated")
 
-    if platform == "tpu":
+    if platform == "tpu" and mode != "tall":
         try:
             measure_streaming(log)
         except Exception as e:  # keep the headline metric robust
             log(f"bench: streaming measurement failed: {e}")
 
-    if os.environ.get("FLASHPCA_BENCH_EXTRA") == "1":
+    if os.environ.get("FLASHPCA_BENCH_EXTRA") == "1" and mode != "tall":
         try:
             measure_extra_modes(op, n, log)
         except Exception as e:
             log(f"bench: extra-mode measurement failed: {e}")
 
     ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
+    tag = "pca_tall" if mode == "tall" else "pca"
     result = {
-        "metric": f"pca_n{n}_p{p}_k{k}_end_to_end_wall_s",
+        "metric": f"{tag}_n{n}_p{p}_k{k}_end_to_end_wall_s",
         "value": round(elapsed, 2),
         "unit": "s",
         "vs_baseline": round(ref_scaled / elapsed, 2),
