@@ -228,3 +228,46 @@ def test_streaming_small_problem_shrinks_panel(tmp_path):
     r_str = pca(root, 3, tol=1e-9, streaming=True, memory_mb=1)
     r_res = pca(root, 3, tol=1e-9, streaming=False)
     np.testing.assert_allclose(r_str.values, r_res.values, rtol=1e-8)
+
+
+@pytest.mark.parametrize("n", [60, 61, 62, 63])
+def test_all_n_mod_4_paddings(tmp_path, n):
+    """Every n % 4 residue through all operator kinds + the tall path:
+    the 2-bit padding bits in the last byte must never leak into any
+    product (wide/tall/streaming), whatever the residue."""
+    from flashpca_tpu.io.plink import write_bed
+    from flashpca_tpu.ops.operator import (StreamingPackedOperator,
+                                           TallPackedOperator)
+
+    rng = np.random.default_rng(100 + n)
+    p = 23
+    geno = rng.binomial(2, 0.3, size=(n, p)).astype(np.float64)
+    geno[rng.uniform(size=(n, p)) < 0.07] = np.nan
+    root = str(tmp_path / f"pad{n}")
+    write_bed(root, geno)
+
+    ds = PlinkDataset.open(root)
+    assert ds.n_samples == n
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T  # (n, p)
+
+    x = rng.normal(size=(n, 2))
+    v = rng.normal(size=(p, 2))
+
+    wide = PackedOperator(ds.read_packed(), mean, sd, n, dtype=jnp.float64)
+    stream = StreamingPackedOperator(ds, mean, sd, n, block_snps=7,
+                                     dtype=jnp.float64)
+    for op in (wide, stream):
+        np.testing.assert_allclose(np.asarray(op.perform_op(x)),
+                                   X @ (X.T @ x), rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(op.crossprod(x)),
+                                   X.T @ x, rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(op.prod(v)),
+                                   X @ v, rtol=1e-10, atol=1e-10)
+
+    tall = TallPackedOperator(ds.read_packed(), mean, sd, n,
+                              dtype=jnp.float64)
+    u = tall.gram_permuted(tall.permute(jnp.asarray(v, jnp.float64)))
+    np.testing.assert_allclose(np.asarray(tall.unpermute(u)),
+                               X.T @ (X @ v), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(tall.trace, (X ** 2).sum(), rtol=1e-10)
