@@ -17,7 +17,6 @@ C++ fast path (csrc/bedio.cpp) accelerates the decode/stats loops.
 
 from __future__ import annotations
 
-import math
 import os
 import warnings
 from dataclasses import dataclass, field

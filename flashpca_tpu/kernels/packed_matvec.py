@@ -30,8 +30,6 @@ value = ``(dosage - mean) * inv_sd * (c != 1)``.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
 from ..ops.operator import (DenseOperator, PackedOperator,
-                            StreamingPackedOperator, build_packed_operator)
+                            StreamingPackedOperator, build_packed_operator,
+                            check_operator_conflicts, default_dtype)
 from ..ops.standardize import standardize
 
 
@@ -89,15 +90,12 @@ def check(
     op = None
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
-        from ..ops.operator import check_operator_conflicts
-
         check_operator_conflicts(data, dtype=dtype, mesh=mesh,
                                  streaming=streaming)
         op = data
     elif isinstance(data, PlinkDataset):
         mean, sd = data.snp_stats(stand)
-        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
-                          else jnp.float32)
+        dtype = dtype or default_dtype()
         op = build_packed_operator(
             data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
@@ -107,7 +105,7 @@ def check(
         n, p = op.n_samples, op.n_snps
         K = min(evec.shape[1], eval_np.shape[0])
         U = (evec if isinstance(evec, jax.Array)
-             else jnp.asarray(np.asarray(evec), op.dtype))
+             else jnp.asarray(evec, op.dtype))
         XXU = op.perform_op(U)
         div = _div(divisor, n, p)
         # The residual is a near-cancelling subtraction of two O(d)
@@ -118,8 +116,10 @@ def check(
         # and the residual floor is ~eps_f32*d per element -- compare
         # against the scale-free rmse/d_max form there (see bench.py).
         rdt = jnp.float64 if jax.config.jax_enable_x64 else XXU.dtype
-        Ur = (jnp.asarray(evec, rdt) if rdt == jnp.float64
-              and not isinstance(evec, jax.Array) else U)
+        if rdt == jnp.float64 and not isinstance(evec, jax.Array):
+            Ur = jnp.asarray(evec, rdt)   # original f64, not the op-dtype cast
+        else:
+            Ur = U
         D = jnp.asarray(eval_np[:K], rdt)
         R = (XXU[:, :K].astype(rdt) * jnp.asarray(1.0 / div, rdt)
              - Ur[:, :K].astype(rdt) * D[None, :])

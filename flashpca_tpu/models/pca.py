@@ -16,17 +16,17 @@ plus the Spectra ncv rule ``ncv = 2*ndim + 1`` and the dimension cap
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
 from ..ops.operator import (DenseOperator, PackedOperator,
                             StreamingPackedOperator, TallPackedOperator,
-                            build_packed_operator)
+                            build_packed_operator, check_operator_conflicts,
+                            default_dtype as _default_dtype)
 from ..ops.standardize import standardize
 from ..solvers.block_lanczos import eigsh_block, polish_subspace
 from ..solvers.lanczos import eigsh
@@ -53,8 +53,6 @@ class PCAResult:
         return f"PCAResult(ndim={len(self.values)}, converged={self.converged})"
 
 
-def _default_dtype():
-    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def _resolve_divisor(divisor: str, n: int, p: int) -> float:
@@ -136,8 +134,6 @@ def pca(
                          StreamingPackedOperator, DenseOperator)):
         # a prebuilt operator fixes dtype/sharding/residency; explicit
         # conflicting kwargs raise instead of being dropped silently
-        from ..ops.operator import check_operator_conflicts
-
         check_operator_conflicts(data, dtype=dtype_arg, mesh=mesh,
                                  streaming=streaming)
         if batch:

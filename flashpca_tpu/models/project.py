@@ -18,12 +18,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
 from ..io.text import maf2meansd
-from ..ops.operator import build_packed_operator
+from ..ops.operator import build_packed_operator, default_dtype
 from ..ops.standardize import VAR_TOL
 
 
@@ -107,7 +106,7 @@ def project(
         else:
             mean, sd = data.snp_stats(stand)
 
-        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        dtype = dtype or default_dtype()
         # streaming = the reference's online projection (randompca.cpp:790-820)
         op = build_packed_operator(
             data, mean, sd, streaming=streaming, memory_mb=memory_mb,

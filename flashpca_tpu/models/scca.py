@@ -34,7 +34,8 @@ from jax import lax
 
 from ..io.plink import PlinkDataset
 from ..ops.operator import (DenseOperator, PackedOperator,
-                            StreamingPackedOperator, build_packed_operator)
+                            StreamingPackedOperator, build_packed_operator,
+                            check_operator_conflicts, default_dtype)
 from ..ops.standardize import standardize
 from ..utils.logging import log
 
@@ -245,7 +246,7 @@ def scca(
         X = PlinkDataset.open(X)
 
     dtype_arg = dtype          # None unless the caller chose explicitly
-    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    dtype = dtype or default_dtype()
     # more canonical dimensions than the spaces support cannot converge
     # (deflation exhausts the Y side); error like scca.R:210-215 --
     # checked BEFORE the potentially huge genotype load/operator build
@@ -262,8 +263,6 @@ def scca(
         # prebuilt operator (e.g. device-generated data): X-side
         # standardization is baked into it; conflicting explicit
         # kwargs raise instead of being dropped silently
-        from ..ops.operator import check_operator_conflicts
-
         check_operator_conflicts(X, dtype=dtype_arg, mesh=mesh,
                                  streaming=streaming)
         if X.n_samples != n:

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..io.plink import PlinkDataset, subset_samples
-from ..ops.operator import build_packed_operator
+from ..ops.operator import build_packed_operator, default_dtype
 from ..ops.standardize import VAR_TOL, standardize
 from ..utils.logging import log
 from .scca import scca
@@ -129,11 +129,8 @@ def split_scca(
     # test genotypes stay 2-bit packed: an operator built over the TEST
     # fileset with the TRAIN standardization stats projects via prod()
     # (memory bounded like everything else -- never a dense (n, p) X)
-    import jax
-    import jax.numpy as jnp
-
     x_mean, x_sd = ds_train.snp_stats(stand_x)
-    op_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    op_dtype = default_dtype()
     op_test = build_packed_operator(
         ds_test, x_mean, x_sd,
         streaming=scca_kwargs.get("streaming", "auto"),

@@ -23,12 +23,12 @@ from dataclasses import dataclass
 import numpy as np
 from scipy.stats import f as f_dist
 
-import jax
 import jax.numpy as jnp
 
 from ..io.plink import PlinkDataset
 from ..ops.operator import (DenseOperator, PackedOperator,
-                            StreamingPackedOperator, build_packed_operator)
+                            StreamingPackedOperator, build_packed_operator,
+                            check_operator_conflicts, default_dtype)
 from ..ops.standardize import standardize
 
 
@@ -101,8 +101,6 @@ def ucca(
     op = None
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
-        from ..ops.operator import check_operator_conflicts
-
         check_operator_conflicts(data, dtype=dtype, mesh=mesh,
                                  streaming=streaming)
         op = data
@@ -112,7 +110,7 @@ def ucca(
             # fail BEFORE the full-file stats pass and device upload
             raise ValueError("Y rows must equal the number of samples")
         mean, sd = data.snp_stats(stand_x)
-        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        dtype = dtype or default_dtype()
         op = build_packed_operator(
             data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,

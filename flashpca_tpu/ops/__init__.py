@@ -21,4 +21,5 @@ from .operator import (
     build_packed_operator,
     resolve_streaming,
     check_operator_conflicts,
+    default_dtype,
 )

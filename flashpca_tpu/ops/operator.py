@@ -25,6 +25,7 @@ replicated.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import numpy as np
@@ -43,6 +44,12 @@ from .genotypes import (
     valid_mask_permuted,
 )
 from .standardize import lookup_tables
+
+
+def default_dtype():
+    """Device compute dtype every analysis mode defaults to: f64 when
+    the runtime allows (x64 on, e.g. CPU tests), else f32 (real TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 # ---------------------------------------------------------------------------
@@ -983,9 +990,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         rewrite race unverifiable, so the safe default is a fresh
         buffer per block."""
         bs = self.block_snps
-        import os as _os
-
-        reuse = (_os.environ.get("FLASHPCA_STAGE_REUSE") == "1"
+        reuse = (os.environ.get("FLASHPCA_STAGE_REUSE") == "1"
                  and jax.default_backend() != "cpu")
         if reuse and self._stage is None:
             self._stage = [
@@ -996,6 +1001,9 @@ class StreamingPackedOperator(LinearOperatorBase):
         # otherwise rewrite a buffer whose previous-call copy is still
         # in flight
         inflight = self._inflight
+        if self.mesh is not None:
+            row_sh = NamedSharding(self.mesh, P(self.axis_name, None))
+            snp_sh = NamedSharding(self.mesh, P(self.axis_name))
         for i in range(self.n_blocks):
             lo = i * bs
             hi = min(lo + bs, self.n_snps)
@@ -1009,8 +1017,6 @@ class StreamingPackedOperator(LinearOperatorBase):
                 buf = np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
             buf[: hi - lo, : self.nbytes] = self._host_packed[lo:hi]
             if self.mesh is not None:
-                row_sh = NamedSharding(self.mesh, P(self.axis_name, None))
-                snp_sh = NamedSharding(self.mesh, P(self.axis_name))
                 pb = jax.device_put(buf, row_sh)
                 mb = jax.device_put(self._mean_pad[lo: lo + bs], snp_sh)
                 ib = jax.device_put(self._invsd_pad[lo: lo + bs], snp_sh)

@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..io.plink import PlinkDataset, bytes_per_snp
-from ..ops.standardize import lookup_tables
+from ..io.plink import PlinkDataset
 
 
 def init_distributed(**kwargs) -> None:
