@@ -199,7 +199,11 @@ def _expand_cycle_block(matvec, V, key, consts, l, nsteps, b, jitter):
 
     H_all = jnp.zeros((nsteps, ncvb, b), V.dtype)
     R_all = jnp.zeros((nsteps, b, b), V.dtype)
-    return lax.fori_loop(0, nsteps, body, (V, H_all, R_all))
+    V, H_all, R_all = lax.fori_loop(0, nsteps, body, (V, H_all, R_all))
+    # ONE stacked (nsteps, ncv+2b, b) output: the restart loop fetches
+    # it in a single device->host transfer -- separate H/R fetches each
+    # pay the per-transfer floor of a slow device link (measured 2x)
+    return V, jnp.concatenate([H_all, R_all], axis=1)
 
 
 @partial(jax.jit, static_argnames=("jitter",))
@@ -249,7 +253,8 @@ def _expand_cycle_host(matvec, V, key, l, nsteps, b, jitter):
         V = V.at[:, cs + b: cs + 2 * b].set(Qn)
         H_all[t] = np.asarray(H, dtype=np.float64)
         R_all[t] = np.asarray(R, dtype=np.float64)
-    return V, H_all, R_all
+    # same stacked (nsteps, ncv+2b, b) layout as the fused expansion
+    return V, np.concatenate([H_all, R_all], axis=1)
 
 
 @functools.lru_cache(maxsize=32)
@@ -455,11 +460,12 @@ def eigsh_block(
         nsteps = (ncv - l) // b
         key, sub = jax.random.split(key)
         _t0 = _time.time()
-        V, H_d, R_d = expand(V, sub, consts, l=l, nsteps=nsteps)
+        V, HR_d = expand(V, sub, consts, l=l, nsteps=nsteps)
         _t1 = _time.time()
         nops += nsteps
-        H = np.asarray(H_d, dtype=np.float64)    # (nsteps, ncv+b, b)
-        R = np.asarray(R_d, dtype=np.float64)    # (nsteps, b, b)
+        # one fetch: stacked (nsteps, ncv+2b, b) = [H | R] along axis 1
+        HR = np.asarray(HR_d, dtype=np.float64)
+        H, R = HR[:, : ncv + b], HR[:, ncv + b:]
         _t2 = _time.time()
 
         # -- assemble symmetric T on host -----------------------------------

@@ -151,7 +151,10 @@ def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
     alphas = jnp.zeros(ncv, dtype)
     betas = jnp.zeros(ncv, dtype)
     V, alphas, betas = lax.fori_loop(l, ncv, body, (V, alphas, betas))
-    return V, alphas, betas
+    # ONE stacked (2, ncv) output so the restart loop pays a single
+    # device->host transfer per cycle (see block_lanczos: separate
+    # fetches each pay a slow link's per-transfer floor)
+    return V, jnp.stack([alphas, betas])
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -237,10 +240,10 @@ def eigsh(
     for restart in range(maxiter):
         # -- device: Lanczos expansion from column l to ncv-1 ---------------
         key, sub = jax.random.split(key)
-        V, alphas_d, betas_d = expand(V, sub, consts, l=l)
+        V, ab_d = expand(V, sub, consts, l=l)
         nops += ncv - l
-        alphas = np.asarray(alphas_d, dtype=np.float64)
-        betas = np.asarray(betas_d, dtype=np.float64)
+        ab = np.asarray(ab_d, dtype=np.float64)  # one fetch: [alphas; betas]
+        alphas, betas = ab[0], ab[1]
 
         # -- host: build T (arrowhead + tridiagonal), solve, test -----------
         T = np.zeros((ncv, ncv), dtype=np.float64)
