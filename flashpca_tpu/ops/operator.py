@@ -62,6 +62,23 @@ def _nblocks(p_pad: int, block_size: int) -> int:
     return p_pad // block_size
 
 
+def budget_block_size(rows: int, n4: int, itemsize: int = 4,
+                      cap: int | None = None) -> int:
+    """Largest divisor of ``rows`` whose DECODED (bs, n4) block stays
+    within a ~128 MiB budget (optionally capped).
+
+    Used for the pure-jnp blocked scans (snp_sumsq everywhere; all
+    products on the non-Pallas path).  The Pallas KERNEL block size
+    cannot be reused for these: its TILE_P rounding forces >= 512 rows,
+    which at biobank n4 decodes multi-GB blocks inside the scan and
+    OOMs the trace pass (review r2: streaming/tall at 1M+ samples)."""
+    budget = max(1, (128 << 20) // max(1, n4 * itemsize))
+    bs = max(1, min(rows, budget, cap if cap else rows))
+    while rows % bs:
+        bs -= 1
+    return bs
+
+
 def _slice_block(arrs, i, block_size):
     packed, mean, invsd = arrs
     start = i * block_size
@@ -379,7 +396,8 @@ class PackedOperator(LinearOperatorBase):
             return raw_cross(packed, mean, invsd, xp * valid[:, None])
 
         cross = cross_masked
-        sumsq = partial(snp_sumsq_p, block_size=bs)
+        sumsq = partial(snp_sumsq_p, block_size=budget_block_size(
+            self.p_pad // self.nshards, self.nbytes_pad * PACK_DENSITY))
 
         if self.mesh is not None:
             ax = self.axis_name
@@ -420,9 +438,6 @@ class PackedOperator(LinearOperatorBase):
                 in_specs=(row, snp, snp, P(None)), out_specs=snp,
             )
 
-        self._gram_raw = gram          # unjitted: for solver embedding
-        self._cross_raw = cross
-        self._mv_raw = mv
         self._gram_fn = jax.jit(gram)
         self._cross_fn = jax.jit(cross)
         self._mv_fn = jax.jit(mv)
@@ -587,13 +602,13 @@ class TallPackedOperator:
         self.center = np.asarray(mean, dtype=np.float64)
         self.scale = np.asarray(sd, dtype=np.float64)
 
-        if use_pallas is None:
-            use_pallas = (
-                jax.default_backend() == "tpu" and dtype == jnp.float32)
+        use_pallas = PackedOperator.resolve_use_pallas(use_pallas, dtype)
         self.use_pallas = use_pallas
 
         # byte padding: every shard gets an equal, tile-multiple range
-        # (512 for large widths: narrow Pallas tiles compile very slowly)
+        # (512 for large widths: narrow Pallas tiles compile very slowly
+        # -- same heuristic as plan_layout, but per SHARD here because
+        # the tall path splits the byte axis across the mesh)
         if use_pallas:
             unit = 512 if nbytes > 4096 * self.nshards else 128
         else:
@@ -667,16 +682,21 @@ class TallPackedOperator:
 
     def _raw_fns(self):
         bs = self.block_size
+        # sumsq is a pure-jnp scan over FULL p_pad rows x the per-shard
+        # byte range -- size its decoded block by memory budget, not by
+        # the (tile-rounded) kernel block size
+        n4_local = (self.nbytes_pad // self.nshards) * PACK_DENSITY
+        sumsq_bs = budget_block_size(self.p_pad, n4_local)
         if self.use_pallas:
             from ..kernels import packed_matvec as _pk
 
             interp = self.use_pallas == "interpret"
             return (partial(_pk.matvec_p, interpret=interp),
                     partial(_pk.crossprod_p, interpret=interp),
-                    partial(snp_sumsq_p, block_size=bs))
+                    partial(snp_sumsq_p, block_size=sumsq_bs))
         return (partial(matvec_p, block_size=bs),
                 partial(crossprod_p, block_size=bs),
-                partial(snp_sumsq_p, block_size=bs))
+                partial(snp_sumsq_p, block_size=sumsq_bs))
 
     def _build_fns(self):
         raw_mv, raw_cross, raw_sumsq = self._raw_fns()
@@ -727,7 +747,6 @@ class TallPackedOperator:
         else:
             gram, prod, sumsq = local_gram, local_prod, local_sumsq
 
-        self._gram_raw = gram          # unjitted: for solver embedding
         self._gram_fn = jax.jit(gram)
         self._prod_fn = jax.jit(prod)
         self._sumsq_fn = jax.jit(sumsq)
@@ -895,6 +914,11 @@ class StreamingPackedOperator(LinearOperatorBase):
         # under a mesh the raw fns see PER-SHARD rows, so the inner
         # scan block size must divide block_snps / nshards
         per = self.block_snps // self.nshards
+        # sumsq decodes (bs, n4) inside a jnp scan: budget its block
+        # (the whole staged block's rows would decode ~16x the packed
+        # gigabytes at biobank n4 and OOM the trace pass -- review r2)
+        n4 = self.nbytes_pad * PACK_DENSITY
+        sumsq_bs = budget_block_size(per, n4)
         if self.use_pallas:
             from ..kernels import packed_matvec as _pk
 
@@ -902,14 +926,12 @@ class StreamingPackedOperator(LinearOperatorBase):
             return (partial(_pk.gram_matvec_p, interpret=interp),
                     partial(_pk.crossprod_p, interpret=interp),
                     partial(_pk.matvec_p, interpret=interp),
-                    partial(snp_sumsq_p, block_size=per))
-        bs = min(per, 8192)
-        while per % bs:
-            bs -= 1
+                    partial(snp_sumsq_p, block_size=sumsq_bs))
+        bs = budget_block_size(per, n4, cap=8192)
         return (partial(gram_matvec_p, block_size=bs),
                 partial(crossprod_p, block_size=bs),
                 partial(matvec_p, block_size=bs),
-                partial(snp_sumsq_p, block_size=bs))
+                partial(snp_sumsq_p, block_size=sumsq_bs))
 
     def _build_fns(self):
         raw_gram, raw_cross, raw_mv, raw_sumsq = self._raw()
@@ -1143,7 +1165,9 @@ def check_operator_conflicts(op, *, dtype=None, mesh=None,
             f"{type(op).__name__}'s dtype={np.dtype(op.dtype).name}; "
             "rebuild the operator with the desired dtype"
         )
-    if mesh is not None and getattr(op, "mesh", None) is not mesh:
+    # value equality, not identity: callers commonly rebuild an
+    # identical Mesh(jax.devices(), ...) per call (the CLI does)
+    if mesh is not None and getattr(op, "mesh", None) != mesh:
         raise ValueError(
             "mesh= conflicts with the prebuilt operator's device "
             "placement; build the operator on the target mesh instead"
@@ -1203,8 +1227,7 @@ class DenseOperator(LinearOperatorBase):
         self.scale = (np.ones(self.n_snps) if scale is None
                       else np.asarray(scale, dtype=np.float64))
         self.X = jnp.asarray(X_std, dtype=dtype)
-        self._gram_raw = lambda X, x: X @ (X.T @ x)
-        self._gram_fn = jax.jit(self._gram_raw)
+        self._gram_fn = jax.jit(lambda X, x: X @ (X.T @ x))
         self._cross_fn = jax.jit(lambda X, x: X.T @ x)
         self._mv_fn = jax.jit(lambda X, v: X @ v)
         self._pure_gram = lambda x, X: X @ (X.T @ x)

@@ -14,9 +14,10 @@ Algorithm (Wu & Simon thick restart, generalized to blocks):
 * Krylov basis V of ncv = m*b columns (+1 in-progress panel), built
   panel by panel: W = A Q_t; CGS2 full reorthogonalization against all
   of V (coefficients H_t = V^T A Q_t, exact column blocks of the
-  projected matrix T); jittered masked-CholQR panel orthonormalization
-  with a final cleanup pass (W = Q_{t+1} R_t, R_t = sub-diagonal
-  coupling block of T computed as the exact projection Q_{t+1}^T W).
+  projected matrix T, including the sub-diagonal couplings via the
+  NEXT panel's CGS2 coefficients); jittered masked-CholQR panel
+  orthonormalization with a final cleanup pass (W = Q_{t+1} R_t;
+  R_t = Q_{t+1}^T W feeds the residual estimate and restart panel).
 * The whole expansion of one restart cycle runs as ONE jitted
   ``lax.fori_loop`` on device; the host assembles the small symmetric
   T (ncv x ncv), solves it in float64, tests Spectra's convergence
@@ -76,7 +77,8 @@ def _panel_orth(W, rank_tol, abs_floor2=0.0):
     # The jitter's bias on kept columns is removed by the explicit
     # renormalization below.
     floor = jnp.maximum(
-        jnp.maximum(4.0 * b * eps * jnp.max(jnp.diagonal(G)), abs_floor2),
+        jnp.maximum(max(4.0 * b * eps, float(rank_tol))
+                    * jnp.max(jnp.diagonal(G)), abs_floor2),
         tiny)
 
     # pass 1: detect deficient pivots
@@ -99,6 +101,16 @@ def _panel_orth(W, rank_tol, abs_floor2=0.0):
     R = jnp.dot(Q.T, W, preferred_element_type=W.dtype,
                 precision=lax.Precision.HIGHEST)
     return Q, R, good
+
+
+@functools.lru_cache(maxsize=32)
+def _scalar_mv_for(matvec):
+    """Stable scalar adapter for panel matvecs (small-problem fallback
+    to the scalar solver).  Cached so repeat solves on the same
+    operator keep a stable function identity -- a fresh lambda per call
+    would defeat the scalar solver's identity-keyed jit cache and
+    recompile its whole cycle program every solve (review r2)."""
+    return lambda x, *ops: matvec(x[:, None], *ops)[:, 0]
 
 
 def _hoist(matvec, example, operands):
@@ -257,13 +269,25 @@ def _expand_cycle_host(matvec, V, key, l, nsteps, b, jitter):
     return V, np.concatenate([H_all, R_all], axis=1)
 
 
+def _colnorm1(Y):
+    """Scale columns to unit norm (zero columns stay zero).  The polish
+    sweep's input Y = A U has column norms spanning the whole spectrum
+    (~theta_i); CholQR's deficiency floor is relative to the LARGEST
+    column, so without this a VALID trailing PC with
+    theta_i < ~sqrt(4k*eps)*theta_max would be zeroed as "deficient"
+    (review r2).  Normalization keeps the column space and makes the
+    rank test scale-free per column."""
+    nrm = jnp.linalg.norm(Y, axis=0)
+    return Y / jnp.where(nrm > 0, nrm, 1.0)[None, :]
+
+
 @functools.lru_cache(maxsize=32)
 def _polish_jits_for(mv, rank_tol):
     """Bounded cache of jitted polish programs (see _expand_jit_for)."""
 
     @jax.jit
     def sweep(U, consts):
-        Y = mv(U, *consts)
+        Y = _colnorm1(mv(U, *consts))
         Q, _, _ = _panel_orth(Y, rank_tol)
         Q, _, _ = _panel_orth(Q, rank_tol)
         return Q
@@ -280,7 +304,7 @@ def _polish_jits_for(mv, rank_tol):
 @functools.lru_cache(maxsize=8)
 def _orth2x_for(rank_tol):
     return jax.jit(lambda Y: _panel_orth(
-        _panel_orth(Y, rank_tol)[0], rank_tol)[0])
+        _panel_orth(_colnorm1(Y), rank_tol)[0], rank_tol)[0])
 
 
 @jax.jit
@@ -326,7 +350,8 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
     order = np.argsort(theta)[::-1][:k]
     theta = theta[order]
     S = S[:, order]
-    U = U @ jnp.asarray(S, dtype=U.dtype)
+    U = jnp.dot(U, jnp.asarray(S, dtype=U.dtype),
+                precision=lax.Precision.HIGHEST)
     return theta, U
 
 
@@ -384,7 +409,7 @@ def eigsh_block(
     # the deflation-injection cycle can stall above the tolerance
     if ncv + 2 * b > n or nev + b > ncv or b < 2:
         if fused:
-            return eigsh(lambda x, *ops: matvec(x[:, None], *ops)[:, 0],
+            return eigsh(_scalar_mv_for(matvec),
                          n, nev, maxiter=maxiter, tol=tol, dtype=dtype,
                          seed=seed, v0=v0, operands=operands)
         # The scalar solver jits its whole expansion cycle -- tracing a
@@ -478,9 +503,11 @@ def eigsh_block(
             D = T[cs: cs + b, cs: cs + b]
             T[cs: cs + b, cs: cs + b] = 0.5 * (D + D.T)
             T[cs: cs + b, : cs] = T[: cs, cs: cs + b].T
-            if t < nsteps - 1:
-                T[cs + b: cs + 2 * b, cs: cs + b] = R[t]
-                T[cs: cs + b, cs + b: cs + 2 * b] = R[t].T
+            # (no R[t] writes here: step t+1's H column block and the
+            # symmetrization copy cover the off-diagonal coupling --
+            # H[t+1] rows cs..cs+b ARE Q_t^T A Q_{t+1}, measured by
+            # CGS2 against the final basis.  Only R_last is consumed,
+            # for residual estimates and the restart panel.)
         R_last = R[nsteps - 1]
 
         theta_all, S = np.linalg.eigh(T)
@@ -529,11 +556,13 @@ def eigsh_block(
         S_pad = np.zeros((ncv + b, ncv + b), dtype=np.float64)
         S_pad[:ncv, :l] = S[:, :l]
         S_pad[ncv:, l: l + b] = np.eye(b)        # residual panel -> col l
-        V = V @ jnp.asarray(S_pad, dtype=dtype)
+        V = jnp.dot(V, jnp.asarray(S_pad, dtype=dtype),
+                    precision=lax.Precision.HIGHEST)
 
     S_pad = np.zeros((ncv + b, nev), dtype=np.float64)
     S_pad[:ncv] = S_keep
-    U = V @ jnp.asarray(S_pad, dtype=dtype)
+    U = jnp.dot(V, jnp.asarray(S_pad, dtype=dtype),
+                precision=lax.Precision.HIGHEST)
 
     return EigshResult(
         eigenvalues=theta.copy(),

@@ -161,7 +161,7 @@ def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
 def _apply_restart(V, S_pad):
     """V_new = V @ S_pad: forms kept Ritz vectors + residual column and
     zeroes the rest in one matmul."""
-    return V @ S_pad
+    return jnp.dot(V, S_pad, precision=jax.lax.Precision.HIGHEST)
 
 
 def eigsh(
@@ -297,7 +297,8 @@ def eigsh(
     # -- Ritz vectors ---------------------------------------------------------
     S_pad = np.zeros((ncv + 1, nev), dtype=np.float64)
     S_pad[:ncv, :] = S_keep
-    U = V @ jnp.asarray(S_pad, dtype=dtype)     # (n, nev)
+    U = jnp.dot(V, jnp.asarray(S_pad, dtype=dtype),
+                precision=jax.lax.Precision.HIGHEST)   # (n, nev)
 
     return EigshResult(
         eigenvalues=theta.copy(),

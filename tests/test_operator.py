@@ -275,3 +275,48 @@ def test_all_n_mod_4_paddings(tmp_path, n):
     np.testing.assert_allclose(np.asarray(tall.unpermute(u)),
                                X.T @ (X @ v), rtol=1e-10, atol=1e-10)
     np.testing.assert_allclose(tall.trace, (X ** 2).sum(), rtol=1e-10)
+
+
+def test_budget_block_size_bounds_decoded_blocks():
+    """sumsq/jnp-scan block sizes must stay within the 128 MiB decoded
+    budget at biobank sample counts -- reusing the TILE_P-rounded
+    kernel block size decoded multi-GB blocks and OOM'd the streaming/
+    tall trace pass (review r2)."""
+    from flashpca_tpu.ops.operator import budget_block_size
+
+    # 1M samples: n4 = 4 * ceil(N/4); 128 MiB / (n4*4B) ~ 33 rows
+    n4 = 1_003_520
+    bs = budget_block_size(8560, n4)
+    assert bs * n4 * 4 <= (128 << 20)
+    assert 8560 % bs == 0
+    # tiny problems: whole thing in one block
+    assert budget_block_size(37, 64) == 37
+    # cap respected
+    assert budget_block_size(8192, 64, cap=1024) == 1024
+
+
+def test_streaming_and_tall_sumsq_blocks_bounded(small_plink):
+    """The wired-in sumsq block sizes honor the budget (and trace still
+    matches the oracle)."""
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops import dense_standardized_np
+    from flashpca_tpu.ops.operator import (StreamingPackedOperator,
+                                           TallPackedOperator)
+
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    want = (X ** 2).sum()
+
+    sop = StreamingPackedOperator(ds, mean, sd, ds.n_samples, block_snps=8,
+                                  dtype=jnp.float64)
+    np.testing.assert_allclose(sop.trace, want, rtol=1e-10)
+
+    top = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                             dtype=jnp.float64)
+    np.testing.assert_allclose(top.trace, want, rtol=1e-10)
+
+    wide = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                          dtype=jnp.float64)
+    np.testing.assert_allclose(wide.trace, want, rtol=1e-10)
