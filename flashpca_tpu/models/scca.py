@@ -114,11 +114,14 @@ def _gs_seq_j(vec, basis, count):
     """Sequential Gram-Schmidt against basis[:, :count] (traced count),
     reference column order preserved."""
 
+    hp = lax.Precision.HIGHEST
+
     def body(k, v):
         col = basis[:, k]
-        denom = jnp.dot(col, col)
+        denom = jnp.dot(col, col, precision=hp)
         proj = jnp.where(denom > 0,
-                         jnp.dot(v, col) / jnp.where(denom > 0, denom, 1.0),
+                         jnp.dot(v, col, precision=hp)
+                         / jnp.where(denom > 0, denom, 1.0),
                          0.0)
         return v - proj * col
 
@@ -134,15 +137,22 @@ def _scca_dim_device(cross_fn, mv_fn, U, V, Yp, j, v0_j, consts,
     Returns (u_j, v_j, iters, converged, u_zero, v_zero)."""
     dtype = Yp.dtype
 
+    # HIGHEST precision on the Y-side dots: TPU DEFAULT f32 dots lose
+    # ~2^-8, which the fixed-point iteration would bake into the
+    # converged u/v (the X-side products already run HIGHEST inside
+    # the fused kernels); these dots are tiny (n x k), so exact
+    # precision is free
+    hp = lax.Precision.HIGHEST
+
     def u_step(v):
-        yv = Yp @ v                              # (n4,) permuted, masked
+        yv = jnp.dot(Yp, v, precision=hp)        # (n4,) permuted, masked
         u = cross_fn(yv[:, None], *consts)[:, 0] * invdiv
         u = _gs_seq_j(u, U, j)
         return _norm_thresh_j(u, lam1)
 
     def v_step(u):
         xu = mv_fn(u[:, None], *consts)[:, 0] * invdiv  # (n4,) masked
-        v = Yp.T @ xu
+        v = jnp.dot(Yp.T, xu, precision=hp)
         v = _gs_seq_j(v, V, j)
         return _norm_thresh_j(v, lam2)
 
@@ -170,7 +180,7 @@ def _scca_dim_device(cross_fn, mv_fn, U, V, Yp, j, v0_j, consts,
     conv = (du < tol) & (dv < tol)
     # d_j = (X u)^T (Y v) with both sides invdiv-scaled
     xu = mv_fn(u[:, None], *consts)[:, 0] * invdiv
-    d_j = jnp.dot(xu, Yp @ v)
+    d_j = jnp.dot(xu, jnp.dot(Yp, v, precision=hp), precision=hp)
     return u, v, it, conv, uz, vz, d_j
 
 

@@ -1227,12 +1227,18 @@ class DenseOperator(LinearOperatorBase):
         self.scale = (np.ones(self.n_snps) if scale is None
                       else np.asarray(scale, dtype=np.float64))
         self.X = jnp.asarray(X_std, dtype=dtype)
-        self._gram_fn = jax.jit(lambda X, x: X @ (X.T @ x))
-        self._cross_fn = jax.jit(lambda X, x: X.T @ x)
-        self._mv_fn = jax.jit(lambda X, v: X @ v)
-        self._pure_gram = lambda x, X: X @ (X.T @ x)
-        self._pure_cross = lambda x, X: X.T @ x
-        self._pure_mv = lambda v, X: X @ v
+        # HIGHEST precision like the packed kernels: TPU DEFAULT f32
+        # dots lose ~2^-8, visible in solver convergence floors
+        hp = lax.Precision.HIGHEST
+        gram = lambda X, x: jnp.dot(              # noqa: E731
+            X, jnp.dot(X.T, x, precision=hp), precision=hp)
+        self._gram_fn = jax.jit(gram)
+        self._cross_fn = jax.jit(
+            lambda X, x: jnp.dot(X.T, x, precision=hp))
+        self._mv_fn = jax.jit(lambda X, v: jnp.dot(X, v, precision=hp))
+        self._pure_gram = lambda x, X: gram(X, x)
+        self._pure_cross = lambda x, X: jnp.dot(X.T, x, precision=hp)
+        self._pure_mv = lambda v, X: jnp.dot(X, v, precision=hp)
         self.nops = 0
 
     # identity "permutation" so the eigensolver can treat both operators

@@ -120,10 +120,11 @@ def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
     n = V.shape[0]
 
     def orth(V, w):
-        h1 = V.T @ w
-        w = w - V @ h1
-        h2 = V.T @ w
-        w = w - V @ h2
+        hp = lax.Precision.HIGHEST    # TPU DEFAULT f32 dots lose ~2^-8
+        h1 = jnp.dot(V.T, w, precision=hp)
+        w = w - jnp.dot(V, h1, precision=hp)
+        h2 = jnp.dot(V.T, w, precision=hp)
+        w = w - jnp.dot(V, h2, precision=hp)
         return w, h1 + h2
 
     def body(j, carry):
