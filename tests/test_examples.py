@@ -41,6 +41,14 @@ def test_vignette_runs(demo):
     assert "UCCA" in out
 
 
+def test_hapmap3_workflow_runs(tmp_path):
+    out = _run([
+        os.path.join(REPO, "examples", "hapmap3_workflow.py"),
+        "/root/reference/HapMap3/data", str(tmp_path / "hm3"),
+    ])
+    assert "check: mse=" in out
+
+
 def test_scca_split_workflow_runs(demo, tmp_path):
     out = _run([
         os.path.join(REPO, "examples", "scca_split_workflow.py"),
