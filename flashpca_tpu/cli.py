@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check", "-c", action="store_true",
                    help="check eigenvalues/eigenvectors")
     p.add_argument("--batch", action="store_true",
-                   help="load all genotypes into RAM at once")
+                   help="load all genotypes into RAM at once (PCA/UCCA; "
+                        "scca/check/project follow the reference's forced "
+                        "memory modes, flashpca.cpp:230-235)")
     p.add_argument("--memory", "-m", type=int, default=None,
                    help="size of block, in MB")
     p.add_argument("--blocksize", "-b", type=int, default=None,
@@ -245,6 +247,8 @@ def main(argv=None) -> int:
         # never clamp silently: the user sized per-device memory on it
         return _die(f"--shards {nshards} exceeds the {ndev} available "
                     f"device(s)")
+    if nshards < 1:
+        return _die(f"--shards must be >= 1 (got {nshards})")
     if nshards > 1:
         from jax.sharding import Mesh
         mesh = Mesh(np.array(jax.devices()[:nshards]), ("snps",))
@@ -384,7 +388,20 @@ def main(argv=None) -> int:
             save_text(res.projection, out["proj"], colnames=pccol,
                       rownames=fam_rownames, precision=prec)
 
-        if args.outmeansd and meansd_out is not None:
+        if args.outmeansd and meansd_out is None:
+            # the reference writes X_meansd after EVERY mode
+            # (flashpca.cpp:867-878, outside the mode switch): the
+            # stats the run standardized with -- the loaded/derived
+            # ones for project, the computed ones otherwise
+            if mode == "project":
+                from .io.text import maf2meansd
+
+                ms = maf2meansd(maf) if maf is not None else meansd
+                meansd_out = np.asarray(ms, dtype=np.float64)
+            else:
+                m_, s_ = ds.snp_stats(args.standx)
+                meansd_out = np.column_stack([m_, s_])
+        if args.outmeansd:
             save_text(
                 meansd_out, out["meansd"],
                 colnames=["SNP" + TXT_SEP + "RefAllele", "Mean", "SD"],

@@ -5,6 +5,7 @@ from .plink import (
     codes_to_dosage,
     snp_stats_from_codes,
     write_bed,
+    pack_codes,
     subset_samples,
     PACK_DENSITY,
 )

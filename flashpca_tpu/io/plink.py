@@ -253,6 +253,24 @@ class PlinkDataset:
         return means, sds
 
 
+def pack_codes(codes: np.ndarray, n_samples: int) -> np.ndarray:
+    """Repack (m, n_samples) 2-bit codes into PLINK .bed bytes
+    (m, ceil(n/4)); padding positions are code 0.  One implementation
+    shared by write_bed and subset_samples so the bit layout cannot
+    drift between the two writers (review r2)."""
+    m = codes.shape[0]
+    nb = bytes_per_snp(n_samples)
+    padded = np.zeros((m, nb * PACK_DENSITY), dtype=np.uint8)
+    padded[:, :n_samples] = codes
+    shaped = padded.reshape(m, nb, PACK_DENSITY)
+    return (
+        shaped[:, :, 0]
+        | (shaped[:, :, 1] << 2)
+        | (shaped[:, :, 2] << 4)
+        | (shaped[:, :, 3] << 6)
+    ).astype(np.uint8)
+
+
 def write_bed(path_root: str, genotypes: np.ndarray,
               snp_ids: list | None = None,
               fam_ids: list | None = None) -> None:
@@ -268,16 +286,7 @@ def write_bed(path_root: str, genotypes: np.ndarray,
     codes[gt == 2] = 0
     codes[gt == 1] = 2
     codes[np.isnan(gt)] = 1
-    nb = bytes_per_snp(n)
-    padded = np.zeros((p, nb * PACK_DENSITY), dtype=np.uint8)
-    padded[:, :n] = codes
-    shaped = padded.reshape(p, nb, PACK_DENSITY)
-    packed = (
-        shaped[:, :, 0]
-        | (shaped[:, :, 1] << 2)
-        | (shaped[:, :, 2] << 4)
-        | (shaped[:, :, 3] << 6)
-    ).astype(np.uint8)
+    packed = pack_codes(codes, n)
     with open(path_root + ".bed", "wb") as fh:
         fh.write(BED_MAGIC)
         fh.write(packed.tobytes())
@@ -307,23 +316,12 @@ def subset_samples(ds: PlinkDataset, sample_idx, out_root: str,
     n_out = int(idx.size)
     if n_out < 1:
         raise ValueError("sample subset is empty")
-    nb_out = bytes_per_snp(n_out)
     with open(out_root + ".bed", "wb") as fh:
         fh.write(BED_MAGIC)
         for start in range(0, ds.n_snps, block_size):
             stop = min(start + block_size, ds.n_snps)
             codes = ds.read_codes(start, stop)[:, idx]
-            m = codes.shape[0]
-            padded = np.zeros((m, nb_out * PACK_DENSITY), dtype=np.uint8)
-            padded[:, :n_out] = codes
-            shaped = padded.reshape(m, nb_out, PACK_DENSITY)
-            packed = (
-                shaped[:, :, 0]
-                | (shaped[:, :, 1] << 2)
-                | (shaped[:, :, 2] << 4)
-                | (shaped[:, :, 3] << 6)
-            ).astype(np.uint8)
-            fh.write(packed.tobytes())
+            fh.write(pack_codes(codes, n_out).tobytes())
     import shutil
 
     shutil.copyfile(ds.bim_path, out_root + ".bim")

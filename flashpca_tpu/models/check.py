@@ -35,8 +35,7 @@ class CheckResult:
     rmse: float
 
 
-def _div(divisor: str, n: int, p: int) -> float:
-    return {"p": float(p), "n1": float(n - 1), "none": 1.0}[divisor]
+from ._common import resolve_divisor as _div
 
 
 def check(

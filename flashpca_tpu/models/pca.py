@@ -30,6 +30,7 @@ from ..ops.operator import (DenseOperator, PackedOperator,
 from ..ops.standardize import standardize
 from ..solvers.block_lanczos import eigsh_block, polish_subspace
 from ..solvers.lanczos import eigsh
+from ._common import resolve_divisor as _resolve_divisor
 
 DIVISORS = ("p", "n1", "none")
 
@@ -51,18 +52,6 @@ class PCAResult:
 
     def __repr__(self):
         return f"PCAResult(ndim={len(self.values)}, converged={self.converged})"
-
-
-
-
-def _resolve_divisor(divisor: str, n: int, p: int) -> float:
-    if divisor == "p":
-        return float(p)
-    if divisor == "n1":
-        return float(n - 1)
-    if divisor == "none":
-        return 1.0
-    raise ValueError(f"unknown divisor: {divisor}")
 
 
 def _check_ndim(ndim: int, n: int, p: int) -> None:
@@ -171,7 +160,8 @@ def pca(
             return _pca_matrix(
                 X, ndim, stand, divisor, maxiter, tol, seed,
                 do_loadings, dtype, ncv, check_geno=False, panel=panel,
-                verbose=verbose,
+                verbose=verbose, mesh=mesh,
+                state_in=state_in, state_out=state_out,
             )
         mean, sd = data.snp_stats(stand)
         if operator_mode not in ("auto", "wide", "tall"):
@@ -243,6 +233,7 @@ def pca(
     return _pca_matrix(
         X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
         dtype, ncv, check_geno=False, panel=panel, verbose=verbose,
+        mesh=mesh, state_in=state_in, state_out=state_out,
     )
 
 
@@ -258,10 +249,11 @@ def _solver_v0(op, native_len, dtype, seed, state_in):
             raise ValueError(
                 f"restart state has {panel.shape[0]} rows; expected "
                 f"{native_len}")
-        return np.asarray(op.permute(jnp.asarray(panel, dtype=dtype)))
+        # host-side permutation: a device permute + fetch costs a
+        # download on slow device links (review r2)
+        return op.permute_np(panel)
     rng = np.random.default_rng(seed)
-    return np.asarray(op.permute(
-        jnp.asarray(rng.standard_normal(native_len), dtype=dtype)))
+    return op.permute_np(rng.standard_normal(native_len))
 
 
 def _save_solver_state(op, res, state_out):
@@ -339,12 +331,23 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
 
 def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
-                dtype, ncv, check_geno, panel=16, verbose=False):
+                dtype, ncv, check_geno, panel=16, verbose=False,
+                mesh=None, state_in=None, state_out=None):
+    if mesh is not None and mesh.size > 1:
+        # the dense-matrix path has no sharded implementation; silent
+        # single-device placement would hide a dropped request
+        # (review r2) -- but a default all-devices CLI mesh with
+        # --batch is legitimate, so warn rather than raise
+        from ..utils.logging import log
+
+        log("note: the dense-matrix (batch) PCA path runs unsharded; "
+            "mesh= is ignored (use the packed path for SNP sharding)")
     X_std, mean, sd = standardize(X, stand)
     op = DenseOperator(X_std, dtype=dtype)
     return _pca_operator(
         op, ndim, divisor, maxiter, tol, seed, do_loadings, dtype, ncv,
         mean, sd, panel=panel, verbose=verbose,
+        state_in=state_in, state_out=state_out,
     )
 
 

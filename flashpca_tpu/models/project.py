@@ -31,14 +31,7 @@ class ProjectResult:
     projection: np.ndarray  # (N, k)
 
 
-def _resolve_div(divisor: str, n: int, p_loadings: int) -> float:
-    if divisor == "p":
-        return float(p_loadings)
-    if divisor == "n1":
-        return float(n - 1)
-    if divisor == "none":
-        return 1.0
-    raise ValueError(f"unknown divisor: {divisor}")
+from ._common import resolve_divisor as _resolve_div
 
 
 def project(

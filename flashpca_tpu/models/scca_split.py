@@ -130,24 +130,22 @@ def split_scca(
     # fileset with the TRAIN standardization stats projects via prod()
     # (memory bounded like everything else -- never a dense (n, p) X)
     x_mean, x_sd = ds_train.snp_stats(stand_x)
-    op_dtype = default_dtype()
-    op_test = build_packed_operator(
-        ds_test, x_mean, x_sd,
+    # honor a caller's dtype/block_size from scca_kwargs: the operators
+    # are prebuilt here, and scca()'s conflict check would otherwise
+    # reject the forwarded dtype against a default-dtype operator
+    op_dtype = scca_kwargs.get("dtype") or default_dtype()
+    op_opts = dict(
         streaming=scca_kwargs.get("streaming", "auto"),
         memory_mb=scca_kwargs.get("memory_mb"),
+        block_size=scca_kwargs.get("block_size"),
         dtype=op_dtype,
         mesh=scca_kwargs.get("mesh"),
     )
+    op_test = build_packed_operator(ds_test, x_mean, x_sd, **op_opts)
     # ONE train operator for the whole grid: every (l1, l2) cell reuses
     # the stats pass, the device upload, and (via the operator's stable
     # product identities) the compiled SCCA dimension program
-    op_train = build_packed_operator(
-        ds_train, x_mean, x_sd,
-        streaming=scca_kwargs.get("streaming", "auto"),
-        memory_mb=scca_kwargs.get("memory_mb"),
-        dtype=op_dtype,
-        mesh=scca_kwargs.get("mesh"),
-    )
+    op_train = build_packed_operator(ds_train, x_mean, x_sd, **op_opts)
 
     n1, n2 = len(lambda1), len(lambda2)
     corr_train = np.full((ndim, n1, n2), np.nan)

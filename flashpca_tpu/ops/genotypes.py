@@ -47,6 +47,23 @@ def permute_samples(x: jnp.ndarray, nbytes: int) -> jnp.ndarray:
     return out if x.ndim == 2 else out[:, 0]
 
 
+def permute_samples_np(x: np.ndarray, nbytes: int) -> np.ndarray:
+    """Host-side numpy twin of :func:`permute_samples` -- solver v0
+    seeding permutes on host so it costs NO device round trip (a
+    device-side permute + fetch is a download on slow links)."""
+    n4 = nbytes * PACK_DENSITY
+    x2 = np.asarray(x)
+    vec = x2.ndim == 1
+    if vec:
+        x2 = x2[:, None]
+    pad = n4 - x2.shape[0]
+    if pad:
+        x2 = np.pad(x2, ((0, pad), (0, 0)))
+    out = x2.reshape(nbytes, PACK_DENSITY, x2.shape[1]).transpose(1, 0, 2)
+    out = out.reshape(n4, x2.shape[1])
+    return out[:, 0] if vec else out
+
+
 def unpermute_samples(y: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     """(n4, k) permuted space -> (N, k) sample-space (padding dropped)."""
     y2 = y if y.ndim == 2 else y[:, None]

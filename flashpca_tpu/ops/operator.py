@@ -40,6 +40,7 @@ from ..kernels.packed_matvec import TILE_P as _TILE_P
 from .genotypes import (
     decode_standardized,
     permute_samples,
+    permute_samples_np,
     unpermute_samples,
     valid_mask_permuted,
 )
@@ -461,6 +462,11 @@ class PackedOperator(LinearOperatorBase):
     def permute(self, x):
         return permute_samples(jnp.asarray(x, self.dtype), self.nbytes_pad)
 
+    def permute_np(self, x):
+        """Host-side twin of :meth:`permute` (numpy in/out) -- lets the
+        solver seed v0 with zero device traffic (review r2)."""
+        return permute_samples_np(x, self.nbytes_pad)
+
     def unpermute(self, yp):
         return unpermute_samples(yp, self.n_samples)
 
@@ -765,6 +771,15 @@ class TallPackedOperator:
         if pad:
             widths = ((0, pad), (0, 0)) if v.ndim == 2 else ((0, pad),)
             v = jnp.pad(v, widths)
+        return v
+
+    def permute_np(self, v):
+        """Host-side twin of :meth:`permute` (numpy in/out)."""
+        v = np.asarray(v)
+        pad = self.p_pad - self.n_snps
+        if pad:
+            widths = ((0, pad), (0, 0)) if v.ndim == 2 else ((0, pad),)
+            v = np.pad(v, widths)
         return v
 
     def unpermute(self, u):
@@ -1078,6 +1093,11 @@ class StreamingPackedOperator(LinearOperatorBase):
     def permute(self, x):
         return permute_samples(jnp.asarray(x, self.dtype), self.nbytes_pad)
 
+    def permute_np(self, x):
+        """Host-side twin of :meth:`permute` (numpy in/out) -- lets the
+        solver seed v0 with zero device traffic (review r2)."""
+        return permute_samples_np(x, self.nbytes_pad)
+
     def unpermute(self, yp):
         return unpermute_samples(yp, self.n_samples)
 
@@ -1245,6 +1265,9 @@ class DenseOperator(LinearOperatorBase):
     # uniformly
     def permute(self, x):
         return jnp.asarray(x, self.dtype)
+
+    def permute_np(self, x):
+        return np.asarray(x)
 
     def unpermute(self, yp):
         return yp

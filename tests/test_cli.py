@@ -143,3 +143,37 @@ def test_cli_shards_exceeding_devices(small_plink, workdir, capsys):
     root, _ = small_plink
     assert main(["--bfile", root, "--shards", "999", "--notime"]) == 1
     assert "exceeds" in capsys.readouterr().err
+
+
+def test_cli_outmeansd_written_for_scca(small_plink, workdir, tmp_path):
+    """The reference writes meansd after EVERY mode (flashpca.cpp:867)."""
+    import numpy as np
+    root, geno = small_plink
+    ph = tmp_path / "ph.txt"
+    rng = np.random.default_rng(0)
+    with open(ph, "w") as fh:
+        for i in range(geno.shape[0]):
+            fh.write(f"f{i} i{i} {rng.normal():.5f} {rng.normal():.5f}\n")
+    assert main(["--scca", "--bfile", root, "--pheno", str(ph),
+                 "--ndim", "1", "--lambda1", "1e-3", "--lambda2", "1e-3",
+                 "--outmeansd", "msd.txt", "--notime"]) == 0
+    assert os.path.exists("msd.txt")
+    with open("msd.txt") as fh:
+        header = fh.readline()
+    assert header.startswith("SNP")
+
+
+def test_cli_rejects_nonpositive_shards(small_plink, workdir):
+    root, _ = small_plink
+    assert main(["--bfile", root, "--ndim", "2", "--shards", "0",
+                 "--notime"]) == 1
+
+
+def test_cli_batch_writes_state(small_plink, workdir):
+    """--batch must honor --outstate (was silently dropped, review r2)."""
+    root, _ = small_plink
+    assert main(["--bfile", root, "--ndim", "2", "--batch",
+                 "--outstate", "ck.npz", "--notime"]) == 0
+    assert os.path.exists("ck.npz")
+    assert main(["--bfile", root, "--ndim", "2", "--batch",
+                 "--instate", "ck.npz", "--notime"]) == 0
