@@ -183,11 +183,13 @@ def measure_extra_modes(op, n, log):
     # lambda=0: plain penalized power iteration -- soft-thresholding on
     # random phenotypes would zero u and trip the all-zero abort before
     # the iteration count is reached, invalidating the timing.  Warm
-    # the jitted while_loop engine first: its compile plus tunnel
-    # first-exec noise would otherwise dominate the measurement.
-    scca(op, Y[:, :2], lambda1=0.0, lambda2=0.0, ndim=1, maxiter=1,
-         tol=0.0)
+    # the jitted while_loop engine first with the SAME maxiter as the
+    # timed run: the per-dimension program is jit-cache-keyed on
+    # maxiter, so a maxiter=1 warm would leave the timed call paying a
+    # fresh compile (review r2).
     iters = 10
+    scca(op, Y[:, :2], lambda1=0.0, lambda2=0.0, ndim=1, maxiter=iters,
+         tol=0.0)
     t0 = time.time()
     scca(op, Y[:, :2], lambda1=0.0, lambda2=0.0, ndim=1,
          maxiter=iters, tol=0.0)
@@ -225,25 +227,29 @@ def main():
     k = int(os.environ.get("FLASHPCA_BENCH_K", 20))
     tol = float(os.environ.get("FLASHPCA_BENCH_TOL", 1e-6))
 
-    if mode == "tall" and not n and not p:
+    # independent overrides: a set FLASHPCA_BENCH_N or _P is honored
+    # even when the other comes from defaults (review r2)
+    if mode == "tall":
+        dn, dp = ((1_003_520, 50_176) if platform == "tpu"
+                  else (40_000, 2_000))
+        # > 1M individuals; ceil(N/4) = 250880 = 490*512, p = 98*512
+        # -- the same 12.59 GB packed as the wide bench
+        n, p = n or dn, p or dp
+    else:
         if platform == "tpu":
-            # > 1M individuals; ceil(N/4) = 250880 = 490*512,
-            # p = 98*512 -- same 12.59 GB packed as the wide bench
-            n, p = 1_003_520, 50_176
+            p_user = bool(p)
+            n, p = n or BENCH_N, p or BENCH_P
+            if not p_user:
+                # fit packed (p, ceil(N/4)) + decode blocks in HBM: the
+                # full 12.6 GB problem fits a 16 GB chip with room for
+                # the solver basis (measured peak ~13.1 GB).  A user-
+                # forced p is respected as-is.
+                hbm = jax.devices()[0].memory_stats()
+                limit = (hbm or {}).get("bytes_limit", 16 << 30)
+                while p * ((n + 3) // 4) > 0.85 * limit:
+                    p = (p // 2 // 512) * 512  # copy-free tile multiples
         else:
-            n, p = 40_000, 2_000
-    if not n or not p:
-        if platform == "tpu":
-            # fit packed (p, ceil(N/4)) + decode blocks in HBM
-            hbm = jax.devices()[0].memory_stats()
-            limit = (hbm or {}).get("bytes_limit", 16 << 30)
-            n, p = BENCH_N, BENCH_P
-            # the full 12.6 GB problem fits a 16 GB chip with room for
-            # the solver basis (measured: peak ~13.1 GB)
-            while p * ((n + 3) // 4) > 0.85 * limit:
-                p = (p // 2 // 512) * 512  # keep copy-free tile multiples
-        else:
-            n, p = 20_000, 4_000  # CPU smoke size
+            n, p = n or 20_000, p or 4_000  # CPU smoke size
     log(f"bench: platform={platform} N={n} p={p} k={k} tol={tol}")
 
     from flashpca_tpu.models.check import check

@@ -164,7 +164,7 @@ def plot(ds, pcs_fp, tools, k, outdir):
                    linewidths=0, alpha=0.85, label=lv)
     ax.set_xlabel("PC1")
     ax.set_ylabel("PC2")
-    ax.set_title("HapMap3 population structure (flashpca_tpu, k=100)")
+    ax.set_title(f"HapMap3 population structure (flashpca_tpu, k={k})")
     ax.legend(ncol=2, fontsize=8, frameon=False)
     for s_ in ("top", "right"):
         ax.spines[s_].set_visible(False)

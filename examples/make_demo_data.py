@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _env  # noqa: F401  (repo path + FLASHPCA_FORCE_CPU handling)
 
 
 def make_demo(outdir: str, n: int = 300, p: int = 600, seed: int = 11):

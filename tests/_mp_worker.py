@@ -64,7 +64,6 @@ def main():
 
     y = op.perform_op(x)                    # psum -> replicated output
     w = op.prod(v)                          # psum -> replicated output
-    z = op.crossprod(x)                     # SNP-sharded output
     t = op.trace
 
     # replicated outputs are fully addressable on every process
@@ -73,7 +72,17 @@ def main():
         "w": np.asarray(w),
         "trace": np.asarray(t),
     }
-    # sharded output: save only the shards THIS process addresses
+    # the PUBLIC crossprod wrapper (covers its padded-row slicing):
+    # gather the global sharded result so the test can assert it like
+    # y/w (review r2: the public wrapper was previously unasserted)
+    from jax.experimental import multihost_utils
+
+    z = op.crossprod(x)
+    out["z"] = np.asarray(multihost_utils.process_allgather(z, tiled=True))
+
+    # raw sharded-output LAYOUT: save only the shards THIS process
+    # addresses (padded rows included; the test checks disjoint tiling
+    # and exact zero padding)
     zg = op._cross_fn(op.packed, op.mean, op.invsd,
                       op.permute(jnp.asarray(x, op.dtype)), op._valid)
     for sh in zg.addressable_shards:

@@ -24,16 +24,26 @@ HM3_ROOT = "/root/reference/HapMap3/data"
 HM3_AVAILABLE = os.path.exists(HM3_ROOT + ".bed")
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic generator: the seed derives from the
+    test's nodeid, so every test draws the SAME data whether run alone,
+    in a subset, or in the full suite.  (The previous session-scoped
+    shared generator made each test's data depend on collection order
+    -- a marginal failure was unreproducible in isolation; review r2.)"""
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 @pytest.fixture(scope="session")
-def small_plink(tmp_path_factory, rng):
+def small_plink(tmp_path_factory):
     """A small synthetic PLINK fileset with missing genotypes."""
     from flashpca_tpu.io.plink import write_bed
 
+    # seed 42 directly (this fixture was the session generator's first
+    # consumer, so the fileset's bytes are unchanged by the rng rework)
+    rng = np.random.default_rng(42)
     n, p = 61, 37  # deliberately not multiples of 4 / block sizes
     maf = rng.uniform(0.05, 0.5, size=p)
     geno = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)

@@ -75,15 +75,17 @@ def test_two_process_shard_invariance(small_plink, tmp_path):
 
     ref_y = X @ (X.T @ x)
     ref_w = X @ v
+    ref_z = X.T @ x
     for d in (d0, d1):
         np.testing.assert_allclose(d["y"], ref_y, rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(d["w"], ref_w, rtol=1e-9, atol=1e-9)
+        # public crossprod wrapper (gathered): exact rows, padding gone
+        np.testing.assert_allclose(d["z"], ref_z, rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(float(d["trace"]), (X ** 2).sum(),
                                    rtol=1e-10)
 
     # assemble the SNP-sharded crossprod from both processes' local
     # shards; together they must tile the padded SNP dim exactly once
-    ref_z = X.T @ x
     shards = {}
     for d in (d0, d1):
         for key in d.files:

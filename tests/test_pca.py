@@ -22,7 +22,8 @@ def _dense_pca_oracle(X_std, ndim, div):
 
 
 @pytest.fixture(scope="module")
-def geno(rng):
+def geno():
+    rng = np.random.default_rng(1042)
     n, p = 150, 500
     maf = rng.uniform(0.05, 0.5, size=p)
     X = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)

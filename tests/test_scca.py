@@ -17,7 +17,8 @@ def test_norm_thresh_unit_norm():
 
 
 @pytest.fixture(scope="module")
-def xy(rng):
+def xy():
+    rng = np.random.default_rng(2042)
     n, p, k = 120, 60, 8
     X = rng.binomial(2, 0.3, size=(n, p)).astype(np.float64)
     Y = rng.normal(size=(n, k))

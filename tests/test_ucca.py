@@ -26,7 +26,8 @@ def _lm_oracle(X, Y):
 
 
 @pytest.fixture(scope="module")
-def xy(rng):
+def xy():
+    rng = np.random.default_rng(3042)
     n, p, k = 200, 40, 3
     maf = rng.uniform(0.1, 0.5, size=p)
     X = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)
