@@ -1,0 +1,88 @@
+"""Seeded randomized property tests: operators and solver vs oracles
+across diverse shapes, block sizes, standardization methods, and
+missingness (a compact always-on slice of the larger offline sweep;
+60-trial sweeps run clean as one-off validation).
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flashpca_tpu.io.plink import PlinkDataset, write_bed
+from flashpca_tpu.ops import dense_standardized_np
+from flashpca_tpu.ops.operator import (PackedOperator,
+                                       StreamingPackedOperator,
+                                       TallPackedOperator)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_operator_products_random_shapes(trial):
+    rng = np.random.default_rng(9000 + trial)
+    n = int(rng.integers(5, 130))
+    p = int(rng.integers(3, 90))
+    method = ["binom", "binom2"][trial % 2]
+    miss = float(rng.uniform(0, 0.4))
+    maf = rng.uniform(0.02, 0.5, size=p)
+    geno = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)
+    geno[rng.uniform(size=(n, p)) < miss] = np.nan
+    if trial % 3 == 0:
+        geno[:, int(rng.integers(0, p))] = 1.0   # constant column
+    root = tempfile.mkdtemp() + "/fz"
+    write_bed(root, geno)
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats(method)
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    x = rng.standard_normal((n, 2))
+    v = rng.standard_normal((p, 2))
+    bs = int(rng.integers(1, p + 3))
+
+    wide = PackedOperator(ds.read_packed(), mean, sd, n, block_size=bs,
+                          dtype=jnp.float64)
+    stream = StreamingPackedOperator(ds, mean, sd, n, block_snps=bs,
+                                     dtype=jnp.float64)
+    for op in (wide, stream):
+        np.testing.assert_allclose(np.asarray(op.perform_op(x)),
+                                   X @ (X.T @ x), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(op.crossprod(x)),
+                                   X.T @ x, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(op.prod(v)),
+                                   X @ v, rtol=1e-9, atol=1e-9)
+
+    tall = TallPackedOperator(ds.read_packed(), mean, sd, n,
+                              dtype=jnp.float64)
+    u = tall.unpermute(tall.gram_permuted(tall.permute(
+        jnp.asarray(v, jnp.float64))))
+    np.testing.assert_allclose(np.asarray(u), X.T @ (X @ v),
+                               rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_block_solver_random_spectra(trial):
+    """eigsh_block vs numpy eigh on random symmetric PSD matrices with
+    varied spectral shapes (clustered / spread / near-deficient)."""
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+
+    rng = np.random.default_rng(7100 + trial)
+    n = int(rng.integers(60, 220))
+    k = int(rng.integers(2, 7))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    shapes = [
+        np.linspace(100, 1, n),                        # linear
+        np.geomspace(1e4, 1e-2, n),                    # spread
+        np.concatenate([[50, 49.9, 49.8], np.linspace(10, 0.1, n - 3)]),
+        np.concatenate([np.full(5, 30.0), np.geomspace(1, 1e-4, n - 5)]),
+    ]
+    d = np.sort(shapes[trial])[::-1]
+    A = (Q * d[None, :]) @ Q.T
+    Aj = jnp.asarray(A, jnp.float64)
+    res = eigsh_block(lambda x: Aj @ x, n, k, tol=1e-10, maxiter=500,
+                      dtype=jnp.float64, seed=trial)
+    np.testing.assert_allclose(res.eigenvalues, d[:k], rtol=1e-8)
+    U = np.asarray(res.eigenvectors)
+    # residual check against the matrix itself (degenerate clusters make
+    # per-vector comparison to Q ill-defined)
+    R = A @ U - U * res.eigenvalues[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6 * d[0]
