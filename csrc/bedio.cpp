@@ -81,6 +81,14 @@ void bed_stats(const uint8_t* packed, int64_t p, int64_t nbytes,
             }
         }
         const double ngood = static_cast<double>(n_samples - n_na);
+        if (ngood <= 0.0) {
+            // all-missing SNP: (0, 0) zeroes the column downstream
+            // like a monomorphic SNP (NaN stats would poison the
+            // device decode; the reference divides by zero here)
+            mean[j] = 0.0;
+            sd[j] = 0.0;
+            continue;
+        }
         const double m = dsum / ngood;
         const double ph = m / 2.0;
         const double mult = (method == 1) ? 1.0 : 2.0;

@@ -72,10 +72,14 @@ def snp_stats_from_codes(
     dosage = CODE_TO_DOSAGE[codes]
     ngood = codes.shape[1] - na.sum(axis=1)
     total = np.where(na, 0.0, dosage).sum(axis=1)
-    mean = total / ngood
+    # an all-missing SNP (ngood = 0) gets (mean, sd) = (0, 0): the
+    # column is zeroed downstream exactly like a monomorphic SNP.
+    # (The reference divides by zero here and lets NaN stats poison
+    # its lookup table -- a latent bug, not behavior to reproduce.)
+    mean = np.where(ngood > 0, total / np.maximum(ngood, 1), 0.0)
     p_hat = mean / 2.0
     mult = 1.0 if method == "binom" else 2.0
-    sd = np.sqrt(mult * p_hat * (1.0 - p_hat))
+    sd = np.where(ngood > 0, np.sqrt(mult * p_hat * (1.0 - p_hat)), 0.0)
     return mean, sd
 
 
@@ -219,8 +223,13 @@ class PlinkDataset:
         else:
             dosage = codes_to_dosage(self.read_codes())  # (p, N) with NaN
         if impute_mean:
-            means = np.nanmean(dosage, axis=1)
             na = np.isnan(dosage)
+            ngood = dosage.shape[1] - na.sum(axis=1)
+            total = np.where(na, 0.0, dosage).sum(axis=1)
+            # all-missing SNPs impute to 0 (a constant column, zeroed
+            # by standardization) so the batch path agrees with the
+            # packed path's all-missing handling instead of erroring
+            means = np.where(ngood > 0, total / np.maximum(ngood, 1), 0.0)
             dosage[na] = np.broadcast_to(means[:, None], dosage.shape)[na]
         return np.ascontiguousarray(dosage.T)
 

@@ -122,4 +122,12 @@ def lookup_tables(
     mean = np.asarray(mean, dtype=np.float64)
     sd = np.asarray(sd, dtype=np.float64)
     inv = np.where(sd > VAR_TOL, 1.0 / np.where(sd > VAR_TOL, sd, 1.0), 0.0)
+    # zero the mean wherever the column is zeroed (inv == 0): an
+    # ALL-MISSING SNP has NaN stats (ngood = 0; the reference divides
+    # by zero the same way, data.cpp:262-291), and a NaN mean reaches
+    # the Pallas factored-cubic coefficients where 0 * NaN = NaN
+    # poisons every product (reproduced; the jnp path's explicit
+    # missing-mask hid it).  With mean forced finite the coefficients
+    # are exactly 0 and the column decodes to exact zeros.
+    mean = np.where(inv > 0.0, mean, 0.0)
     return mean.astype(dtype), inv.astype(dtype)

@@ -320,3 +320,52 @@ def test_streaming_and_tall_sumsq_blocks_bounded(small_plink):
     wide = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
                           dtype=jnp.float64)
     np.testing.assert_allclose(wide.trace, want, rtol=1e-10)
+
+
+def test_all_missing_snp_zeroed_everywhere(tmp_path):
+    """An ALL-MISSING SNP must decode to a zeroed column on every path
+    (jnp, Pallas interpret, streaming, tall, batch) -- NaN stats used
+    to poison the Pallas factored-cubic coefficients (0 * NaN = NaN)
+    and every downstream product.  The reference divides by zero on
+    this input (data.cpp:262-291): a latent bug, not parity to keep."""
+    from flashpca_tpu.io.plink import write_bed
+    from flashpca_tpu.ops.operator import (StreamingPackedOperator,
+                                           TallPackedOperator)
+    from flashpca_tpu.ops.standardize import lookup_tables
+
+    rng = np.random.default_rng(4)
+    geno = rng.binomial(2, 0.3, size=(21, 9)).astype(np.float64)
+    geno[:, 3] = np.nan
+    root = str(tmp_path / "allmiss")
+    write_bed(root, geno)
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    assert np.isfinite(mean).all() and np.isfinite(sd).all()
+    assert mean[3] == 0.0 and sd[3] == 0.0
+    mf, invf = lookup_tables(mean, sd)
+    assert np.isfinite(mf).all() and invf[3] == 0.0
+
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    assert np.all(X[:, 3] == 0.0)
+    x = rng.standard_normal((21, 2))
+
+    ops = [
+        PackedOperator(ds.read_packed(), mean, sd, 21, dtype=jnp.float64),
+        PackedOperator(ds.read_packed(), mean, sd, 21, dtype=jnp.float32,
+                       use_pallas="interpret"),
+        StreamingPackedOperator(ds, mean, sd, 21, block_snps=4,
+                                dtype=jnp.float64),
+    ]
+    for op in ops:
+        y = np.asarray(op.perform_op(jnp.asarray(x, op.dtype)))
+        assert np.isfinite(y).all(), type(op).__name__
+        z = np.asarray(op.crossprod(jnp.asarray(x, op.dtype)))
+        assert np.isfinite(z).all() and np.all(z[3] == 0.0)
+
+    tall = TallPackedOperator(ds.read_packed(), mean, sd, 21,
+                              dtype=jnp.float64)
+    assert np.isfinite(tall.trace)
+
+    # batch path agrees (constant-0 imputation -> zeroed column)
+    M = ds.read_matrix()
+    assert np.isfinite(M).all() and np.all(M[:, 3] == 0.0)
