@@ -25,19 +25,22 @@ namespace {
 // counts[byte][code] = how many of the 4 packed samples carry `code`
 struct CountLut {
     uint8_t cnt[256][4];
-    // dosage sum over the 4 samples, missing contributing 0
+    // dosage sum / sum of squared dosages over the 4 samples, missing
+    // contributing 0 (dosage 2 -> 4, dosage 1 -> 1; max 16 fits uint8)
     uint8_t dsum[256];
+    uint8_t d2sum[256];
     CountLut() {
         for (int b = 0; b < 256; ++b) {
             std::memset(cnt[b], 0, 4);
-            int ds = 0;
+            int ds = 0, d2 = 0;
             for (int s = 0; s < 4; ++s) {
                 int c = (b >> (2 * s)) & 3;
                 cnt[b][c]++;
-                if (c == 0) ds += 2;
-                else if (c == 2) ds += 1;
+                if (c == 0) { ds += 2; d2 += 4; }
+                else if (c == 2) { ds += 1; d2 += 1; }
             }
             dsum[b] = static_cast<uint8_t>(ds);
+            d2sum[b] = static_cast<uint8_t>(d2);
         }
     }
 };
@@ -94,6 +97,42 @@ void bed_stats(const uint8_t* packed, int64_t p, int64_t nbytes,
         const double mult = (method == 1) ? 1.0 : 2.0;
         mean[j] = m;
         sd[j] = std::sqrt(mult * ph * (1.0 - ph));
+    }
+}
+
+// Per-SNP raw dosage moments over non-missing samples: ngood (count),
+// dsum (sum of dosages), d2sum (sum of squared dosages).  From these
+// any standardization's (mean, sd) AND the exact per-SNP sum of squared
+// standardized genotypes follow analytically (ops/standardize.py
+// sumsq_from_moments) -- replacing the reference's trace-accumulation
+// data pass (svdwide.cpp:44-45) with host arithmetic.
+void bed_moments(const uint8_t* packed, int64_t p, int64_t nbytes,
+                 int64_t n_samples, double* ngood, double* dsum_out,
+                 double* d2sum_out) {
+    const int64_t full = n_samples / 4;       // whole bytes
+    const int rem = static_cast<int>(n_samples % 4);
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < p; ++j) {
+        const uint8_t* row = packed + j * nbytes;
+        int64_t n_na = 0, dsum = 0, d2sum = 0;
+        for (int64_t b = 0; b < full; ++b) {
+            n_na += LUT.cnt[row[b]][1];
+            dsum += LUT.dsum[row[b]];
+            d2sum += LUT.d2sum[row[b]];
+        }
+        if (rem) {
+            const int byte = row[full];
+            for (int s = 0; s < rem; ++s) {
+                const int c = (byte >> (2 * s)) & 3;
+                if (c == 1) { ++n_na; continue; }
+                const int64_t d = static_cast<int64_t>(code_dosage(c));
+                dsum += d;
+                d2sum += d * d;
+            }
+        }
+        ngood[j] = static_cast<double>(n_samples - n_na);
+        dsum_out[j] = static_cast<double>(dsum);
+        d2sum_out[j] = static_cast<double>(d2sum);
     }
 }
 

@@ -54,6 +54,9 @@ def load() -> ctypes.CDLL | None:
     if hasattr(lib, "bed_set_num_threads"):  # absent in older builds
         lib.bed_set_num_threads.argtypes = [ctypes.c_int]
         lib.bed_set_num_threads.restype = None
+    if hasattr(lib, "bed_moments"):  # absent in older builds
+        lib.bed_moments.argtypes = [u8p, i64, i64, i64, f8p, f8p, f8p]
+        lib.bed_moments.restype = None
     _LIB = lib
     return lib
 
@@ -82,6 +85,26 @@ def stats(packed: np.ndarray, n_samples: int, method: str):
     lib.bed_stats(packed, p, nbytes, n_samples,
                   1 if method == "binom" else 2, mean, sd)
     return mean, sd
+
+
+def moments_available() -> bool:
+    """True when the built library exports ``bed_moments`` (older .so
+    builds predate it; callers fall back to the numpy moments path)."""
+    lib = load()
+    return lib is not None and hasattr(lib, "bed_moments")
+
+
+def moments(packed: np.ndarray, n_samples: int):
+    """Per-SNP raw dosage moments (ngood, dsum, d2sum), float64."""
+    lib = load()
+    assert lib is not None and hasattr(lib, "bed_moments")
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    p, nbytes = packed.shape
+    ngood = np.empty(p, dtype=np.float64)
+    dsum = np.empty(p, dtype=np.float64)
+    d2sum = np.empty(p, dtype=np.float64)
+    lib.bed_moments(packed, p, nbytes, n_samples, ngood, dsum, d2sum)
+    return ngood, dsum, d2sum
 
 
 def standardize(packed: np.ndarray, n_samples: int, mean: np.ndarray,

@@ -57,10 +57,31 @@ def codes_to_dosage(codes: np.ndarray) -> np.ndarray:
     return out
 
 
-def snp_stats_from_codes(
-    codes: np.ndarray, method: str = "binom2"
+def snp_moments_from_codes(
+    codes: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-SNP raw dosage moments over non-missing samples, float64:
+    (ngood, dsum, d2sum) = (count, sum of dosages, sum of squares).
+
+    Any standardization's (mean, sd) and the exact per-SNP sum of
+    squared STANDARDIZED genotypes follow analytically from these
+    (:func:`stats_from_moments`, ops/standardize.py
+    ``sumsq_from_moments``) -- so the trace of X X^T costs no data pass
+    at all, where the reference accumulates it during the first
+    streamed operator pass (svdwide.cpp:44-45)."""
+    na = CODE_IS_NA[codes]
+    dosage = np.where(na, 0.0, CODE_TO_DOSAGE[codes])
+    ngood = (codes.shape[1] - na.sum(axis=1)).astype(np.float64)
+    dsum = dosage.sum(axis=1)
+    # dosage in {0, 1, 2}: g^2 = 2g - [g == 1], cheaper than squaring
+    d2sum = 2.0 * dsum - (dosage == 1.0).sum(axis=1)
+    return ngood, dsum, d2sum
+
+
+def stats_from_moments(
+    ngood: np.ndarray, dsum: np.ndarray, method: str = "binom2"
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-SNP (mean, sd) over non-missing dosages, exact float64.
+    """Per-SNP (mean, sd) from raw dosage moments, exact float64.
 
     Mirrors the streaming standardizer's first-visit computation
     (reference: data.cpp:262-291): mean over non-missing; ``P = mean/2``;
@@ -68,19 +89,23 @@ def snp_stats_from_codes(
     """
     if method not in ("binom", "binom2"):
         raise ValueError(f"unknown standardisation method: {method}")
-    na = CODE_IS_NA[codes]
-    dosage = CODE_TO_DOSAGE[codes]
-    ngood = codes.shape[1] - na.sum(axis=1)
-    total = np.where(na, 0.0, dosage).sum(axis=1)
     # an all-missing SNP (ngood = 0) gets (mean, sd) = (0, 0): the
     # column is zeroed downstream exactly like a monomorphic SNP.
     # (The reference divides by zero here and lets NaN stats poison
     # its lookup table -- a latent bug, not behavior to reproduce.)
-    mean = np.where(ngood > 0, total / np.maximum(ngood, 1), 0.0)
+    mean = np.where(ngood > 0, dsum / np.maximum(ngood, 1), 0.0)
     p_hat = mean / 2.0
     mult = 1.0 if method == "binom" else 2.0
     sd = np.where(ngood > 0, np.sqrt(mult * p_hat * (1.0 - p_hat)), 0.0)
     return mean, sd
+
+
+def snp_stats_from_codes(
+    codes: np.ndarray, method: str = "binom2"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-SNP (mean, sd) over non-missing dosages, exact float64."""
+    ngood, dsum, _ = snp_moments_from_codes(codes)
+    return stats_from_moments(ngood, dsum, method)
 
 
 @dataclass
@@ -233,21 +258,60 @@ class PlinkDataset:
             dosage[na] = np.broadcast_to(means[:, None], dosage.shape)[na]
         return np.ascontiguousarray(dosage.T)
 
+    def snp_moments(self, block_size: int = 8192,
+                    snp_range: tuple[int, int] | None = None,
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact per-SNP raw dosage moments (ngood, dsum, d2sum) over
+        the file (one blockwise pass; native LUT kernel when built).
+        Stats for any method and the analytic standardized sum of
+        squares both derive from these (see
+        :func:`snp_moments_from_codes`)."""
+        from . import cbed
+
+        lo, hi = (0, self.n_snps) if snp_range is None else snp_range
+        if cbed.moments_available():
+            return cbed.moments(self.read_packed(lo, hi), self.n_samples)
+        m = hi - lo
+        ngood = np.empty(m, dtype=np.float64)
+        dsum = np.empty(m, dtype=np.float64)
+        d2sum = np.empty(m, dtype=np.float64)
+        for start in range(lo, hi, block_size):
+            stop = min(start + block_size, hi)
+            codes = self.read_codes(start, stop)
+            s = slice(start - lo, stop - lo)
+            ngood[s], dsum[s], d2sum[s] = snp_moments_from_codes(codes)
+        return ngood, dsum, d2sum
+
     def snp_stats(self, method: str = "binom2",
                   block_size: int = 8192,
                   snp_range: tuple[int, int] | None = None,
-                  ) -> tuple[np.ndarray, np.ndarray]:
+                  with_sumsq: bool = False,
+                  ):
         """Exact per-SNP (mean, sd) computed blockwise over the file.
 
         Uses the native OpenMP LUT kernel (csrc/bedio.cpp) when built;
         numpy blockwise fallback otherwise.  ``snp_range=(lo, hi)``
         restricts the computation (and the file IO) to that SNP range --
         the per-host primitive for multi-host stats (parallel/dist.py),
-        where each process reads only its own byte range."""
+        where each process reads only its own byte range.
+
+        ``with_sumsq=True`` additionally returns the exact per-SNP sum
+        of squared standardized genotypes (missing entries decode to 0)
+        -- derived analytically from the same single pass, so the trace
+        of X X^T (pve denominator, randompca.cpp:205-210) and the UCCA
+        per-SNP variances cost NO device data pass."""
         from . import cbed
 
         if method not in ("binom", "binom2"):
             raise ValueError(f"unknown standardisation method: {method}")
+        if with_sumsq:
+            from ..ops.standardize import sumsq_from_moments
+
+            ngood, dsum, d2sum = self.snp_moments(
+                block_size=block_size, snp_range=snp_range)
+            mean, sd = stats_from_moments(ngood, dsum, method)
+            return mean, sd, sumsq_from_moments(ngood, dsum, d2sum,
+                                                mean, sd)
         lo, hi = (0, self.n_snps) if snp_range is None else snp_range
         if cbed.available():
             return cbed.stats(self.read_packed(lo, hi), self.n_samples,

@@ -163,7 +163,11 @@ def pca(
                 verbose=verbose, mesh=mesh,
                 state_in=state_in, state_out=state_out,
             )
-        mean, sd = data.snp_stats(stand)
+        # one host pass yields (mean, sd) AND the exact per-SNP sum of
+        # squares of standardized X -- so trace/pve cost no device data
+        # pass (the reference accumulates trace during its first
+        # operator pass instead, svdwide.cpp:44-45)
+        mean, sd, sumsq = data.snp_stats(stand, with_sumsq=True)
         if operator_mode not in ("auto", "wide", "tall"):
             raise ValueError(f"unknown operator_mode: {operator_mode}")
         # tall regime (n >> p): decompose the p x p Gram X^T X instead
@@ -194,6 +198,7 @@ def pca(
                 block_size=block_size, dtype=dtype, mesh=mesh,
                 axis_name=(mesh.axis_names[0] if mesh is not None
                            else "samples"),
+                snp_sumsq=sumsq,
             )
             return _pca_tall(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
@@ -207,6 +212,7 @@ def pca(
         op = build_packed_operator(
             data, mean, sd, streaming=stream_on, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
+            snp_sumsq=sumsq,
         )
         return _pca_operator(
             op, ndim, divisor, maxiter, tol, seed, do_loadings,

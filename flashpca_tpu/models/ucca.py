@@ -109,11 +109,14 @@ def ucca(
         if data.n_samples != n:
             # fail BEFORE the full-file stats pass and device upload
             raise ValueError("Y rows must equal the number of samples")
-        mean, sd = data.snp_stats(stand_x)
+        # with_sumsq: the per-SNP variances below become an analytic
+        # byproduct of the stats pass instead of a decode pass
+        mean, sd, sumsq = data.snp_stats(stand_x, with_sumsq=True)
         dtype = dtype or default_dtype()
         op = build_packed_operator(
             data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
+            snp_sumsq=sumsq,
         )
     if op is not None:
         if op.n_samples != n:

@@ -150,6 +150,21 @@ def matvec_p(packed, mean, invsd, v, *, block_size):
     return y
 
 
+def _host_sumsq(snp_sumsq, n_snps: int) -> np.ndarray | None:
+    """Validate a precomputed per-SNP sum of squared standardized
+    genotypes (float64 host vector, original SNP order).  Passing one
+    makes ``trace`` / ``snp_sumsq`` free -- no decode pass at all (the
+    analytic byproduct of the host stats pass, see
+    standardize.sumsq_from_moments)."""
+    if snp_sumsq is None:
+        return None
+    arr = np.asarray(snp_sumsq, dtype=np.float64)
+    if arr.shape != (n_snps,):
+        raise ValueError(
+            f"snp_sumsq must have shape ({n_snps},), got {arr.shape}")
+    return arr
+
+
 def snp_sumsq_p(packed, mean, invsd, valid, *, block_size):
     """Per-SNP sum of squared standardized genotypes, (p_pad,).
     ``valid`` masks out byte-padding sample positions."""
@@ -295,6 +310,7 @@ class PackedOperator(LinearOperatorBase):
         axis_name: str = "snps",
         use_pallas: bool | str | None = None,
         n_snps: int | None = None,
+        snp_sumsq: np.ndarray | None = None,
     ):
         nbytes = bytes_per_snp(n_samples)
         p = int(n_snps) if n_snps is not None else int(packed.shape[0])
@@ -361,7 +377,7 @@ class PackedOperator(LinearOperatorBase):
 
         self._valid = valid_mask_permuted(n_samples, nbytes_pad, dtype)
         self._build_fns()
-        self._sumsq = None
+        self._sumsq = _host_sumsq(snp_sumsq, p)
         self._trace = None
         self.nops = 0
 
@@ -594,6 +610,7 @@ class TallPackedOperator:
         mesh: Mesh | None = None,
         axis_name: str = "samples",
         use_pallas: bool | str | None = None,
+        snp_sumsq: np.ndarray | None = None,
     ):
         p, nbytes = packed.shape
         if nbytes != bytes_per_snp(n_samples):
@@ -682,7 +699,7 @@ class TallPackedOperator:
             self.invsd = jnp.asarray(invsd_pad)
 
         self._build_fns()
-        self._sumsq = None
+        self._sumsq = _host_sumsq(snp_sumsq, int(p))
         self._trace = None
         self.nops = 0
 
@@ -867,6 +884,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         use_pallas: bool | str | None = None,
         mesh: Mesh | None = None,
         axis_name: str = "snps",
+        snp_sumsq: np.ndarray | None = None,
     ):
         from ..io.plink import PlinkDataset
 
@@ -919,7 +937,7 @@ class StreamingPackedOperator(LinearOperatorBase):
 
         self._valid = valid_mask_permuted(n_samples, nbytes_pad, dtype)
         self._build_fns()
-        self._sumsq = None
+        self._sumsq = _host_sumsq(snp_sumsq, int(p))
         self._trace = None
         self._stage = None
         self._inflight = [None, None]
@@ -1216,6 +1234,7 @@ def build_packed_operator(
     block_size: int | None = None,
     dtype=jnp.float32,
     mesh: Mesh | None = None,
+    snp_sumsq: np.ndarray | None = None,
 ):
     """Build the right packed operator for an analysis mode: HBM-resident
     (optionally mesh-sharded) or host-streaming with bounded device
@@ -1224,11 +1243,12 @@ def build_packed_operator(
     if stream:
         return StreamingPackedOperator(
             ds, mean, sd, ds.n_samples, memory_mb=memory_mb, dtype=dtype,
-            mesh=mesh,
+            mesh=mesh, snp_sumsq=snp_sumsq,
         )
     return PackedOperator(
         ds.read_packed(), mean, sd, ds.n_samples,
         block_size=block_size, dtype=dtype, mesh=mesh,
+        snp_sumsq=snp_sumsq,
     )
 
 

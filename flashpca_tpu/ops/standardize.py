@@ -131,3 +131,37 @@ def lookup_tables(
     # are exactly 0 and the column decodes to exact zeros.
     mean = np.where(inv > 0.0, mean, 0.0)
     return mean.astype(dtype), inv.astype(dtype)
+
+
+def sumsq_from_moments(
+    ngood: np.ndarray,
+    dsum: np.ndarray,
+    d2sum: np.ndarray,
+    mean: np.ndarray,
+    sd: np.ndarray,
+) -> np.ndarray:
+    """Exact per-SNP sum of squared STANDARDIZED genotypes, float64.
+
+    Missing entries decode to exactly 0 (the decode kernels' contract),
+    so over the non-missing dosages g:
+
+        sum((g - mean)^2) * inv^2
+          = (d2sum - 2*mean*dsum + ngood*mean^2) * inv^2
+
+    with ``inv = 1/sd`` zeroed below VAR_TOL exactly like
+    :func:`lookup_tables`.  Works for ANY (mean, sd) pair -- empirical
+    stats or preloaded meansd/MAF-file values (projection mode).
+
+    This replaces a whole decode pass over the data: the reference
+    accumulates trace(X X^T) during its first streamed operator pass
+    (svdwide.cpp:44-45); here the trace and UCCA's per-SNP variances
+    are free byproducts of the host stats pass."""
+    ngood = np.asarray(ngood, dtype=np.float64)
+    dsum = np.asarray(dsum, dtype=np.float64)
+    d2sum = np.asarray(d2sum, dtype=np.float64)
+    mean = np.asarray(mean, dtype=np.float64)
+    sd = np.asarray(sd, dtype=np.float64)
+    inv = np.where(sd > VAR_TOL, 1.0 / np.where(sd > VAR_TOL, sd, 1.0), 0.0)
+    ss = d2sum - 2.0 * mean * dsum + ngood * mean * mean
+    # ss is a sum of squares; cancellation can leave a tiny negative
+    return inv * inv * np.maximum(ss, 0.0)

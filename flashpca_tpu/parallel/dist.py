@@ -96,26 +96,34 @@ def sharded_snp_stats(
     *,
     stand: str = "binom2",
     axis_name: str = "snps",
-) -> tuple[np.ndarray, np.ndarray]:
+    with_sumsq: bool = False,
+):
     """Per-SNP (mean, sd) with PER-HOST IO: each process computes stats
     only for its own devices' SNP ranges (reading only those file
     bytes), then the (p,)-length vectors are allgathered.  With one
     process this is exactly ``ds.snp_stats(stand)``.  Keeps the stats
     pass host-scalable like the shard load itself ("every host can read
-    ONLY its own shard of the file", module docstring)."""
+    ONLY its own shard of the file", module docstring).
+
+    ``with_sumsq=True`` additionally returns the exact per-SNP sum of
+    squared standardized genotypes, derived from per-host raw dosage
+    moments -- identical on every process, no device data pass (see
+    PlinkDataset.snp_stats)."""
     if jax.process_count() == 1:
-        return ds.snp_stats(stand)
+        return ds.snp_stats(stand, with_sumsq=with_sumsq)
     rows = plan_row_shards(p_pad, mesh.shape[axis_name])
-    mean = np.zeros(ds.n_snps, dtype=np.float64)
-    sd = np.zeros(ds.n_snps, dtype=np.float64)
+    n_out = 3 if with_sumsq else 2
+    local = np.zeros((n_out, ds.n_snps), dtype=np.float64)
     me = jax.process_index()
     for dev, (start, stop) in zip(mesh.devices.reshape(-1), rows):
         if dev.process_index != me:
             continue
         lo, hi = min(start, ds.n_snps), min(stop, ds.n_snps)
         if hi > lo:
-            mean[lo:hi], sd[lo:hi] = ds.snp_stats(
-                stand, snp_range=(lo, hi))
+            # per-SNP quantities: each range's values are independent
+            # of every other range, so per-host slices assemble exactly
+            local[:, lo:hi] = ds.snp_stats(
+                stand, snp_range=(lo, hi), with_sumsq=with_sumsq)
     from jax.experimental import multihost_utils
 
     # shard ranges are disjoint and zero elsewhere: summing the
@@ -129,7 +137,8 @@ def sharded_snp_stats(
         g = np.asarray(multihost_utils.process_allgather(bits))
         return np.ascontiguousarray(g).view(np.float64).sum(axis=0)
 
-    return _allgather_f64(mean), _allgather_f64(sd)
+    out = _allgather_f64(local.reshape(-1)).reshape(n_out, ds.n_snps)
+    return tuple(out)
 
 
 def sharded_operator(
@@ -156,8 +165,9 @@ def sharded_operator(
     plan = PackedOperator.plan_layout(
         ds.n_snps, ds.nbytes_per_snp, block_size=block_size, dtype=dtype,
         nshards=mesh.shape[axis_name], use_pallas=use_pallas)
-    mean, sd = sharded_snp_stats(ds, mesh, plan["p_pad"], stand=stand,
-                                 axis_name=axis_name)
+    mean, sd, sumsq = sharded_snp_stats(
+        ds, mesh, plan["p_pad"], stand=stand, axis_name=axis_name,
+        with_sumsq=True)
     packed = load_sharded_packed(
         ds, mesh, p_pad=plan["p_pad"], nbytes_pad=plan["nbytes_pad"],
         axis_name=axis_name)
@@ -165,5 +175,5 @@ def sharded_operator(
         packed, mean, sd, ds.n_samples,
         block_size=plan["block_size"], dtype=dtype, mesh=mesh,
         axis_name=axis_name, use_pallas=plan["use_pallas"],
-        n_snps=ds.n_snps,
+        n_snps=ds.n_snps, snp_sumsq=sumsq,
     )
