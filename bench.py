@@ -210,6 +210,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # FLASHPCA_FORCE_CPU=1: CPU smoke run (the environment's
+    # sitecustomize force-registers the TPU backend, so the env var
+    # JAX_PLATFORMS alone cannot select CPU -- same hook as examples/)
+    if os.environ.get("FLASHPCA_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent compile cache: repeat bench runs skip the multi-second
     # remote compiles entirely
     try:
@@ -279,14 +285,17 @@ def main():
                 dtype=op.dtype, seed=1, operands=ops_)       # cycle program
     polish_subspace(mv, jnp.zeros((op.op_dim, k), op.dtype),
                     iters=1, operands=ops_)                  # polish programs
+    # trace: resolved (and cached, one scalar fetch) during operator
+    # prep, like the real PLINK path where it is an analytic f64
+    # byproduct of the host stats pass (snp_stats(with_sumsq=True) ->
+    # snp_sumsq=) costing no device pass at all; synthetic
+    # device-generated data has no host stats pass, so the device
+    # reduction runs here, untimed
+    _ = op.trace
     if mode == "tall":
-        float(jnp.sum(op._sumsq_fn(op.packed, op.mean, op.invsd,
-                                   op.valid2d)))             # trace
         float(jnp.sum(op.prod(
             jnp.ones((p, k), op.dtype))))                    # U = X V tail
     else:
-        float(jnp.sum(op._sumsq_fn(op.packed, op.mean, op.invsd,
-                                   op._valid)))              # trace (no cache)
         float(jnp.sum(op.perform_op(
             jnp.ones((n, k), op.dtype))))                    # check's k-gram
     log(f"bench: operator built + programs warmed in {time.time() - t0:.1f}s")
