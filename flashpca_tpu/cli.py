@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--instate", metavar="FILE", default=None,
                    help="warm-start the PCA solver from a checkpoint "
                         "written by --outstate")
+    p.add_argument("--checkpoint-every", metavar="R", type=int, default=0,
+                   help="with --outstate: also rewrite the checkpoint "
+                        "after every R-th restart DURING the solve "
+                        "(mid-run fault tolerance; 0 = off)")
     return p
 
 
@@ -144,6 +148,17 @@ def _block_size_from_memory(memory_mb, n, p, ndim, do_loadings, verbose):
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("FLASHPCA_FORCE_CPU") == "1":
+        # CPU run (f64-capable) regardless of any TPU plugin the
+        # environment force-registers -- same hook as examples/_env.py
+        # and bench.py (the env var JAX_PLATFORMS alone can be
+        # overridden by a sitecustomize)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     args = build_parser().parse_args(argv)
     set_show_timestamp(not args.notime)
     if args.numthreads is not None and args.numthreads > 0:
@@ -302,6 +317,7 @@ def main(argv=None) -> int:
                 verbose=args.verbose, operator_mode=args.opmode,
                 streaming=stream, memory_mb=args.memory,
                 state_in=args.instate, state_out=args.outstate,
+                checkpoint_every=args.checkpoint_every,
             )
             print(timestamp() + "PCA done")
             save_text(res.values.reshape(-1, 1), out["val"], precision=prec)

@@ -88,6 +88,7 @@ def pca(
     device_results: bool = False,
     state_in: str | None = None,
     state_out: str | None = None,
+    checkpoint_every: int = 0,
 ) -> PCAResult:
     """Compute the top ``ndim`` principal components.
 
@@ -112,6 +113,10 @@ def pca(
     an interrupted/maxiter-limited run can resume.  ``state_in`` warm-
     starts the solver from such a checkpoint (seeds up to one solver
     panel of columns), typically converging in fewer data passes.
+    ``checkpoint_every=R`` additionally rewrites ``state_out`` after
+    every R-th thick restart DURING the solve, so even a killed process
+    resumes from its last checkpoint (mid-run fault tolerance; costs
+    one (N, panel) device->host fetch per checkpoint).
     """
     dtype_arg = dtype          # None unless the caller chose explicitly
     dtype = dtype or _default_dtype()
@@ -135,6 +140,7 @@ def pca(
             data, ndim, divisor, maxiter, tol, seed, do_loadings,
             data.dtype, ncv, data.center, data.scale, panel=panel,
             state_in=state_in, state_out=state_out,
+            checkpoint_every=checkpoint_every,
             device_results=device_results, verbose=verbose,
         )
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
@@ -146,6 +152,7 @@ def pca(
             fused=not isinstance(data, StreamingPackedOperator),
             device_results=device_results,
             state_in=state_in, state_out=state_out, verbose=verbose,
+            checkpoint_every=checkpoint_every,
         )
 
     if isinstance(data, PlinkDataset):
@@ -162,6 +169,7 @@ def pca(
                 do_loadings, dtype, ncv, check_geno=False, panel=panel,
                 verbose=verbose, mesh=mesh,
                 state_in=state_in, state_out=state_out,
+                checkpoint_every=checkpoint_every,
             )
         # one host pass yields (mean, sd) AND the exact per-SNP sum of
         # squares of standardized X -- so trace/pve cost no device data
@@ -204,6 +212,7 @@ def pca(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, mean, sd, panel=panel,
                 state_in=state_in, state_out=state_out,
+                checkpoint_every=checkpoint_every,
                 device_results=device_results, verbose=verbose,
             )
         # streaming: host(/disk)-resident packed data, bounded device
@@ -220,7 +229,7 @@ def pca(
             fused=not isinstance(op, StreamingPackedOperator),
             device_results=device_results,
             state_in=state_in, state_out=state_out,
-            verbose=verbose,
+            verbose=verbose, checkpoint_every=checkpoint_every,
         )
 
     X = np.asarray(data, dtype=np.float64)
@@ -240,6 +249,7 @@ def pca(
         X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
         dtype, ncv, check_geno=False, panel=panel, verbose=verbose,
         mesh=mesh, state_in=state_in, state_out=state_out,
+        checkpoint_every=checkpoint_every,
     )
 
 
@@ -273,9 +283,24 @@ def _save_solver_state(op, res, state_out):
                    res.eigenvalues, res.residuals, res.converged)
 
 
+def _mid_run_checkpointer(op, state_out, checkpoint_every):
+    """Solver callback persisting the current Ritz panel every R-th
+    restart (mid-run fault tolerance: survives process death, not just
+    a maxiter cap).  None when not requested."""
+    if state_out is None or checkpoint_every <= 0:
+        return None
+    from ..solvers.lanczos import save_state
+
+    def ckpt(panel, values, residuals):
+        save_state(state_out, np.asarray(op.unpermute(panel)),
+                   values, residuals, False)
+
+    return ckpt
+
+
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
               dtype, ncv, mean, sd, panel=16, state_in=None,
-              state_out=None, device_results=False,
+              state_out=None, checkpoint_every=0, device_results=False,
               verbose=False) -> PCAResult:
     """Tall path: eigenpairs of X^T X; identical outputs to the wide
     path: lambda(X^T X) = lambda(X X^T) on the top spectrum,
@@ -292,6 +317,9 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         mv, op.op_dim, ndim, block=panel, ncv=ncv,
         maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
         operands=ops_, verbose=verbose,
+        checkpoint_every=checkpoint_every,
+        checkpoint_fn=_mid_run_checkpointer(op, state_out,
+                                            checkpoint_every),
     )
     _save_solver_state(op, res, state_out)
     if not res.converged:
@@ -338,7 +366,8 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
 def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, check_geno, panel=16, verbose=False,
-                mesh=None, state_in=None, state_out=None):
+                mesh=None, state_in=None, state_out=None,
+                checkpoint_every=0):
     if mesh is not None and mesh.size > 1:
         # the dense-matrix path has no sharded implementation; silent
         # single-device placement would hide a dropped request
@@ -354,13 +383,15 @@ def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
         op, ndim, divisor, maxiter, tol, seed, do_loadings, dtype, ncv,
         mean, sd, panel=panel, verbose=verbose,
         state_in=state_in, state_out=state_out,
+        checkpoint_every=checkpoint_every,
     )
 
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
                   dtype, ncv, mean, sd, solver="block", panel=16,
                   fused=True, device_results=False, state_in=None,
-                  state_out=None, verbose=False) -> PCAResult:
+                  state_out=None, checkpoint_every=0,
+                  verbose=False) -> PCAResult:
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
@@ -381,6 +412,9 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
             mv, op.op_dim, ndim, block=panel, ncv=ncv,
             maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
             operands=ops_, fused=fused, verbose=verbose,
+            checkpoint_every=checkpoint_every,
+            checkpoint_fn=_mid_run_checkpointer(op, state_out,
+                                                checkpoint_every),
         )
     else:
         res = eigsh(

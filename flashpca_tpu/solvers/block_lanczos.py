@@ -370,6 +370,8 @@ def eigsh_block(
     verbose: bool = False,
     operands=(),
     fused: bool = True,
+    checkpoint_every: int = 0,
+    checkpoint_fn=None,
 ) -> EigshResult:
     """Largest-algebraic eigenpairs via thick-restart block Lanczos.
 
@@ -380,6 +382,16 @@ def eigsh_block(
     NON-traceable matvecs (e.g. StreamingPackedOperator, which stages
     host-resident blocks inside its product).  Falls back to the scalar
     solver when the problem is too small for blocking.
+
+    ``checkpoint_every=R`` (with a ``checkpoint_fn``) calls
+    ``checkpoint_fn(panel, values, residuals)`` after every R-th thick
+    restart with the current top Ritz panel (device array, up to one
+    solver panel of columns -- what a later ``v0`` warm start consumes).
+    This is mid-run fault tolerance: the solve survives PROCESS death,
+    not just a maxiter cap (the reference has nothing like it, SURVEY
+    section 5 "no checkpoint/resume").  Persisting fetches the (n, b)
+    panel to host each time -- trivial on local hardware, slow over a
+    thin device link, hence opt-in.
     """
     b = int(block)
     ncv_user = ncv
@@ -558,6 +570,14 @@ def eigsh_block(
         S_pad[ncv:, l: l + b] = np.eye(b)        # residual panel -> col l
         V = jnp.dot(V, jnp.asarray(S_pad, dtype=dtype),
                     precision=lax.Precision.HIGHEST)
+
+        # after the rotation, V[:, :l] ARE the kept Ritz vectors
+        # (theta_kept, descending) -- a checkpoint costs no extra
+        # device compute, just the panel fetch inside checkpoint_fn
+        if (checkpoint_fn is not None and checkpoint_every > 0
+                and (restart + 1) % checkpoint_every == 0):
+            m = min(l, b)   # a v0 warm start seeds at most one panel
+            checkpoint_fn(V[:, :m], theta_kept[:m].copy(), resid.copy())
 
     S_pad = np.zeros((ncv + b, nev), dtype=np.float64)
     S_pad[:ncv] = S_keep

@@ -66,6 +66,87 @@ def test_cli_state_flags(small_plink, tmp_path, monkeypatch):
     root, _ = small_plink
     monkeypatch.chdir(tmp_path)
     state = str(tmp_path / "cli_state.npz")
-    assert main(["--bfile", root, "--ndim", "2", "--outstate", state]) == 0
+    assert main(["--bfile", root, "--ndim", "2", "--outstate", state,
+                 "--checkpoint-every", "1"]) == 0
     assert bool(load_state(state)["converged"])
     assert main(["--bfile", root, "--ndim", "2", "--instate", state]) == 0
+
+
+def _slow_problem(rng, n=300, p=250):
+    """A multi-restart PCA problem (clustered random-genotype spectrum:
+    ~40 thick restarts at k=8, tol=1e-10 in f64)."""
+    return rng.binomial(
+        2, rng.uniform(0.1, 0.5, p)[None, :], size=(n, p)).astype(float)
+
+
+def test_mid_run_checkpoints_fire_and_resume(rng, tmp_path):
+    """checkpoint_every: the solver hands out the current Ritz panel
+    after every R-th restart (mid-run fault tolerance -- survives
+    process death, unlike the end-of-solve state write), and a state
+    saved from an EARLY mid-run snapshot warm-starts a resume."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.ops.operator import DenseOperator
+    from flashpca_tpu.ops.standardize import standardize
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+    from flashpca_tpu.solvers.lanczos import save_state
+
+    X_std, _, _ = standardize(_slow_problem(rng), "binom2")
+    op = DenseOperator(X_std, dtype=jnp.float64)
+    n = op.n_samples
+    mv, ops_ = op.gram_pure()
+
+    snaps = []
+
+    def capture(panel, values, residuals):
+        snaps.append((np.asarray(panel), values, residuals))
+
+    cold = eigsh_block(mv, n, 8, maxiter=500, tol=1e-10,
+                       dtype=jnp.float64, seed=1, operands=ops_,
+                       checkpoint_every=2, checkpoint_fn=capture)
+    assert cold.converged
+    assert len(snaps) >= 2        # fired during the run, every 2nd restart
+    panel0, values0, _ = snaps[0]
+    assert panel0.shape[0] == n and 8 <= panel0.shape[1] <= 16
+    assert np.all(np.diff(values0) <= 1e-9)   # descending Ritz values
+
+    # resume from the FIRST (least-converged) snapshot: strictly fewer
+    # restarts than cold, identical eigenpairs
+    state = str(tmp_path / "mid.npz")
+    save_state(state, panel0, values0, np.full(len(values0), np.inf),
+               False)
+    st = load_state(state)
+    warm = eigsh_block(mv, n, 8, maxiter=500, tol=1e-10,
+                       dtype=jnp.float64, seed=1, operands=ops_,
+                       v0=st["vectors"])
+    assert warm.converged
+    assert warm.n_restarts < cold.n_restarts
+    np.testing.assert_allclose(warm.eigenvalues, cold.eigenvalues,
+                               rtol=1e-9)
+
+
+def test_pca_checkpoint_every_writes_during_solve(rng, tmp_path,
+                                                  monkeypatch):
+    """pca(checkpoint_every=R) persists state mid-solve via save_state:
+    intermediate writes carry converged=False before the final write."""
+    import jax.numpy as jnp
+
+    import flashpca_tpu.solvers.lanczos as lz
+    from flashpca_tpu.models.pca import pca
+
+    calls = []
+    orig = lz.save_state
+
+    def spy(path, vectors, values, residuals, converged):
+        calls.append((np.asarray(vectors).shape, bool(converged)))
+        return orig(path, vectors, values, residuals, converged)
+
+    monkeypatch.setattr(lz, "save_state", spy)
+    state = str(tmp_path / "during.npz")
+    res = pca(_slow_problem(rng), 8, tol=1e-10, dtype=jnp.float64,
+              state_out=state, checkpoint_every=3)
+    assert res.converged
+    assert len(calls) >= 3               # >= 2 mid-run + 1 final
+    assert all(not c for _, c in calls[:-1])
+    assert calls[-1][1] and calls[-1][0][1] == 8
+    assert bool(load_state(state)["converged"])   # final write wins
