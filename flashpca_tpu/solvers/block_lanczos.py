@@ -391,7 +391,8 @@ def eigsh_block(
     not just a maxiter cap (the reference has nothing like it, SURVEY
     section 5 "no checkpoint/resume").  Persisting fetches the (n, b)
     panel to host each time -- trivial on local hardware, slow over a
-    thin device link, hence opt-in.
+    thin device link, hence opt-in.  (The small-problem scalar fallback
+    below solves in a handful of seconds and does not checkpoint.)
     """
     b = int(block)
     ncv_user = ncv
