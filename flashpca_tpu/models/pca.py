@@ -118,6 +118,11 @@ def pca(
     resumes from its last checkpoint (mid-run fault tolerance; costs
     one (N, panel) device->host fetch per checkpoint).
     """
+    if checkpoint_every and state_out is None:
+        raise ValueError(
+            "checkpoint_every requires state_out (a path to write the "
+            "mid-run checkpoints to)"
+        )
     dtype_arg = dtype          # None unless the caller chose explicitly
     dtype = dtype or _default_dtype()
 
@@ -290,6 +295,14 @@ def _mid_run_checkpointer(op, state_out, checkpoint_every):
     if state_out is None or checkpoint_every <= 0:
         return None
     from ..solvers.lanczos import save_state
+    from ..utils.logging import log
+
+    # visible cost note: each write fetches the (N, panel) Ritz panel
+    # to host -- trivial locally, minutes per checkpoint over a thin
+    # remote-device link (CLAUDE.md rule 2); pick R accordingly
+    log(f"mid-run checkpoints every {checkpoint_every} restart(s) -> "
+        f"{state_out} (fetches the Ritz panel each time; use a larger "
+        "interval on slow device links)")
 
     def ckpt(panel, values, residuals):
         save_state(state_out, np.asarray(op.unpermute(panel)),

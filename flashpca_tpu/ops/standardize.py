@@ -108,6 +108,14 @@ def scale2(X: np.ndarray, type: str = "2") -> tuple[np.ndarray, np.ndarray, np.n
     return standardize(X, method)
 
 
+def _inv_sd(sd: np.ndarray) -> np.ndarray:
+    """1/sd with columns at sd <= VAR_TOL zeroed -- THE definition of
+    which columns the decode kernels zero.  Shared by lookup_tables and
+    sumsq_from_moments so the analytic sum of squares can never
+    desynchronize from what the kernels actually decode."""
+    return np.where(sd > VAR_TOL, 1.0 / np.where(sd > VAR_TOL, sd, 1.0), 0.0)
+
+
 def lookup_tables(
     mean: np.ndarray, sd: np.ndarray, dtype=np.float32
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -121,7 +129,7 @@ def lookup_tables(
     """
     mean = np.asarray(mean, dtype=np.float64)
     sd = np.asarray(sd, dtype=np.float64)
-    inv = np.where(sd > VAR_TOL, 1.0 / np.where(sd > VAR_TOL, sd, 1.0), 0.0)
+    inv = _inv_sd(sd)
     # zero the mean wherever the column is zeroed (inv == 0): an
     # ALL-MISSING SNP has NaN stats (ngood = 0; the reference divides
     # by zero the same way, data.cpp:262-291), and a NaN mean reaches
@@ -161,7 +169,7 @@ def sumsq_from_moments(
     d2sum = np.asarray(d2sum, dtype=np.float64)
     mean = np.asarray(mean, dtype=np.float64)
     sd = np.asarray(sd, dtype=np.float64)
-    inv = np.where(sd > VAR_TOL, 1.0 / np.where(sd > VAR_TOL, sd, 1.0), 0.0)
+    inv = _inv_sd(sd)
     ss = d2sum - 2.0 * mean * dsum + ngood * mean * mean
     # ss is a sum of squares; cancellation can leave a tiny negative
     return inv * inv * np.maximum(ss, 0.0)

@@ -578,7 +578,10 @@ def eigsh_block(
         if (checkpoint_fn is not None and checkpoint_every > 0
                 and (restart + 1) % checkpoint_every == 0):
             m = min(l, b)   # a v0 warm start seeds at most one panel
-            checkpoint_fn(V[:, :m], theta_kept[:m].copy(), resid.copy())
+            # res_all[:m] pairs 1:1 with theta_kept[:m] so the saved
+            # state is self-consistent (vectors/values/residuals all m)
+            checkpoint_fn(V[:, :m], theta_kept[:m].copy(),
+                          res_all[:m].copy())
 
     S_pad = np.zeros((ncv + b, nev), dtype=np.float64)
     S_pad[:ncv] = S_keep

@@ -50,6 +50,12 @@ def test_converged_state_roundtrip(small_plink, tmp_path):
     np.testing.assert_allclose(warm.values, res.values, rtol=1e-8)
 
 
+def test_checkpoint_every_requires_state_out(small_plink):
+    root, _ = small_plink
+    with pytest.raises(ValueError, match="state_out"):
+        pca(root, 2, checkpoint_every=1)
+
+
 def test_state_dimension_mismatch_raises(small_plink, tmp_path):
     from flashpca_tpu.solvers.lanczos import save_state
 
@@ -106,8 +112,10 @@ def test_mid_run_checkpoints_fire_and_resume(rng, tmp_path):
                        checkpoint_every=2, checkpoint_fn=capture)
     assert cold.converged
     assert len(snaps) >= 2        # fired during the run, every 2nd restart
-    panel0, values0, _ = snaps[0]
+    panel0, values0, resid0 = snaps[0]
     assert panel0.shape[0] == n and 8 <= panel0.shape[1] <= 16
+    # vectors/values/residuals pair 1:1 (self-consistent state file)
+    assert panel0.shape[1] == len(values0) == len(resid0)
     assert np.all(np.diff(values0) <= 1e-9)   # descending Ritz values
 
     # resume from the FIRST (least-converged) snapshot: strictly fewer
