@@ -33,8 +33,11 @@ def test_operator_products_random_shapes(trial):
     root = tempfile.mkdtemp() + "/fz"
     write_bed(root, geno)
     ds = PlinkDataset.open(root)
-    mean, sd = ds.snp_stats(method)
+    mean, sd, sumsq = ds.snp_stats(method, with_sumsq=True)
     X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    # analytic sum of squares == dense oracle on every random shape
+    np.testing.assert_allclose(sumsq, (X ** 2).sum(axis=0),
+                               rtol=1e-11, atol=1e-12)
     x = rng.standard_normal((n, 2))
     v = rng.standard_normal((p, 2))
     bs = int(rng.integers(1, p + 3))
@@ -50,6 +53,8 @@ def test_operator_products_random_shapes(trial):
                                    X.T @ x, rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(np.asarray(op.prod(v)),
                                    X @ v, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(op.snp_sumsq, sumsq,
+                                   rtol=1e-10, atol=1e-11)
 
     tall = TallPackedOperator(ds.read_packed(), mean, sd, n,
                               dtype=jnp.float64)
