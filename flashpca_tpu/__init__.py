@@ -20,7 +20,8 @@ from .models import (
     ucca, UccaResult,
     scca, SCCAResult,
 )
-from .models.scca import cv_scca, CVSCCAResult
+from .models.scca import (cv_scca, CVSCCAResult, save_scca_state,
+                          load_scca_state)
 from .models.scca_split import split_scca, SplitSCCAResult
 from .solvers.lanczos import eigsh
 from .solvers.block_lanczos import eigsh_block

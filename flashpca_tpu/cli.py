@@ -101,15 +101,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decompose X X^T (wide), X^T X (tall, for "
                         "N >> p), or pick automatically")
     p.add_argument("--outstate", metavar="FILE", default=None,
-                   help="write an .npz restart checkpoint (Ritz panel) "
-                        "after the PCA solve, converged or not")
+                   help="write an .npz restart checkpoint: PCA saves "
+                        "the Ritz panel after the solve (converged or "
+                        "not); SCCA saves after every completed "
+                        "dimension")
     p.add_argument("--instate", metavar="FILE", default=None,
-                   help="warm-start the PCA solver from a checkpoint "
-                        "written by --outstate")
+                   help="resume from a checkpoint written by "
+                        "--outstate (PCA warm start / SCCA skips "
+                        "finished dimensions)")
     p.add_argument("--checkpoint-every", metavar="R", type=int, default=0,
-                   help="with --outstate: also rewrite the checkpoint "
-                        "after every R-th restart DURING the solve "
-                        "(mid-run fault tolerance; 0 = off)")
+                   help="PCA with --outstate: also rewrite the "
+                        "checkpoint after every R-th restart DURING "
+                        "the solve (mid-run fault tolerance; 0 = off)")
     return p
 
 
@@ -346,6 +349,7 @@ def main(argv=None) -> int:
                 block_size=block_size, dtype=dtype, mesh=mesh,
                 verbose=args.verbose, streaming=stream,
                 memory_mb=args.memory,
+                state_out=args.outstate, state_in=args.instate,
             )
             print(timestamp() + "SCCA done")
             if not res.converged:

@@ -80,6 +80,36 @@ def make_gaussian(rows: int, cols: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((rows, cols))
 
 
+def save_scca_state(path, U, V, d, next_dim, V0,
+                    lambda1, lambda2) -> None:
+    """Persist SCCA progress after a completed dimension (atomic write,
+    same tmp+rename discipline as the PCA Ritz checkpoints).  The
+    deflation is strictly sequential (randompca.cpp:428-498), so the
+    finished columns U[:, :next_dim] / V / d plus the shared V0 are the
+    complete resume state; the reference has no such surface."""
+    import os
+    import uuid
+
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.npz"
+    np.savez(
+        tmp,
+        U=np.asarray(U, dtype=np.float64),
+        V=np.asarray(V, dtype=np.float64),
+        d=np.asarray(d, dtype=np.float64),
+        next_dim=np.asarray(int(next_dim)),
+        V0=np.asarray(V0, dtype=np.float64),
+        lambda1=np.asarray(float(lambda1)),
+        lambda2=np.asarray(float(lambda2)),
+    )
+    os.replace(tmp, str(path))
+
+
+def load_scca_state(path) -> dict:
+    """Load a checkpoint written by :func:`save_scca_state`."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
 def _gram_schmidt(vec: np.ndarray, basis: np.ndarray, j: int) -> np.ndarray:
     """Orthogonalize vec against basis[:, :j], one column at a time with
     per-column normalization (randompca.cpp:270-278 order preserved)."""
@@ -218,6 +248,8 @@ def scca(
     engine: str = "auto",
     streaming: bool | str = "auto",
     memory_mb: int | None = None,
+    state_out: str | None = None,
+    state_in: str | None = None,
 ) -> SCCAResult:
     """SCCA of ``X`` (PLINK root/dataset or (N, p) matrix) against the
     (N, k) phenotype matrix ``Y``.
@@ -231,7 +263,17 @@ def scca(
     host one product at a time (required for the streaming operator,
     whose products stage host blocks -- the analog of the reference's
     disk-streaming SCCA, randompca.cpp:387-528).  ``'auto'`` picks
-    device for resident operators, host for streaming."""
+    device for resident operators, host for streaming.
+
+    ``state_out`` writes an .npz checkpoint after EVERY completed
+    dimension (the deflation is sequential, so finished U/V columns +
+    the shared V0 are the full resume state -- and they are already on
+    host, so this costs nothing extra).  ``state_in`` resumes: finished
+    dimensions are skipped, the run continues at the next one with
+    identical results to an uninterrupted run."""
+    if state_in is not None and V0 is None:
+        auto_init = False      # the state carries the (possibly
+        #                        auto-initialized) V0 already
     if auto_init and V0 is None:
         s0 = scca(
             X, Y, 1e-12, 1e-12, ndim=ndim, stand_x=stand_x,
@@ -317,6 +359,32 @@ def scca(
     d = np.zeros(ndim, dtype=np.float64)
     converged = False
 
+    start_dim = 0
+    if state_in is not None:
+        st = load_scca_state(state_in)
+        if st["U"].shape != (p, ndim) or st["V"].shape != (k, ndim):
+            raise ValueError(
+                f"SCCA state has U {st['U'].shape} / V {st['V'].shape}; "
+                f"expected ({p}, {ndim}) / ({k}, {ndim})")
+        if (float(st["lambda1"]) != float(lambda1)
+                or float(st["lambda2"]) != float(lambda2)):
+            raise ValueError(
+                "SCCA state was written under different penalties "
+                f"(lambda1={float(st['lambda1']):g}, "
+                f"lambda2={float(st['lambda2']):g}); resuming under new "
+                "ones would mix deflation sequences")
+        if V0 is not None and not np.array_equal(st["V0"], V0):
+            # V0 either came from make_gaussian(seed) above or was
+            # explicit; a DIFFERENT explicit V0 contradicts the state
+            if not np.array_equal(V0, make_gaussian(k, ndim, seed)):
+                raise ValueError(
+                    "explicit V0 differs from the checkpoint's V0")
+        V0 = st["V0"]
+        U, V, d = st["U"].copy(), st["V"].copy(), st["d"].copy()
+        start_dim = int(st["next_dim"])
+        log(f"resuming SCCA at dimension {start_dim} from {state_in}",
+            verbose=verbose)
+
     def result(conv):
         Px = xv(U)
         Py = Y_std @ V
@@ -343,14 +411,16 @@ def scca(
         Yp = op.permute(jnp.asarray(Y_std, dtype=dtype))
         p_dev = (op.p_pad if isinstance(op, PackedOperator) else p)
         dim_fn = _dim_jit_for(cross_fn, mv_fn, maxiter)
-        U_dev = jnp.zeros((p_dev, ndim), dtype=dtype)
+        # restored columns (zeros when not resuming) into padded space
+        U_dev = jnp.zeros((p_dev, ndim), dtype=dtype).at[:p, :].set(
+            jnp.asarray(U, dtype=dtype))
         V_dev = jnp.asarray(V, dtype=dtype)
         V0_dev = jnp.asarray(V0, dtype=dtype)
         lam1_t = jnp.asarray(lambda1, dtype)
         lam2_t = jnp.asarray(lambda2, dtype)
         inv_t = jnp.asarray(invdiv, dtype)
         tol_t = jnp.asarray(tol, dtype)
-        for j in range(ndim):
+        for j in range(start_dim, ndim):
             # j as a traced scalar: one compile serves every dimension
             u, v, it, conv, uz, vz, dj = dim_fn(
                 U_dev, V_dev, Yp, jnp.asarray(j, jnp.int32),
@@ -379,9 +449,12 @@ def scca(
             log(f"U_{j} non-zeros: {nzu}, V_{j} non-zeros: {nzv}",
                 verbose=verbose)
             log(f"d[{j}]: {d[j]}", verbose=verbose)
+            if state_out is not None:
+                save_scca_state(state_out, U, V, d, j + 1, V0,
+                                lambda1, lambda2)
         return result(True)
 
-    for j in range(ndim):
+    for j in range(start_dim, ndim):
         it = 0
         while it < maxiter:
             uj_old = U[:, j].copy()
@@ -425,6 +498,9 @@ def scca(
         log(f"U_{j} non-zeros: {nzu}, V_{j} non-zeros: {nzv}", verbose=verbose)
         d[j] = xv(U[:, j]) @ (Y_std @ V[:, j])
         log(f"d[{j}]: {d[j]}", verbose=verbose)
+        if state_out is not None:
+            save_scca_state(state_out, U, V, d, j + 1, V0,
+                            lambda1, lambda2)
 
     return result(True)
 

@@ -241,3 +241,86 @@ def test_scca_accepts_prebuilt_operator(small_plink, rng):
     res_ds = scca(root, Y, 1e-3, 1e-3, ndim=2, maxiter=800, tol=1e-9, V0=V0)
     np.testing.assert_allclose(res_op.d, res_ds.d, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(res_op.U, res_ds.U, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("engine", ["device", "host"])
+def test_scca_dim_checkpoint_resume(xy, rng, tmp_path, engine):
+    """state_out persists after EVERY completed dimension; resuming from
+    an early snapshot skips the finished dims and reproduces the
+    uninterrupted run exactly (sequential deflation = the completed
+    columns plus V0 are the full state)."""
+    import sys
+
+    # flashpca_tpu.models.__init__ rebinds the attribute `scca` to the
+    # FUNCTION, shadowing the submodule on `import ... as` -- go through
+    # sys.modules for the module object
+    scca_mod = sys.modules["flashpca_tpu.models.scca"]
+    from flashpca_tpu.models.scca import load_scca_state, save_scca_state
+
+    X, Y = xy
+    V0 = rng.normal(size=(Y.shape[1], 3))
+    kw = dict(ndim=3, maxiter=2000, tol=1e-9, V0=V0, engine=engine)
+    state = str(tmp_path / f"scca_{engine}.npz")
+
+    # capture every successive checkpoint (simulates reading the file
+    # at the moment a process died)
+    snaps = []
+    orig = save_scca_state
+
+    def spy(path, U, V, d, next_dim, V0_, l1, l2):
+        snaps.append(int(next_dim))
+        orig(str(tmp_path / f"snap{next_dim}_{engine}.npz"),
+             U, V, d, next_dim, V0_, l1, l2)
+        return orig(path, U, V, d, next_dim, V0_, l1, l2)
+
+    scca_mod.save_scca_state, saved = spy, scca_mod.save_scca_state
+    try:
+        full = scca(X, Y, 2e-3, 1e-3, state_out=state, **kw)
+    finally:
+        scca_mod.save_scca_state = saved
+    assert full.converged
+    assert snaps == [1, 2, 3]
+    st = load_scca_state(state)
+    assert int(st["next_dim"]) == 3
+
+    # resume from the snapshot written after dim 0 only
+    resumed = scca(X, Y, 2e-3, 1e-3,
+                   state_in=str(tmp_path / f"snap1_{engine}.npz"), **kw)
+    assert resumed.converged
+    np.testing.assert_allclose(resumed.d, full.d, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(resumed.U, full.U, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(resumed.V, full.V, rtol=1e-9, atol=1e-11)
+
+    # resuming a COMPLETE state recomputes nothing and returns the run
+    done = scca(X, Y, 2e-3, 1e-3, state_in=state, **kw)
+    np.testing.assert_allclose(done.d, full.d, rtol=1e-12)
+
+    # guardrails: different penalties / different explicit V0 refuse
+    with pytest.raises(ValueError, match="different penalties"):
+        scca(X, Y, 5e-3, 1e-3, state_in=state, **kw)
+    kw_bad = dict(kw, V0=rng.normal(size=(Y.shape[1], 3)))
+    with pytest.raises(ValueError, match="V0 differs"):
+        scca(X, Y, 2e-3, 1e-3, state_in=state, **kw_bad)
+
+
+def test_cli_scca_state_flags(small_plink, tmp_path, monkeypatch, rng):
+    from flashpca_tpu.cli import main
+    from flashpca_tpu.models.scca import load_scca_state
+
+    root, geno = small_plink
+    n = geno.shape[0]
+    pheno_path = str(tmp_path / "pheno.txt")
+    Y = rng.normal(size=(n, 3))
+    with open(pheno_path, "w") as fh:
+        for i in range(n):
+            fh.write(f"F{i} I{i} " + " ".join(f"{v:.6f}" for v in Y[i])
+                     + "\n")
+    monkeypatch.chdir(tmp_path)
+    state = str(tmp_path / "scca_state.npz")
+    rc = main(["--scca", "--bfile", root, "--pheno", pheno_path,
+               "--ndim", "2", "--outstate", state, "--notime"])
+    assert rc == 0
+    assert int(load_scca_state(state)["next_dim"]) == 2
+    rc = main(["--scca", "--bfile", root, "--pheno", pheno_path,
+               "--ndim", "2", "--instate", state, "--notime"])
+    assert rc == 0
