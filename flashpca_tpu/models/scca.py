@@ -554,6 +554,12 @@ def cv_scca(
     its fold's predictions NaN.  ``init=True`` seeds every fold's grid
     with the V of a near-zero-penalty run on that fold's training data.
     """
+    for bad in ("state_out", "state_in"):
+        if bad in scca_kwargs:
+            raise ValueError(
+                f"{bad} cannot be forwarded to a penalty grid: every "
+                "(fold, lambda) cell would overwrite the same file; "
+                "checkpoint individual scca() runs instead")
     X = np.asarray(X, dtype=np.float64)
     Y = np.asarray(Y, dtype=np.float64)
     if Y.ndim == 1:

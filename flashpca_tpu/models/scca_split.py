@@ -80,6 +80,12 @@ def split_scca(
     by default).  Extra kwargs go to :func:`scca` (e.g. ``maxiter``,
     ``tol``, ``mesh``, ``streaming``).
     """
+    for bad in ("state_out", "state_in"):
+        if bad in scca_kwargs:
+            raise ValueError(
+                f"{bad} cannot be forwarded to a penalty grid: every "
+                "(lambda1, lambda2) cell would overwrite the same file; "
+                "checkpoint individual scca() runs instead")
     if isinstance(data, str):
         data = PlinkDataset.open(data)
     Y = np.asarray(Y, dtype=np.float64)

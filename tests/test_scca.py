@@ -324,3 +324,17 @@ def test_cli_scca_state_flags(small_plink, tmp_path, monkeypatch, rng):
     rc = main(["--scca", "--bfile", root, "--pheno", pheno_path,
                "--ndim", "2", "--instate", state, "--notime"])
     assert rc == 0
+
+
+def test_grid_pipelines_reject_state_kwargs(xy, small_plink, rng):
+    from flashpca_tpu.models.scca import cv_scca
+    from flashpca_tpu.models.scca_split import split_scca
+
+    X, Y = xy
+    with pytest.raises(ValueError, match="penalty grid"):
+        cv_scca(X, Y, [1e-3], [1e-3], ndim=2, nfolds=3,
+                state_out="grid.npz")
+    root, geno = small_plink
+    with pytest.raises(ValueError, match="penalty grid"):
+        split_scca(root, rng.normal(size=(geno.shape[0], 3)),
+                   [1e-3], [1e-3], ndim=2, state_in="grid.npz")
