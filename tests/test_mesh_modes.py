@@ -71,3 +71,38 @@ def test_project_sharded_matches(small_plink, mesh4):
     pr_m = project(root, res.loadings, meansd=ms, mesh=mesh4)
     np.testing.assert_allclose(pr_m.projection, pr_1.projection,
                                rtol=1e-9, atol=1e-12)
+
+
+def test_pca_mid_run_checkpoint_sharded(mesh4, tmp_path, monkeypatch):
+    """checkpoint_every under a mesh: the Ritz panel is replicated
+    (psum'd outputs), so the per-checkpoint fetch + unpermute + atomic
+    write must work on sharded operators, and the saved state resumes
+    shard-invariantly.  (Needs a problem big enough for the BLOCK
+    solver -- the small_plink fixture falls back to the scalar path,
+    where mid-run checkpoints do not apply.)"""
+    import flashpca_tpu.solvers.lanczos as lz
+    from flashpca_tpu.io.plink import write_bed
+    from flashpca_tpu.solvers.lanczos import load_state
+
+    rng = np.random.default_rng(31)
+    # clustered Marchenko-Pastur-ish spectrum: takes several thick
+    # restarts at tol=1e-10, so mid-run checkpoints actually fire
+    geno = rng.binomial(2, rng.uniform(0.1, 0.5, 152)[None, :],
+                        size=(300, 152)).astype(np.float64)
+    root = str(tmp_path / "big")
+    write_bed(root, geno)
+
+    writes = []
+    orig = lz.save_state
+    monkeypatch.setattr(
+        lz, "save_state",
+        lambda *a: (writes.append(bool(a[4])), orig(*a))[1])
+
+    state = str(tmp_path / "mesh_state.npz")
+    res = pca(root, 3, tol=1e-10, mesh=mesh4, state_out=state,
+              checkpoint_every=1)
+    assert len(writes) >= 2 and not writes[0]   # mid-run writes fired
+    st = load_state(state)
+    assert bool(st["converged"])      # final write wins
+    warm = pca(root, 3, tol=1e-10, state_in=state)   # resume UNsharded
+    np.testing.assert_allclose(warm.values, res.values, rtol=1e-8)
