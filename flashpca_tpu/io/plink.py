@@ -146,6 +146,15 @@ class PlinkDataset:
         ds.read_fam()
         ds.read_bim()
         ds.get_size()
+        # the reference validates neither (data.cpp:150-176: nsnps is
+        # len/np, bim count unchecked) -- but downstream output writers
+        # pair every SNP row with its .bim id/allele, so a mismatch
+        # would silently mislabel results; fail loudly instead
+        if ds.snp_ids and len(ds.snp_ids) != ds.n_snps:
+            raise ValueError(
+                f"{bim} lists {len(ds.snp_ids)} SNPs but {bed} holds "
+                f"{ds.n_snps} (= (filesize - 3) // ceil(N/4) with N="
+                f"{ds.n_samples} samples from {fam})")
         return ds
 
     # -- metadata ----------------------------------------------------------
@@ -185,10 +194,18 @@ class PlinkDataset:
     def get_size(self) -> None:
         """Infer n_snps from file size (reference: data.cpp:150-176)."""
         if self.n_samples == 0:
-            raise RuntimeError("read_fam() must run before get_size()")
+            raise RuntimeError(
+                "no samples (.fam is empty, or read_fam() did not run "
+                "before get_size())")
         length = os.path.getsize(self.bed_path) - 3
         nb = bytes_per_snp(self.n_samples)
         self.n_snps = length // nb
+        if length % nb:
+            warnings.warn(
+                f"{self.bed_path}: {length % nb} trailing bytes beyond "
+                f"{self.n_snps} whole SNPs (truncated file, or N="
+                f"{self.n_samples} does not match this .bed); the "
+                "partial SNP is ignored")
         with open(self.bed_path, "rb") as fh:
             magic = fh.read(3)
         if magic != BED_MAGIC:

@@ -179,3 +179,57 @@ def test_padding_bits_ignored(tmp_path):
     assert np.array_equal(clean["stats"][1], s2)
     assert np.array_equal(clean["mat"], ds2.read_matrix())
     assert np.array_equal(clean["codes"], ds2.read_codes())
+
+
+def test_open_rejects_bim_bed_mismatch(small_plink, tmp_path):
+    """A .bim whose SNP count disagrees with the .bed (file size /
+    ceil(N/4)) must fail loudly: output writers pair every row with its
+    .bim id, so proceeding would silently mislabel results (the
+    reference validates nothing here, data.cpp:150-176)."""
+    import shutil
+
+    from flashpca_tpu.io.plink import PlinkDataset
+
+    root, _ = small_plink
+    bad = str(tmp_path / "mismatch")
+    for ext in (".bed", ".bim", ".fam"):
+        shutil.copy(root + ext, bad + ext)
+    with open(bad + ".bim") as fh:
+        lines = fh.readlines()
+    with open(bad + ".bim", "w") as fh:
+        fh.writelines(lines[:-2])        # drop 2 SNPs from the .bim
+    with pytest.raises(ValueError, match="lists .* SNPs but"):
+        PlinkDataset.open(bad)
+
+
+def test_open_warns_on_truncated_bed(small_plink, tmp_path):
+    import shutil
+    import warnings as _warnings
+
+    from flashpca_tpu.io.plink import PlinkDataset
+
+    root, geno = small_plink
+    bad = str(tmp_path / "trunc")
+    for ext in (".bed", ".bim", ".fam"):
+        shutil.copy(root + ext, bad + ext)
+    with open(bad + ".bed", "ab") as fh:
+        fh.write(b"\x00\x00\x00\x00\x00")   # partial trailing SNP
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        ds = PlinkDataset.open(bad)
+    assert any("trailing bytes" in str(x.message) for x in w)
+    assert ds.n_snps == geno.shape[1]
+
+
+def test_open_rejects_empty_fam(small_plink, tmp_path):
+    import shutil
+
+    from flashpca_tpu.io.plink import PlinkDataset
+
+    root, _ = small_plink
+    bad = str(tmp_path / "nofam")
+    for ext in (".bed", ".bim"):
+        shutil.copy(root + ext, bad + ext)
+    open(bad + ".fam", "w").close()
+    with pytest.raises(RuntimeError, match="no samples"):
+        PlinkDataset.open(bad)
