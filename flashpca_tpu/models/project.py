@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..io.plink import PlinkDataset
 from ..io.text import maf2meansd
 from ..ops.operator import build_packed_operator, default_dtype
-from ..ops.standardize import VAR_TOL
+from ..ops.standardize import _inv_sd
 
 
 @dataclass
@@ -117,8 +117,7 @@ def project(
         raise ValueError("numeric projection requires orig_mean and orig_sd")
     orig_mean = np.asarray(orig_mean, dtype=np.float64)
     orig_sd = np.asarray(orig_sd, dtype=np.float64)
-    inv = np.where(orig_sd > VAR_TOL,
-                   1.0 / np.where(orig_sd > VAR_TOL, orig_sd, 1.0), 0.0)
+    inv = _inv_sd(orig_sd)   # same column-zeroing rule as the kernels
     Xs = (X - orig_mean[None, :]) * inv[None, :]
     Xs[np.isnan(Xs)] = 0.0
     div = _resolve_div(divisor, X.shape[0], V.shape[0])
