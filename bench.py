@@ -205,6 +205,18 @@ def measure_extra_modes(op, n, log):
     log(f"bench: ucca full scan ({op.n_snps} SNPs x {Y.shape[1]} phenos, "
         f"warm) in {dt:.1f}s; median R={np.median(uc.result[:, 0]):.4f}")
 
+    # projection (the --project hot path is one prod pass over the
+    # loadings, randompca.cpp:813-819)
+    import jax.numpy as jnp
+
+    V = jnp.asarray(rng.standard_normal((op.n_snps, 10)), dtype=op.dtype)
+    float(jnp.sum(op.prod(V)))       # warm
+    t0 = time.time()
+    float(jnp.sum(op.prod(V)))
+    dt = time.time() - t0
+    log(f"bench: projection pass ({op.n_snps} SNPs x 10 PCs, warm) "
+        f"in {dt:.2f}s")
+
 
 def main():
     import jax
