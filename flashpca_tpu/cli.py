@@ -220,6 +220,20 @@ def main(argv=None) -> int:
         return _die("--lambda2 can't be negative")
     if args.precision is not None and args.precision <= 1:
         return _die("output --precision too low")
+    if args.checkpoint_every:
+        if args.checkpoint_every < 0:
+            return _die("--checkpoint-every must be a positive restart "
+                        "interval")
+        if mode != "pca":
+            # only the PCA solver takes mid-run checkpoints; accepting
+            # the flag elsewhere would silently drop the fault tolerance
+            # the user asked for (SCCA checkpoints per-dimension via
+            # --outstate instead)
+            return _die("--checkpoint-every applies to PCA mode only "
+                        "(SCCA persists per completed dimension with "
+                        "--outstate)")
+        if not args.outstate:
+            return _die("--checkpoint-every requires --outstate")
 
     if args.bfile:
         bed, bim, fam = (args.bfile + ext for ext in (".bed", ".bim", ".fam"))

@@ -150,7 +150,7 @@ class PlinkDataset:
         # len/np, bim count unchecked) -- but downstream output writers
         # pair every SNP row with its .bim id/allele, so a mismatch
         # would silently mislabel results; fail loudly instead
-        if ds.snp_ids and len(ds.snp_ids) != ds.n_snps:
+        if len(ds.snp_ids) != ds.n_snps:
             raise ValueError(
                 f"{bim} lists {len(ds.snp_ids)} SNPs but {bed} holds "
                 f"{ds.n_snps} (= (filesize - 3) // ceil(N/4) with N="

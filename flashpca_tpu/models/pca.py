@@ -118,11 +118,16 @@ def pca(
     resumes from its last checkpoint (mid-run fault tolerance; costs
     one (N, panel) device->host fetch per checkpoint).
     """
-    if checkpoint_every and state_out is None:
-        raise ValueError(
-            "checkpoint_every requires state_out (a path to write the "
-            "mid-run checkpoints to)"
-        )
+    if checkpoint_every:
+        if checkpoint_every < 0:
+            raise ValueError(
+                f"checkpoint_every must be a positive restart interval, "
+                f"got {checkpoint_every}")
+        if state_out is None:
+            raise ValueError(
+                "checkpoint_every requires state_out (a path to write "
+                "the mid-run checkpoints to)"
+            )
     dtype_arg = dtype          # None unless the caller chose explicitly
     dtype = dtype or _default_dtype()
 

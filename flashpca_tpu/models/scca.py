@@ -87,12 +87,10 @@ def save_scca_state(path, U, V, d, next_dim, V0,
     deflation is strictly sequential (randompca.cpp:428-498), so the
     finished columns U[:, :next_dim] / V / d plus the shared V0 are the
     complete resume state; the reference has no such surface."""
-    import os
-    import uuid
+    from ..utils.state import atomic_savez
 
-    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.npz"
-    np.savez(
-        tmp,
+    atomic_savez(
+        path,
         U=np.asarray(U, dtype=np.float64),
         V=np.asarray(V, dtype=np.float64),
         d=np.asarray(d, dtype=np.float64),
@@ -101,7 +99,6 @@ def save_scca_state(path, U, V, d, next_dim, V0,
         lambda1=np.asarray(float(lambda1)),
         lambda2=np.asarray(float(lambda2)),
     )
-    os.replace(tmp, str(path))
 
 
 def load_scca_state(path) -> dict:
@@ -347,6 +344,7 @@ def scca(
             op.prod(jnp.asarray(u_p, dtype=dtype)), dtype=np.float64
         ) * invdiv
 
+    v0_explicit = V0 is not None
     if V0 is None:
         V0 = make_gaussian(k, ndim, seed)
     else:
@@ -373,12 +371,11 @@ def scca(
                 f"(lambda1={float(st['lambda1']):g}, "
                 f"lambda2={float(st['lambda2']):g}); resuming under new "
                 "ones would mix deflation sequences")
-        if V0 is not None and not np.array_equal(st["V0"], V0):
-            # V0 either came from make_gaussian(seed) above or was
-            # explicit; a DIFFERENT explicit V0 contradicts the state
-            if not np.array_equal(V0, make_gaussian(k, ndim, seed)):
-                raise ValueError(
-                    "explicit V0 differs from the checkpoint's V0")
+        if v0_explicit and not np.array_equal(st["V0"], V0):
+            # a DIFFERENT explicit V0 contradicts the state; a default
+            # (seed-generated) V0 simply yields to the checkpoint's
+            raise ValueError(
+                "explicit V0 differs from the checkpoint's V0")
         V0 = st["V0"]
         U, V, d = st["U"].copy(), st["V"].copy(), st["d"].copy()
         start_dim = int(st["next_dim"])

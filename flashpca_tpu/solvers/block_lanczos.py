@@ -422,6 +422,16 @@ def eigsh_block(
     # the deflation-injection cycle can stall above the tolerance
     if ncv + 2 * b > n or nev + b > ncv or b < 2:
         if fused:
+            if checkpoint_fn is not None and checkpoint_every > 0:
+                # the scalar solver has no checkpoint hook; a caller who
+                # asked for mid-run fault tolerance must hear it is off
+                import warnings
+                warnings.warn(
+                    "problem too small for the block solver; falling "
+                    "back to scalar Lanczos, which does NOT take "
+                    "mid-run checkpoints (checkpoint_every ignored; "
+                    "the end-of-solve state write still happens)",
+                    RuntimeWarning, stacklevel=2)
             return eigsh(_scalar_mv_for(matvec),
                          n, nev, maxiter=maxiter, tol=tol, dtype=dtype,
                          seed=seed, v0=v0, operands=operands)

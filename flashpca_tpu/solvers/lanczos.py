@@ -64,28 +64,17 @@ def save_state(path, vectors, eigenvalues, residuals, converged) -> None:
     in SAMPLE space (unpermuted) so the state is independent of the
     operator's padded device layout.
 
-    The write is atomic (tmp file + rename) and safe under concurrent
-    identical writes: in a multi-host SPMD run every process saves the
-    same replicated panel, so on a shared filesystem the last rename
-    wins with identical content, and on host-local disks every host
-    gets its own copy for restart.  The tmp name carries a random
-    token, not just the pid: two HOSTS sharing a filesystem can share
-    a pid, and a pid-only name would let their writes interleave into
-    one corrupt tmp file (review r2).
+    Multi-host safety and atomicity: see ``utils.state.atomic_savez``.
     """
-    import os
-    import uuid
+    from ..utils.state import atomic_savez
 
-    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.npz"
-    np.savez(                              # .npz suffix: savez writes
-                                           # exactly this path
-        tmp,
+    atomic_savez(
+        path,
         vectors=np.asarray(vectors, dtype=np.float64),
         eigenvalues=np.asarray(eigenvalues, dtype=np.float64),
         residuals=np.asarray(residuals, dtype=np.float64),
         converged=np.asarray(bool(converged)),
     )
-    os.replace(tmp, str(path))
 
 
 def load_state(path) -> dict:

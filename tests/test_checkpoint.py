@@ -158,3 +158,58 @@ def test_pca_checkpoint_every_writes_during_solve(rng, tmp_path,
     assert all(not c for _, c in calls[:-1])
     assert calls[-1][1] and calls[-1][0][1] == 8
     assert bool(load_state(state)["converged"])   # final write wins
+
+
+def test_negative_checkpoint_every_raises(small_plink, tmp_path):
+    """A negative interval is almost certainly a typo for a positive
+    one; silently disabling checkpointing would betray the fault
+    tolerance the caller asked for (review r2)."""
+    root, _ = small_plink
+    with pytest.raises(ValueError, match="positive"):
+        pca(root, 2, checkpoint_every=-5,
+            state_out=str(tmp_path / "s.npz"))
+
+
+def test_cli_checkpoint_every_pca_only(small_plink, tmp_path, monkeypatch):
+    """--checkpoint-every outside PCA mode must be rejected, not
+    silently dropped (only pca() takes mid-run checkpoints)."""
+    from flashpca_tpu.cli import main
+
+    root, _ = small_plink
+    monkeypatch.chdir(tmp_path)
+    np.savetxt(tmp_path / "pheno.txt",
+               np.column_stack([
+                   np.arange(21) + 1, np.arange(21) + 1,
+                   np.random.default_rng(0).normal(size=(21, 2)),
+               ]), fmt="%s")
+    state = str(tmp_path / "s.npz")
+    # SCCA mode: rejected
+    assert main(["--scca", "--bfile", root, "--pheno", "pheno.txt",
+                 "--ndim", "1", "--outstate", state, "--notime",
+                 "--checkpoint-every", "2"]) == 1
+    # negative interval: rejected
+    assert main(["--bfile", root, "--ndim", "2", "--outstate", state,
+                 "--notime", "--checkpoint-every", "-2"]) == 1
+    # without --outstate: rejected
+    assert main(["--bfile", root, "--ndim", "2", "--notime",
+                 "--checkpoint-every", "2"]) == 1
+
+
+def test_scalar_fallback_warns_checkpoints_off(rng):
+    """The small-problem scalar fallback takes no mid-run checkpoints;
+    a caller who requested them must get a RuntimeWarning, not silent
+    loss of the promised fault tolerance (review r2)."""
+    import warnings
+
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+
+    n = 12
+    A = rng.normal(size=(n, n))
+    A = A @ A.T
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = eigsh_block(lambda Q: A @ Q, n, 2, block=8, tol=1e-8,
+                          dtype=np.float64, checkpoint_every=1,
+                          checkpoint_fn=lambda *a: None)
+    assert any("checkpoint" in str(x.message) for x in w)
+    assert res.converged

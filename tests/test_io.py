@@ -233,3 +233,20 @@ def test_open_rejects_empty_fam(small_plink, tmp_path):
     open(bad + ".fam", "w").close()
     with pytest.raises(RuntimeError, match="no samples"):
         PlinkDataset.open(bad)
+
+
+def test_open_rejects_empty_bim(small_plink, tmp_path):
+    """A zero-SNP .bim next to a non-empty .bed is the most likely
+    truncation/corruption shape; it must hit the same count check as a
+    partial .bim, not slip past it (review r2)."""
+    import shutil
+
+    from flashpca_tpu.io.plink import PlinkDataset
+
+    root, _ = small_plink
+    bad = str(tmp_path / "emptybim")
+    for ext in (".bed", ".fam"):
+        shutil.copy(root + ext, bad + ext)
+    open(bad + ".bim", "w").close()
+    with pytest.raises(ValueError, match="lists 0 SNPs but"):
+        PlinkDataset.open(bad)
