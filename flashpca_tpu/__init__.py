@@ -21,7 +21,7 @@ from .models import (
     scca, SCCAResult,
 )
 from .models.scca import (cv_scca, CVSCCAResult, save_scca_state,
-                          load_scca_state)
+                          load_scca_state, scca_grid, SCCAGridResult)
 from .models.scca_split import split_scca, SplitSCCAResult
 from .solvers.lanczos import eigsh
 from .solvers.block_lanczos import eigsh_block

@@ -223,6 +223,163 @@ def _dim_jit_for(cross_fn, mv_fn, maxiter):
                            maxiter=maxiter))
 
 
+def _scca_dim_device_grid(cross_fn, mv_fn, U, V, Yp, j, v0, alive, consts,
+                          lam1, lam2, invdiv, tol, maxiter):
+    """One SCCA dimension for ALL penalty-grid cells at once.
+
+    TPU-native acceleration of the reference's grid workloads (scca.sh
+    runs every (lambda1, lambda2) cell as an independent flashpca
+    process, scca.sh:65-79; cv.scca lapply's over the grid,
+    scca.R:291-300): the expensive genotype products are penalty-
+    independent, so C cells stack into the panel dimension of ONE
+    ``crossprod``/``prod`` pass per iteration -- and panel columns are
+    nearly free on the VPU-decode-bound kernel (docs/PERFORMANCE.md).
+    A C-cell grid therefore costs ~max(iters) data passes instead of
+    the sequential ~sum(iters).
+
+    Shapes carry a trailing cell axis: ``U`` (p_pad, ndim, C) /
+    ``V`` (k, ndim, C) per-cell deflation histories, ``v0`` (k, C),
+    ``lam1``/``lam2`` (C,).  ``alive`` (C,) masks cells whose earlier
+    dimension failed (zero-abort or non-convergence): their state is
+    frozen so the surviving cells' math is bit-identical to a solo run.
+    Per-cell iteration semantics mirror :func:`_scca_dim_device`
+    exactly (same update order, zero-abort flags, convergence test).
+
+    Returns per-cell ``(u, v, iters, conv, uz, vz, d)``.
+    """
+    dtype = Yp.dtype
+    hp = lax.Precision.HIGHEST
+
+    def gs(x, basis):
+        # orthogonalize x[:, c] against basis[:, :j, c], one column at
+        # a time (reference order, randompca.cpp:270-278)
+        def body(k, xx):
+            col = basis[:, k, :]
+            denom = jnp.einsum("pc,pc->c", col, col, precision=hp)
+            num = jnp.einsum("pc,pc->c", xx, col, precision=hp)
+            proj = jnp.where(denom > 0,
+                             num / jnp.where(denom > 0, denom, 1.0), 0.0)
+            return xx - proj[None, :] * col
+
+        return lax.fori_loop(0, j, body, x)
+
+    def norm_thresh(x, lam):
+        # per-cell normalize -> soft-threshold -> renormalize
+        s = jnp.linalg.norm(x, axis=0)
+        x = jnp.where(s > 0, x / jnp.where(s > 0, s, 1.0)[None, :], x)
+        x = jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam[None, :], 0.0)
+        s2 = jnp.linalg.norm(x, axis=0)
+        return jnp.where(s2 > 0, x / jnp.where(s2 > 0, s2, 1.0)[None, :], x)
+
+    def u_step(v):
+        yv = jnp.dot(Yp, v, precision=hp)              # (n4, C)
+        u = cross_fn(yv, *consts) * invdiv             # ONE panel pass
+        u = gs(u, U)
+        return norm_thresh(u, lam1)
+
+    def v_step(u):
+        xu = mv_fn(u, *consts) * invdiv                # ONE panel pass
+        v = jnp.dot(Yp.T, xu, precision=hp)            # (k, C)
+        v = gs(v, V)
+        return norm_thresh(v, lam2)
+
+    def active_of(it, du, dv, uz, vz):
+        act = alive & (it < maxiter) & ((it == 0) | (du >= tol) | (dv >= tol))
+        return act & ~((j == 0) & (uz | vz))
+
+    def cond(carry):
+        u, v, it, du, dv, uz, vz = carry
+        return jnp.any(active_of(it, du, dv, uz, vz))
+
+    def body(carry):
+        u, v, it, du, dv, uz, vz = carry
+        act = active_of(it, du, dv, uz, vz)
+        u_new = u_step(v)
+        v_new = v_step(u_new)
+        du_new = jnp.max(jnp.abs(u_new - u), axis=0)
+        dv_new = jnp.max(jnp.abs(v_new - v), axis=0)
+        uz_new = uz | (jnp.max(jnp.abs(u_new), axis=0) < tol)
+        vz_new = vz | (jnp.max(jnp.abs(v_new), axis=0) < tol)
+        # frozen (converged/dead) cells keep their state untouched
+        u = jnp.where(act, u_new, u)
+        v = jnp.where(act, v_new, v)
+        du = jnp.where(act, du_new, du)
+        dv = jnp.where(act, dv_new, dv)
+        uz = jnp.where(act, uz_new, uz)
+        vz = jnp.where(act, vz_new, vz)
+        return u, v, it + act.astype(jnp.int32), du, dv, uz, vz
+
+    C = v0.shape[1]
+    u0 = jnp.zeros((U.shape[0], C), dtype)
+    inf = jnp.full((C,), jnp.inf, dtype)
+    carry = (u0, v0, jnp.zeros((C,), jnp.int32), inf, inf,
+             jnp.zeros((C,), bool), jnp.zeros((C,), bool))
+    u, v, it, du, dv, uz, vz = lax.while_loop(cond, body, carry)
+    conv = (du < tol) & (dv < tol)
+    # d_c = (X u_c)^T (Y v_c), both sides invdiv-scaled (one panel pass)
+    xu = mv_fn(u, *consts) * invdiv
+    d = jnp.einsum("nc,nc->c", xu, jnp.dot(Yp, v, precision=hp),
+                   precision=hp)
+    return u, v, it, conv, uz, vz, d
+
+
+@functools.lru_cache(maxsize=32)
+def _grid_jit_for(cross_fn, mv_fn, maxiter):
+    """Jitted batched-grid dimension programs, cached like
+    :func:`_dim_jit_for` (keyed by the operator's stable pure-product
+    identities; shapes key jit's own cache)."""
+    return jax.jit(partial(_scca_dim_device_grid, cross_fn, mv_fn,
+                           maxiter=maxiter))
+
+
+def _xside_operator(X, n, k, ndim, stand_x, *, streaming, memory_mb,
+                    block_size, dtype_arg, mesh):
+    """Resolve the X side of an (S)CCA problem to an operator.
+
+    Accepts a PLINK root string / :class:`PlinkDataset` (packed
+    operator), a dense (N, p) matrix (DenseOperator over the
+    standardized copy), or a prebuilt operator (kwarg-conflict
+    checked).  The ndim cap is validated against (p, n, k) BEFORE any
+    potentially huge genotype load (scca.R:210-215).  Returns
+    ``(op, dtype)``."""
+    if isinstance(X, str):
+        X = PlinkDataset.open(X)
+    dtype = dtype_arg or default_dtype()
+    # more canonical dimensions than the spaces support cannot converge
+    # (deflation exhausts the Y side)
+    p = (X.n_snps if isinstance(X, (PlinkDataset, PackedOperator,
+                                    StreamingPackedOperator, DenseOperator))
+         else np.shape(X)[1])
+    max_dim = min(p, n, k)
+    if ndim > max_dim:
+        raise ValueError(
+            f"You asked for {ndim} dimensions, but only {max_dim} allowed"
+        )
+    if isinstance(X, (PackedOperator, StreamingPackedOperator,
+                      DenseOperator)):
+        # prebuilt operator (e.g. device-generated data): X-side
+        # standardization is baked into it; conflicting explicit
+        # kwargs raise instead of being dropped silently
+        check_operator_conflicts(X, dtype=dtype_arg, mesh=mesh,
+                                 streaming=streaming)
+        if X.n_samples != n:
+            raise ValueError("Y rows must equal the number of samples")
+        return X, X.dtype
+    if isinstance(X, PlinkDataset):
+        if X.n_samples != n:
+            raise ValueError("Y rows must equal the number of samples")
+        mean, sd = X.snp_stats(stand_x)
+        return build_packed_operator(
+            X, mean, sd, streaming=streaming, memory_mb=memory_mb,
+            block_size=block_size, dtype=dtype, mesh=mesh,
+        ), dtype
+    Xm = np.asarray(X, dtype=np.float64)
+    if Xm.shape[0] != n:
+        raise ValueError("Y rows must equal the number of samples")
+    X_std, _, _ = standardize(Xm, stand_x)
+    return DenseOperator(X_std, dtype=dtype), dtype
+
+
 def scca(
     X,
     Y: np.ndarray,
@@ -291,47 +448,9 @@ def scca(
         invdiv = 1.0 / np.sqrt(n - 1.0)
     Y_std = Y_std * invdiv
 
-    if isinstance(X, str):
-        X = PlinkDataset.open(X)
-
-    dtype_arg = dtype          # None unless the caller chose explicitly
-    dtype = dtype or default_dtype()
-    # more canonical dimensions than the spaces support cannot converge
-    # (deflation exhausts the Y side); error like scca.R:210-215 --
-    # checked BEFORE the potentially huge genotype load/operator build
-    p = (X.n_snps if isinstance(X, (PlinkDataset, PackedOperator,
-                                    StreamingPackedOperator, DenseOperator))
-         else np.shape(X)[1])
-    max_dim = min(p, n, k)
-    if ndim > max_dim:
-        raise ValueError(
-            f"You asked for {ndim} dimensions, but only {max_dim} allowed"
-        )
-    if isinstance(X, (PackedOperator, StreamingPackedOperator,
-                      DenseOperator)):
-        # prebuilt operator (e.g. device-generated data): X-side
-        # standardization is baked into it; conflicting explicit
-        # kwargs raise instead of being dropped silently
-        check_operator_conflicts(X, dtype=dtype_arg, mesh=mesh,
-                                 streaming=streaming)
-        if X.n_samples != n:
-            raise ValueError("Y rows must equal the number of samples")
-        op = X
-        dtype = op.dtype
-    elif isinstance(X, PlinkDataset):
-        if X.n_samples != n:
-            raise ValueError("Y rows must equal the number of samples")
-        mean, sd = X.snp_stats(stand_x)
-        op = build_packed_operator(
-            X, mean, sd, streaming=streaming, memory_mb=memory_mb,
-            block_size=block_size, dtype=dtype, mesh=mesh,
-        )
-    else:
-        Xm = np.asarray(X, dtype=np.float64)
-        if Xm.shape[0] != n:
-            raise ValueError("Y rows must equal the number of samples")
-        X_std, _, _ = standardize(Xm, stand_x)
-        op = DenseOperator(X_std, dtype=dtype)
+    op, dtype = _xside_operator(
+        X, n, k, ndim, stand_x, streaming=streaming, memory_mb=memory_mb,
+        block_size=block_size, dtype_arg=dtype, mesh=mesh)
     p = op.n_snps
 
     def xt(y_n):  # u-step product: X^T y, scaled
@@ -500,6 +619,196 @@ def scca(
                             lambda1, lambda2)
 
     return result(True)
+
+
+@dataclass
+class SCCAGridResult:
+    """Per-cell results of a batched penalty-grid SCCA run.
+
+    Cells are row-major over the (lambda1, lambda2) cross-product
+    (cell ``c = i * len(lambda2_axis) + j``) unless ``pairs=True`` zips
+    the penalty lists.  ``converged[c]`` is True only when every
+    dimension of cell c converged (matching ``SCCAResult.converged``
+    of a solo run)."""
+
+    lambda1: np.ndarray    # (C,) per-cell l1 penalty
+    lambda2: np.ndarray    # (C,) per-cell l2 penalty
+    U: np.ndarray          # (p, ndim, C) X-side weights per cell
+    V: np.ndarray          # (k, ndim, C) Y-side weights per cell
+    d: np.ndarray          # (ndim, C) canonical covariances
+    converged: np.ndarray  # (C,) bool
+    n_iters: np.ndarray    # (ndim, C) iterations per dimension
+    V0: np.ndarray         # (k, ndim) shared init panel
+
+    def __repr__(self):
+        return (f"SCCAGridResult(cells={len(self.lambda1)}, "
+                f"ndim={self.d.shape[0]}, "
+                f"converged={int(self.converged.sum())})")
+
+
+def scca_grid(
+    X,
+    Y: np.ndarray,
+    lambda1,
+    lambda2,
+    *,
+    pairs: bool = False,
+    ndim: int = 10,
+    stand_x: str = "binom2",
+    stand_y: str = "sd",
+    divisor: str = "p",
+    maxiter: int = 500,
+    tol: float = 1e-6,
+    seed: int = 1,
+    V0: np.ndarray | None = None,
+    block_size: int | None = None,
+    dtype=None,
+    mesh=None,
+    verbose: bool = False,
+    auto_init: bool = False,
+) -> SCCAGridResult:
+    """SCCA over a whole (lambda1, lambda2) penalty grid in one batched
+    run: every cell advances through SHARED genotype data passes.
+
+    The reference fans the grid out as independent processes
+    (scca.sh:65-79) or an lapply (scca.R:291-300), so a C-cell grid
+    costs C full SCCA runs.  Here the per-iteration ``X^T (Y v)`` /
+    ``Y^T (X u)`` products -- the only expensive step -- are penalty-
+    independent in shape, so all C cells ride ONE C-column panel pass
+    (:func:`_scca_dim_device_grid`); on the VPU-decode-bound kernel a
+    16-column pass costs ~1.05x a 1-column pass (docs/PERFORMANCE.md),
+    making the grid ~C times cheaper in data passes (it runs each
+    dimension until the slowest cell converges: ~max over cells of the
+    per-cell iteration count, instead of the sum).
+
+    Per-cell math is identical to ``scca(engine='device')`` with the
+    same shared ``V0``: frozen/converged cells are masked out of
+    updates, so results match solo runs (tested at f64 to ~1e-10).
+
+    ``lambda1``/``lambda2`` are 1-D penalty axes crossed row-major into
+    C = len(lambda1) x len(lambda2) cells; ``pairs=True`` zips them
+    instead (C = len(lambda1) = len(lambda2)).  ``V0`` (k, ndim) seeds
+    every cell (the cv.scca convention, scca.R:291-300);
+    ``auto_init=True`` derives it from one near-zero-penalty solo run.
+
+    Requires a resident operator (PLINK root/dataset, dense matrix, or
+    prebuilt Packed/Dense operator); for the streaming operator run
+    :func:`scca` per cell.  Device memory: the per-cell deflation
+    histories add 2 * p * ndim * C * itemsize bytes on top of the
+    packed genotypes.
+    """
+    l1_axis = np.atleast_1d(np.asarray(lambda1, dtype=np.float64))
+    l2_axis = np.atleast_1d(np.asarray(lambda2, dtype=np.float64))
+    if pairs:
+        if len(l1_axis) != len(l2_axis):
+            raise ValueError(
+                "pairs=True needs lambda1 and lambda2 of equal length")
+        lam1_c, lam2_c = l1_axis.copy(), l2_axis.copy()
+    else:
+        lam1_c = np.repeat(l1_axis, len(l2_axis))
+        lam2_c = np.tile(l2_axis, len(l1_axis))
+    C = len(lam1_c)
+
+    if auto_init and V0 is None:
+        s0 = scca(X, Y, 1e-12, 1e-12, ndim=ndim, stand_x=stand_x,
+                  stand_y=stand_y, divisor=divisor, maxiter=maxiter,
+                  tol=tol, seed=seed, block_size=block_size, dtype=dtype,
+                  mesh=mesh, verbose=verbose, auto_init=False)
+        V0 = s0.V
+
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    Y_std, _, _ = standardize(Y, stand_y)
+    n, k = Y_std.shape
+    invdiv = 1.0
+    if divisor == "n1":
+        invdiv = 1.0 / np.sqrt(n - 1.0)
+    Y_std = Y_std * invdiv
+
+    op, dtype = _xside_operator(
+        X, n, k, ndim, stand_x, streaming="auto", memory_mb=None,
+        block_size=block_size, dtype_arg=dtype, mesh=mesh)
+    if isinstance(op, StreamingPackedOperator):
+        raise ValueError(
+            "scca_grid needs a resident operator (the streaming "
+            "operator's products stage host blocks and cannot be traced "
+            "into the batched device loop); run scca() per cell instead")
+    p = op.n_snps
+
+    if V0 is None:
+        V0 = make_gaussian(k, ndim, seed)
+    else:
+        V0 = np.asarray(V0, dtype=np.float64)
+        if V0.shape != (k, ndim):
+            raise ValueError(f"V0 must be ({k}, {ndim})")
+
+    cross_fn, mv_fn, consts = op.products_pure()
+    Yp = op.permute(jnp.asarray(Y_std, dtype=dtype))
+    p_dev = (op.p_pad if isinstance(op, PackedOperator) else p)
+    grid_fn = _grid_jit_for(cross_fn, mv_fn, maxiter)
+
+    U_host = np.zeros((p, ndim, C), dtype=np.float64)
+    # dimensions never reached keep their V0 columns, like a solo run
+    # (scca()'s V = V0.copy(); the reference leaves V at its init too)
+    V_host = np.broadcast_to(V0[:, :, None], (k, ndim, C)).copy()
+    d_host = np.zeros((ndim, C), dtype=np.float64)
+    n_iters = np.zeros((ndim, C), dtype=np.int64)
+    alive = np.ones(C, dtype=bool)
+    conv_all = np.ones(C, dtype=bool)
+
+    U_dev = jnp.zeros((p_dev, ndim, C), dtype=dtype)
+    V_dev = jnp.broadcast_to(
+        jnp.asarray(V0, dtype=dtype)[:, :, None], (k, ndim, C))
+    V0_dev = jnp.asarray(V0, dtype=dtype)
+    lam1_t = jnp.asarray(lam1_c, dtype)
+    lam2_t = jnp.asarray(lam2_c, dtype)
+    inv_t = jnp.asarray(invdiv, dtype)
+    tol_t = jnp.asarray(tol, dtype)
+
+    for j in range(ndim):
+        if not alive.any():
+            break
+        v0_j = jnp.broadcast_to(V0_dev[:, j][:, None], (k, C))
+        u, v, it, conv, uz, vz, dj = grid_fn(
+            U_dev, V_dev, Yp, jnp.asarray(j, jnp.int32), v0_j,
+            jnp.asarray(alive), consts, lam1_t, lam2_t, inv_t, tol_t)
+        u_np = np.asarray(u, dtype=np.float64)[:p]
+        v_np = np.asarray(v, dtype=np.float64)
+        it_np = np.asarray(it)
+        conv_np = np.asarray(conv)
+        uz_np, vz_np = np.asarray(uz), np.asarray(vz)
+        dj_np = np.asarray(dj, dtype=np.float64)
+        started = alive.copy()
+        U_host[:, j, started] = u_np[:, started]
+        V_host[:, j, started] = v_np[:, started]
+        n_iters[j, started] = it_np[started]
+        for c in np.flatnonzero(started):
+            if uz_np[c]:
+                log(f"[cell {c}] U[{j}] is all zero, {int(it_np[c])}, "
+                    "l1 penalty too large", verbose=verbose)
+            if vz_np[c]:
+                log(f"[cell {c}] V[{j}] is all zero, {int(it_np[c])}, "
+                    "l2 penalty too large", verbose=verbose)
+            if j == 0 and (uz_np[c] or vz_np[c]):
+                alive[c] = False
+                conv_all[c] = False
+            elif not conv_np[c]:
+                log(f"[cell {c}] SCCA did not converge in {maxiter} "
+                    "iterations", verbose=verbose)
+                alive[c] = False
+                conv_all[c] = False
+            else:
+                d_host[j, c] = dj_np[c]
+                log(f"[cell {c}] dim {j} finished in {int(it_np[c])} "
+                    "iterations", verbose=verbose)
+        U_dev = U_dev.at[:, j, :].set(u)
+        V_dev = V_dev.at[:, j, :].set(v)
+
+    return SCCAGridResult(
+        lambda1=lam1_c, lambda2=lam2_c, U=U_host, V=V_host, d=d_host,
+        converged=conv_all, n_iters=n_iters, V0=V0,
+    )
 
 
 @dataclass

@@ -1,0 +1,178 @@
+"""Batched penalty-grid SCCA (scca_grid) vs per-cell solo runs.
+
+The grid engine must reproduce scca(engine='device') cell for cell:
+same U/V/d, same converged flags, including cells that zero-abort at
+dimension 0 (penalty too large, randompca.cpp:280-287) or die from
+non-convergence mid-grid -- the alive-masking must freeze exactly the
+cells a solo run would have stopped.
+"""
+
+import numpy as np
+import pytest
+
+from flashpca_tpu.models.scca import (make_gaussian, scca, scca_grid,
+                                      SCCAGridResult)
+
+
+@pytest.fixture(scope="module")
+def xy():
+    rng = np.random.default_rng(777)
+    n, p, k = 90, 50, 5
+    X = rng.binomial(2, 0.35, size=(n, p)).astype(np.float64)
+    Y = rng.normal(size=(n, k))
+    Y[:, 0] += 0.5 * X[:, :4].sum(axis=1)
+    Y[:, 1] -= 0.3 * X[:, 10:14].sum(axis=1)
+    return X, Y
+
+
+def _solo_cells(X, Y, lam1_c, lam2_c, V0, **kw):
+    return [scca(X, Y, float(l1), float(l2), V0=V0, **kw)
+            for l1, l2 in zip(lam1_c, lam2_c)]
+
+
+def _assert_grid_matches_solo(g: SCCAGridResult, solos, atol=1e-10):
+    for c, s in enumerate(solos):
+        assert bool(g.converged[c]) == s.converged, f"cell {c}"
+        np.testing.assert_allclose(g.U[:, :, c], s.U, atol=atol,
+                                   err_msg=f"cell {c} U")
+        np.testing.assert_allclose(g.V[:, :, c], s.V, atol=atol,
+                                   err_msg=f"cell {c} V")
+        np.testing.assert_allclose(g.d[:, c], s.d, atol=atol,
+                                   err_msg=f"cell {c} d")
+
+
+def test_grid_matches_solo_runs(xy):
+    X, Y = xy
+    ndim = 3
+    V0 = make_gaussian(Y.shape[1], ndim, 7)
+    l1_axis = np.array([1e-6, 2e-2])
+    l2_axis = np.array([1e-6, 1e-2, 5e-2])
+    kw = dict(ndim=ndim, maxiter=1000, tol=1e-9)
+    g = scca_grid(X, Y, l1_axis, l2_axis, V0=V0, **kw)
+    assert g.U.shape == (X.shape[1], ndim, 6)
+    # row-major cell layout over the cross-product
+    np.testing.assert_allclose(g.lambda1, np.repeat(l1_axis, 3))
+    np.testing.assert_allclose(g.lambda2, np.tile(l2_axis, 2))
+    solos = _solo_cells(X, Y, g.lambda1, g.lambda2, V0, **kw)
+    assert all(s.converged for s in solos)
+    _assert_grid_matches_solo(g, solos)
+
+
+def test_grid_zero_abort_cell_matches_solo(xy):
+    """A cell whose penalty zeroes U at dim 0 dies exactly like the solo
+    run (converged=False, later dimensions untouched) without
+    disturbing its neighbours."""
+    X, Y = xy
+    ndim = 2
+    V0 = make_gaussian(Y.shape[1], ndim, 3)
+    # lambda1=0.9 soft-thresholds every |u_i| <= 0.9 after unit
+    # normalization -> all-zero U at dim 0 -> abort
+    lam1 = np.array([1e-6, 0.9])
+    lam2 = np.array([1e-6])
+    kw = dict(ndim=ndim, maxiter=500, tol=1e-8)
+    g = scca_grid(X, Y, lam1, lam2, V0=V0, **kw)
+    solos = _solo_cells(X, Y, g.lambda1, g.lambda2, V0, **kw)
+    assert solos[0].converged and not solos[1].converged
+    _assert_grid_matches_solo(g, solos)
+    # the dead cell never ran dim 1
+    assert np.all(g.U[:, 1, 1] == 0.0) and np.all(g.n_iters[1:, 1] == 0)
+
+
+def test_grid_nonconverged_cell_matches_solo(xy):
+    """maxiter too small for some cells: they record the last iterate
+    and die, matching solo semantics."""
+    X, Y = xy
+    ndim = 2
+    V0 = make_gaussian(Y.shape[1], ndim, 11)
+    lam1 = np.array([1e-6, 5e-3])
+    lam2 = np.array([1e-6, 5e-3])
+    kw = dict(ndim=ndim, maxiter=3, tol=1e-12)
+    g = scca_grid(X, Y, lam1, lam2, V0=V0, **kw)
+    solos = _solo_cells(X, Y, g.lambda1, g.lambda2, V0, **kw)
+    assert not any(s.converged for s in solos)  # tol=1e-12, 3 iters
+    _assert_grid_matches_solo(g, solos)
+
+
+def test_grid_pairs_mode(xy):
+    X, Y = xy
+    ndim = 2
+    V0 = make_gaussian(Y.shape[1], ndim, 5)
+    lam1 = np.array([1e-6, 1e-3, 1e-2])
+    lam2 = np.array([1e-5, 1e-4, 1e-3])
+    kw = dict(ndim=ndim, maxiter=1000, tol=1e-9)
+    g = scca_grid(X, Y, lam1, lam2, pairs=True, V0=V0, **kw)
+    assert len(g.lambda1) == 3
+    solos = _solo_cells(X, Y, lam1, lam2, V0, **kw)
+    _assert_grid_matches_solo(g, solos)
+    with pytest.raises(ValueError, match="equal length"):
+        scca_grid(X, Y, lam1, lam2[:2], pairs=True, V0=V0, **kw)
+
+
+def test_grid_on_plink_packed(small_plink, rng):
+    """Grid over the 2-bit packed operator (with missing genotypes and
+    a constant column) matches solo packed runs."""
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 4))
+    ndim = 2
+    V0 = rng.normal(size=(4, ndim))
+    kw = dict(ndim=ndim, maxiter=1000, tol=1e-9)
+    lam1 = np.array([1e-6, 1e-2])
+    lam2 = np.array([1e-6])
+    g = scca_grid(root, Y, lam1, lam2, V0=V0, **kw)
+    solos = _solo_cells(root, Y, g.lambda1, g.lambda2, V0, **kw)
+    _assert_grid_matches_solo(g, solos)
+
+
+def test_grid_sharded_matches_unsharded(small_plink, rng):
+    """Grid over a SNP-sharded mesh == single-device grid."""
+    import jax
+    from jax.sharding import Mesh
+
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    ndim = 2
+    V0 = rng.normal(size=(3, ndim))
+    kw = dict(ndim=ndim, maxiter=1000, tol=1e-9)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("snps",))
+    g1 = scca_grid(root, Y, [1e-6, 1e-3], [1e-6], V0=V0, **kw)
+    g2 = scca_grid(root, Y, [1e-6, 1e-3], [1e-6], V0=V0, mesh=mesh, **kw)
+    np.testing.assert_allclose(g1.U, g2.U, atol=1e-9)
+    np.testing.assert_allclose(g1.V, g2.V, atol=1e-9)
+    np.testing.assert_allclose(g1.d, g2.d, atol=1e-9)
+    np.testing.assert_array_equal(g1.converged, g2.converged)
+
+
+def test_grid_rejects_streaming_operator(small_plink, rng):
+    from flashpca_tpu.io import PlinkDataset
+    from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    op = StreamingPackedOperator(ds, mean, sd, ds.n_samples, block_snps=16)
+    Y = rng.normal(size=(geno.shape[0], 3))
+    with pytest.raises(ValueError, match="resident operator"):
+        scca_grid(op, Y, [1e-6], [1e-6], ndim=2, V0=rng.normal(size=(3, 2)))
+
+
+def test_grid_v0_validation(xy):
+    X, Y = xy
+    with pytest.raises(ValueError, match="V0 must be"):
+        scca_grid(X, Y, [1e-6], [1e-6], ndim=2,
+                  V0=np.zeros((Y.shape[1], 5)))
+
+
+def test_grid_auto_init_matches_solo_auto_init(xy):
+    """auto_init seeds the grid with the near-zero-penalty run's V,
+    exactly like scca(auto_init=True) at each cell (the shared-V0
+    cv.scca convention)."""
+    X, Y = xy
+    ndim = 2
+    kw = dict(ndim=ndim, maxiter=1000, tol=1e-9)
+    g = scca_grid(X, Y, [1e-3], [1e-4], auto_init=True, seed=9, **kw)
+    s = scca(X, Y, 1e-3, 1e-4, auto_init=True, seed=9, **kw)
+    np.testing.assert_allclose(g.V0, s.V0, atol=1e-12)
+    np.testing.assert_allclose(g.U[:, :, 0], s.U, atol=1e-10)
+    np.testing.assert_allclose(g.d[:, 0], s.d, atol=1e-10)
