@@ -900,6 +900,17 @@ def cv_scca(
     nzy = np.zeros((ndim, n1, n2))
     conv = np.zeros((nfolds, n1, n2), dtype=bool)
 
+    # the batched grid engine understands these scca() kwargs; anything
+    # else (or an explicit host engine / streaming request) falls back
+    # to the sequential per-cell loop
+    grid_ok = (scca_kwargs.get("engine", "auto") in ("auto", "device")
+               and set(scca_kwargs) <= {
+                   "divisor", "maxiter", "tol", "seed", "dtype", "mesh",
+                   "block_size", "stand_x", "stand_y", "auto_init",
+                   "engine", "streaming", "memory_mb"})
+    gkw = {k: v for k, v in scca_kwargs.items()
+           if k not in ("engine", "streaming", "memory_mb")}
+
     for fold in range(nfolds):
         train = folds != fold
         test = ~train
@@ -910,6 +921,22 @@ def cv_scca(
             s0 = scca(X[train], Y[train], 1e-12, 1e-12, ndim=ndim,
                       V0=V0g, verbose=verbose, **scca_kwargs)
             V0 = s0.V
+        if grid_ok:
+            # whole penalty grid in one batched run: every cell rides
+            # the same X-side panel pass per iteration (scca_grid)
+            g = scca_grid(X[train], Y[train], lambda1, lambda2,
+                          ndim=ndim, V0=V0, verbose=verbose, **gkw)
+            for c in range(len(g.lambda1)):
+                i, j = divmod(c, n2)
+                conv[fold, i, j] = g.converged[c]
+                nzx[:, i, j] += np.count_nonzero(g.U[:, :, c],
+                                                 axis=0) / nfolds
+                nzy[:, i, j] += np.count_nonzero(g.V[:, :, c],
+                                                 axis=0) / nfolds
+                if g.converged[c]:
+                    xpred[test, :, i, j] = X[test] @ g.U[:, :, c]
+                    ypred[test, :, i, j] = Y[test] @ g.V[:, :, c]
+            continue
         for i, l1 in enumerate(lambda1):
             for j, l2 in enumerate(lambda2):
                 res = scca(X[train], Y[train], float(l1), float(l2),

@@ -27,10 +27,19 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..io.plink import PlinkDataset, subset_samples
-from ..ops.operator import build_packed_operator, default_dtype
+from ..ops.operator import (StreamingPackedOperator, build_packed_operator,
+                            default_dtype)
 from ..ops.standardize import VAR_TOL, standardize
 from ..utils.logging import log
-from .scca import scca
+from .scca import scca, scca_grid
+
+# scca() kwargs the batched grid engine understands; anything else in
+# scca_kwargs (or engine='host'/a streaming operator) falls back to the
+# sequential per-cell loop
+_GRID_KWARGS = frozenset({
+    "divisor", "maxiter", "tol", "seed", "V0", "dtype", "mesh",
+    "block_size", "auto_init", "engine", "streaming", "memory_mb",
+})
 
 
 @dataclass
@@ -168,20 +177,52 @@ def split_scca(
                 out[j] = np.corrcoef(a, b)[0, 1]
         return out
 
-    for i, l1 in enumerate(lambda1):
-        for j, l2 in enumerate(lambda2):
-            log(f"-> lambda1={l1:g} lambda2={l2:g}", verbose=verbose)
-            res = scca(op_train, Y_train, float(l1), float(l2),
-                       ndim=ndim, stand_x=stand_x, stand_y=stand_y,
-                       seed=seed, verbose=verbose, **scca_kwargs)
-            conv[i, j] = res.converged
-            nzx[:, i, j] = np.count_nonzero(res.U, axis=0)
-            nzy[:, i, j] = np.count_nonzero(res.V, axis=0)
-            if not res.converged:
+    use_grid = (not isinstance(op_train, StreamingPackedOperator)
+                and scca_kwargs.get("engine", "auto") in ("auto", "device")
+                and set(scca_kwargs) <= _GRID_KWARGS)
+    if use_grid:
+        # every grid cell rides the SAME genotype panel pass per
+        # iteration (scca_grid): the whole grid costs ~one cell
+        gkw = {k: v for k, v in scca_kwargs.items()
+               if k not in ("engine", "streaming", "memory_mb")}
+        gkw.setdefault("seed", seed)
+        g = scca_grid(op_train, Y_train, lambda1, lambda2, ndim=ndim,
+                      stand_x=stand_x, stand_y=stand_y, verbose=verbose,
+                      **gkw)
+        p = g.U.shape[0]
+        C = len(g.lambda1)
+        conv[:] = g.converged.reshape(n1, n2)
+        nzx[:] = np.count_nonzero(g.U, axis=0).reshape(ndim, n1, n2)
+        nzy[:] = np.count_nonzero(g.V, axis=0).reshape(ndim, n1, n2)
+        # train/test projections for ALL converged cells in one panel
+        # pass each (invdiv scaling drops out of the correlations)
+        px_tr = np.asarray(op_train.prod(g.U.reshape(p, ndim * C)),
+                           dtype=np.float64).reshape(-1, ndim, C)
+        px_te = np.asarray(op_test.prod(g.U.reshape(p, ndim * C)),
+                           dtype=np.float64).reshape(-1, ndim, C)
+        for c in range(C):
+            i, j = divmod(c, n2)
+            if not g.converged[c]:
                 continue
-            corr_train[:, i, j] = _diag_corr(res.Px, res.Py)
-            px_test = np.asarray(op_test.prod(res.U), dtype=np.float64)
-            corr_test[:, i, j] = _diag_corr(px_test, Yte_std @ res.V)
+            corr_train[:, i, j] = _diag_corr(px_tr[:, :, c],
+                                             Yt_std @ g.V[:, :, c])
+            corr_test[:, i, j] = _diag_corr(px_te[:, :, c],
+                                            Yte_std @ g.V[:, :, c])
+    else:
+        for i, l1 in enumerate(lambda1):
+            for j, l2 in enumerate(lambda2):
+                log(f"-> lambda1={l1:g} lambda2={l2:g}", verbose=verbose)
+                res = scca(op_train, Y_train, float(l1), float(l2),
+                           ndim=ndim, stand_x=stand_x, stand_y=stand_y,
+                           seed=seed, verbose=verbose, **scca_kwargs)
+                conv[i, j] = res.converged
+                nzx[:, i, j] = np.count_nonzero(res.U, axis=0)
+                nzy[:, i, j] = np.count_nonzero(res.V, axis=0)
+                if not res.converged:
+                    continue
+                corr_train[:, i, j] = _diag_corr(res.Px, res.Py)
+                px_test = np.asarray(op_test.prod(res.U), dtype=np.float64)
+                corr_test[:, i, j] = _diag_corr(px_test, Yte_std @ res.V)
 
     sl = corr_test[opt_dim - 1]
     if np.all(np.isnan(sl)):

@@ -164,6 +164,48 @@ def test_grid_v0_validation(xy):
                   V0=np.zeros((Y.shape[1], 5)))
 
 
+def test_split_scca_grid_path_matches_sequential(small_plink, tmp_path, rng):
+    """split_scca's batched-grid fast path reproduces the sequential
+    per-cell loop (forced via engine='host') on the same split."""
+    from flashpca_tpu.models.scca_split import split_scca
+
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    Y[:, 0] += 0.7 * np.nan_to_num(geno[:, :4]).sum(axis=1)
+    kw = dict(lambda1=[1e-3, 5e-2], lambda2=[1e-4, 1e-2], ndim=2,
+              prop_train=0.7, seed=3, maxiter=600, tol=1e-8)
+    rg = split_scca(root, Y, workdir=str(tmp_path / "g"), **kw)
+    rs = split_scca(root, Y, workdir=str(tmp_path / "s"),
+                    engine="host", **kw)
+    np.testing.assert_array_equal(rg.converged, rs.converged)
+    np.testing.assert_allclose(rg.corr_train, rs.corr_train, atol=1e-8)
+    np.testing.assert_allclose(rg.corr_test, rs.corr_test, atol=1e-8)
+    np.testing.assert_array_equal(rg.nzero_x, rs.nzero_x)
+    np.testing.assert_array_equal(rg.nzero_y, rs.nzero_y)
+    assert rg.best_lambda1 == rs.best_lambda1
+    assert rg.best_lambda2 == rs.best_lambda2
+
+
+def test_cv_scca_grid_path_matches_sequential(xy):
+    """cv_scca's batched-grid fast path == the sequential per-cell loop
+    (forced via engine='host'): same pooled correlations, counts,
+    convergence and selected penalties."""
+    from flashpca_tpu.models.scca import cv_scca
+
+    X, Y = xy
+    kw = dict(lambda1=[1e-6, 2e-2], lambda2=[1e-6, 1e-2], ndim=2,
+              nfolds=3, seed=4, maxiter=600, tol=1e-8)
+    rg = cv_scca(X, Y, **kw)
+    rs = cv_scca(X, Y, engine="host", **kw)
+    np.testing.assert_array_equal(rg.converged, rs.converged)
+    np.testing.assert_allclose(rg.corr, rs.corr, atol=1e-8)
+    np.testing.assert_allclose(rg.nzero_x, rs.nzero_x, atol=1e-9)
+    np.testing.assert_allclose(rg.nzero_y, rs.nzero_y, atol=1e-9)
+    assert rg.best_lambda1 == rs.best_lambda1
+    assert rg.best_lambda2 == rs.best_lambda2
+
+
 def test_grid_auto_init_matches_solo_auto_init(xy):
     """auto_init seeds the grid with the near-zero-penalty run's V,
     exactly like scca(auto_init=True) at each cell (the shared-V0
