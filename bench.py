@@ -198,6 +198,24 @@ def measure_extra_modes(op, n, log):
         f"-> {dt / iters:.2f} s/iter (d stays 0 for iteration-capped "
         f"dims, reference semantics randompca.cpp:502-518)")
 
+    # batched penalty grid: C cells ride ONE panel pass per iteration;
+    # on the decode-bound kernel this should cost ~1 cell (the
+    # sequential equivalent is C x the single-cell time above)
+    from flashpca_tpu.models.scca import scca_grid
+
+    C = 16
+    lam = np.zeros(C)
+    scca_grid(op, Y[:, :2], lam, lam, pairs=True, ndim=1,
+              maxiter=iters, tol=0.0)          # warm
+    t0 = time.time()
+    scca_grid(op, Y[:, :2], lam, lam, pairs=True, ndim=1,
+              maxiter=iters, tol=0.0)
+    dt_g = time.time() - t0
+    log(f"bench: scca_grid {C} cells x {iters} iters (warm) in "
+        f"{dt_g:.1f}s -> {dt_g / iters:.2f} s/iter for the whole grid "
+        f"({dt_g / max(dt, 1e-9):.2f}x one cell's sequential time; "
+        f"sequential grid would be ~{C}x)")
+
     ucca(op, Y)                      # warm the compiled scan
     t0 = time.time()
     uc = ucca(op, Y)
