@@ -127,102 +127,6 @@ def _gram_schmidt(vec: np.ndarray, basis: np.ndarray, j: int) -> np.ndarray:
 # plus a p-length device->host round trip.
 # ---------------------------------------------------------------------------
 
-def _norm_thresh_j(x, lam):
-    """normalize -> soft-threshold -> renormalize (randompca.cpp:233-245),
-    zero-safe."""
-    s = jnp.linalg.norm(x)
-    x = jnp.where(s > 0, x / jnp.where(s > 0, s, 1.0), x)
-    x = jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam, 0.0)
-    s2 = jnp.linalg.norm(x)
-    return jnp.where(s2 > 0, x / jnp.where(s2 > 0, s2, 1.0), x)
-
-
-def _gs_seq_j(vec, basis, count):
-    """Sequential Gram-Schmidt against basis[:, :count] (traced count),
-    reference column order preserved."""
-
-    hp = lax.Precision.HIGHEST
-
-    def body(k, v):
-        col = basis[:, k]
-        denom = jnp.dot(col, col, precision=hp)
-        proj = jnp.where(denom > 0,
-                         jnp.dot(v, col, precision=hp)
-                         / jnp.where(denom > 0, denom, 1.0),
-                         0.0)
-        return v - proj * col
-
-    return lax.fori_loop(0, count, body, vec)
-
-
-def _scca_dim_device(cross_fn, mv_fn, U, V, Yp, j, v0_j, consts,
-                     lam1, lam2, invdiv, tol, maxiter):
-    """Run one SCCA dimension to convergence on device.
-
-    U (p_pad, ndim), V (k, ndim) hold previous dimensions; Yp is the
-    permuted standardized phenotype (n4, k) already scaled by invdiv.
-    Returns (u_j, v_j, iters, converged, u_zero, v_zero)."""
-    dtype = Yp.dtype
-
-    # HIGHEST precision on the Y-side dots: TPU DEFAULT f32 dots lose
-    # ~2^-8, which the fixed-point iteration would bake into the
-    # converged u/v (the X-side products already run HIGHEST inside
-    # the fused kernels); these dots are tiny (n x k), so exact
-    # precision is free
-    hp = lax.Precision.HIGHEST
-
-    def u_step(v):
-        yv = jnp.dot(Yp, v, precision=hp)        # (n4,) permuted, masked
-        u = cross_fn(yv[:, None], *consts)[:, 0] * invdiv
-        u = _gs_seq_j(u, U, j)
-        return _norm_thresh_j(u, lam1)
-
-    def v_step(u):
-        xu = mv_fn(u[:, None], *consts)[:, 0] * invdiv  # (n4,) masked
-        v = jnp.dot(Yp.T, xu, precision=hp)
-        v = _gs_seq_j(v, V, j)
-        return _norm_thresh_j(v, lam2)
-
-    def cond(carry):
-        u, v, it, du, dv, uz, vz = carry
-        active = (it < maxiter) & ((it == 0) | (du >= tol) | (dv >= tol))
-        # dim 0 with an all-zero side aborts immediately (randompca.cpp:280-287)
-        return active & ~((j == 0) & (uz | vz))
-
-    def body(carry):
-        u, v, it, du, dv, uz, vz = carry
-        u_new = u_step(v)
-        v_new = v_step(u_new)
-        du = jnp.max(jnp.abs(u_new - u))
-        dv = jnp.max(jnp.abs(v_new - v))
-        uz = uz | (jnp.max(jnp.abs(u_new)) < tol)
-        vz = vz | (jnp.max(jnp.abs(v_new)) < tol)
-        return u_new, v_new, it + 1, du, dv, uz, vz
-
-    u0 = jnp.zeros(U.shape[0], dtype)
-    carry = (u0, v0_j, jnp.zeros((), jnp.int32),
-             jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
-             jnp.asarray(False), jnp.asarray(False))
-    u, v, it, du, dv, uz, vz = lax.while_loop(cond, body, carry)
-    conv = (du < tol) & (dv < tol)
-    # d_j = (X u)^T (Y v) with both sides invdiv-scaled
-    xu = mv_fn(u[:, None], *consts)[:, 0] * invdiv
-    d_j = jnp.dot(xu, jnp.dot(Yp, v, precision=hp), precision=hp)
-    return u, v, it, conv, uz, vz, d_j
-
-
-@functools.lru_cache(maxsize=32)
-def _dim_jit_for(cross_fn, mv_fn, maxiter):
-    """Bounded cache of jitted per-dimension programs keyed by the
-    operator's STABLE pure-product identities (ops/operator.py caches
-    them for exactly this reason) -- repeat solves on the same operator
-    (auto_init's two runs, cv/grid searches) reuse the compiled
-    while_loop instead of re-tracing it; same pattern as the solvers'
-    _expand_jit_for."""
-    return jax.jit(partial(_scca_dim_device, cross_fn, mv_fn,
-                           maxiter=maxiter))
-
-
 def _scca_dim_device_grid(cross_fn, mv_fn, U, V, Yp, j, v0, alive, consts,
                           lam1, lam2, invdiv, tol, maxiter):
     """One SCCA dimension for ALL penalty-grid cells at once.
@@ -235,17 +139,24 @@ def _scca_dim_device_grid(cross_fn, mv_fn, U, V, Yp, j, v0, alive, consts,
     ``crossprod``/``prod`` pass per iteration -- and panel columns are
     nearly free on the VPU-decode-bound kernel (docs/PERFORMANCE.md).
     A C-cell grid therefore costs ~max(iters) data passes instead of
-    the sequential ~sum(iters).
+    the sequential ~sum(iters).  A solo ``scca(engine='device')`` run
+    is the C=1 instance of this same engine (one implementation, no
+    parity drift between solo and grid results).
 
     Shapes carry a trailing cell axis: ``U`` (p_pad, ndim, C) /
     ``V`` (k, ndim, C) per-cell deflation histories, ``v0`` (k, C),
     ``lam1``/``lam2`` (C,).  ``alive`` (C,) masks cells whose earlier
     dimension failed (zero-abort or non-convergence): their state is
     frozen so the surviving cells' math is bit-identical to a solo run.
-    Per-cell iteration semantics mirror :func:`_scca_dim_device`
-    exactly (same update order, zero-abort flags, convergence test).
 
-    Returns per-cell ``(u, v, iters, conv, uz, vz, d)``.
+    Returns ``(U_out, V_out, packed)``: the histories with column j
+    filled in (device-resident -- the host never fetches them), and
+    ONE (p_pad + k + 5, C) array stacking u, v, and the per-cell
+    scalars [iters, conv, u_zero, v_zero, d] so the host loop pays a
+    single device->host transfer per dimension (CLAUDE.md rule 2: the
+    per-fetch floor over the remote tunnel is ~0.1 s; seven separate
+    fetches per dimension cost more than the payload).  iters rides
+    the data dtype: exact up to 2^24 in f32, far beyond any maxiter.
     """
     dtype = Yp.dtype
     hp = lax.Precision.HIGHEST
@@ -320,16 +231,74 @@ def _scca_dim_device_grid(cross_fn, mv_fn, U, V, Yp, j, v0, alive, consts,
     xu = mv_fn(u, *consts) * invdiv
     d = jnp.einsum("nc,nc->c", xu, jnp.dot(Yp, v, precision=hp),
                    precision=hp)
-    return u, v, it, conv, uz, vz, d
+    U_out = U.at[:, j, :].set(u)
+    V_out = V.at[:, j, :].set(v)
+    scalars = jnp.stack([it.astype(dtype), conv.astype(dtype),
+                         uz.astype(dtype), vz.astype(dtype), d])
+    return U_out, V_out, jnp.concatenate([u, v, scalars], axis=0)
 
 
 @functools.lru_cache(maxsize=32)
 def _grid_jit_for(cross_fn, mv_fn, maxiter):
-    """Jitted batched-grid dimension programs, cached like
-    :func:`_dim_jit_for` (keyed by the operator's stable pure-product
-    identities; shapes key jit's own cache)."""
+    """Bounded cache of jitted per-dimension programs keyed by the
+    operator's STABLE pure-product identities (ops/operator.py caches
+    them for exactly this reason) -- repeat solves on the same operator
+    (auto_init's two runs, cv/grid searches, every solo C=1 run) reuse
+    the compiled while_loop instead of re-tracing it; same pattern as
+    the solvers' _expand_jit_for.  Shapes (including the cell count C)
+    key jit's own cache."""
     return jax.jit(partial(_scca_dim_device_grid, cross_fn, mv_fn,
                            maxiter=maxiter))
+
+
+def _unpack_dim(packed, p_dev, k):
+    """Split the engine's single per-dimension device->host transfer
+    back into per-cell host arrays ``(u, v, iters, conv, u_zero,
+    v_zero, d)`` (u keeps its (p_dev, C) padded rows; slice ``[:p]``
+    at the call site)."""
+    out = np.asarray(packed, dtype=np.float64)
+    u = out[:p_dev]
+    v = out[p_dev:p_dev + k]
+    it = out[p_dev + k].astype(np.int64)
+    conv = out[p_dev + k + 1] > 0
+    uz = out[p_dev + k + 2] > 0
+    vz = out[p_dev + k + 3] > 0
+    d = out[p_dev + k + 4]
+    return u, v, it, conv, uz, vz, d
+
+
+# scca() kwargs the batched grid engine understands -- the ONE
+# definition shared by the cv_scca and split_scca fast paths (each
+# composes its caller-specific extras on top via grid_fastpath) so the
+# lists cannot drift apart and silently strand a caller on the
+# C-times-slower sequential fallback.
+GRID_COMPAT_KWARGS = frozenset({
+    "divisor", "maxiter", "tol", "seed", "dtype", "mesh",
+    "block_size", "auto_init",
+})
+# resolved by the caller (operator choice / engine gate) and dropped
+# before forwarding to scca_grid, which takes none of them
+_GRID_RESOLVED_KWARGS = frozenset({"engine", "streaming", "memory_mb"})
+
+
+def grid_fastpath(scca_kwargs, *extra):
+    """Decide whether ``scca_kwargs`` can ride the batched grid engine.
+
+    Returns ``(ok, gkw)``: ``ok`` is False when the caller forced the
+    host engine or passed a kwarg the grid engine does not understand
+    (fall back to sequential per-cell scca() runs); ``gkw`` is the
+    filtered kwargs to forward to :func:`scca_grid`.  ``extra`` lists
+    caller-specific kwargs that are also acceptable (e.g. cv_scca
+    forwards stand_x/stand_y; split_scca resolves them itself but may
+    forward V0)."""
+    allowed = GRID_COMPAT_KWARGS | _GRID_RESOLVED_KWARGS
+    for names in extra:
+        allowed = allowed | frozenset(names)
+    ok = (scca_kwargs.get("engine", "auto") in ("auto", "device")
+          and set(scca_kwargs) <= allowed)
+    gkw = {kk: vv for kk, vv in scca_kwargs.items()
+           if kk not in _GRID_RESOLVED_KWARGS}
+    return ok, gkw
 
 
 def _xside_operator(X, n, k, ndim, stand_x, *, streaming, memory_mb,
@@ -520,45 +489,50 @@ def scca(
         raise ValueError(f"unknown engine: {engine}")
 
     if engine == "device":
-        # whole per-dimension iteration on device: one dispatch + a few
-        # scalars per dimension instead of 2 dispatches + a p-length
-        # round trip per iteration
+        # whole per-dimension iteration on device: one dispatch + ONE
+        # device->host transfer per dimension instead of 2 dispatches +
+        # a p-length round trip per iteration.  A solo run is the C=1
+        # instance of the batched grid engine -- one implementation
+        # serves scca(), scca_grid(), cv_scca and split_scca, so their
+        # per-cell semantics cannot drift apart.
         cross_fn, mv_fn, consts = op.products_pure()
         Yp = op.permute(jnp.asarray(Y_std, dtype=dtype))
         p_dev = (op.p_pad if isinstance(op, PackedOperator) else p)
-        dim_fn = _dim_jit_for(cross_fn, mv_fn, maxiter)
+        dim_fn = _grid_jit_for(cross_fn, mv_fn, maxiter)
         # restored columns (zeros when not resuming) into padded space
-        U_dev = jnp.zeros((p_dev, ndim), dtype=dtype).at[:p, :].set(
+        U_dev = jnp.zeros((p_dev, ndim, 1), dtype=dtype).at[:p, :, 0].set(
             jnp.asarray(U, dtype=dtype))
-        V_dev = jnp.asarray(V, dtype=dtype)
+        V_dev = jnp.asarray(V, dtype=dtype)[:, :, None]
         V0_dev = jnp.asarray(V0, dtype=dtype)
-        lam1_t = jnp.asarray(lambda1, dtype)
-        lam2_t = jnp.asarray(lambda2, dtype)
+        alive_t = jnp.ones((1,), bool)
+        lam1_t = jnp.full((1,), lambda1, dtype)
+        lam2_t = jnp.full((1,), lambda2, dtype)
         inv_t = jnp.asarray(invdiv, dtype)
         tol_t = jnp.asarray(tol, dtype)
         for j in range(start_dim, ndim):
             # j as a traced scalar: one compile serves every dimension
-            u, v, it, conv, uz, vz, dj = dim_fn(
+            U_dev, V_dev, packed = dim_fn(
                 U_dev, V_dev, Yp, jnp.asarray(j, jnp.int32),
-                V0_dev[:, j], consts, lam1_t, lam2_t, inv_t, tol_t)
-            it = int(it)
-            if bool(uz):
+                V0_dev[:, j][:, None], alive_t, consts,
+                lam1_t, lam2_t, inv_t, tol_t)
+            u_np, v_np, it_np, conv_np, uz_np, vz_np, dj_np = (
+                _unpack_dim(packed, p_dev, k))
+            it = int(it_np[0])
+            if bool(uz_np[0]):
                 log(f"U[{j}] is all zero, {it}, l1 penalty too large",
                     verbose=verbose)
-            if bool(vz):
+            if bool(vz_np[0]):
                 log(f"V[{j}] is all zero, {it}, l2 penalty too large",
                     verbose=verbose)
-            U[:, j] = np.asarray(u, dtype=np.float64)[:p]
-            V[:, j] = np.asarray(v, dtype=np.float64)
-            if j == 0 and (bool(uz) or bool(vz)):
+            U[:, j] = u_np[:p, 0]
+            V[:, j] = v_np[:, 0]
+            if j == 0 and (bool(uz_np[0]) or bool(vz_np[0])):
                 return result(False)
-            if not bool(conv):
+            if not bool(conv_np[0]):
                 log(f"SCCA did not converge in {maxiter} iterations",
                     verbose=verbose)
                 return result(False)
-            U_dev = U_dev.at[:, j].set(u)
-            V_dev = V_dev.at[:, j].set(v)
-            d[j] = float(dj)
+            d[j] = float(dj_np[0])
             nzu = int(np.count_nonzero(U[:, j]))
             nzv = int(np.count_nonzero(V[:, j]))
             log(f"dim {j} finished in {it} iterations", verbose=verbose)
@@ -770,15 +744,12 @@ def scca_grid(
         if not alive.any():
             break
         v0_j = jnp.broadcast_to(V0_dev[:, j][:, None], (k, C))
-        u, v, it, conv, uz, vz, dj = grid_fn(
+        U_dev, V_dev, packed = grid_fn(
             U_dev, V_dev, Yp, jnp.asarray(j, jnp.int32), v0_j,
             jnp.asarray(alive), consts, lam1_t, lam2_t, inv_t, tol_t)
-        u_np = np.asarray(u, dtype=np.float64)[:p]
-        v_np = np.asarray(v, dtype=np.float64)
-        it_np = np.asarray(it)
-        conv_np = np.asarray(conv)
-        uz_np, vz_np = np.asarray(uz), np.asarray(vz)
-        dj_np = np.asarray(dj, dtype=np.float64)
+        u_np, v_np, it_np, conv_np, uz_np, vz_np, dj_np = (
+            _unpack_dim(packed, p_dev, k))
+        u_np = u_np[:p]
         started = alive.copy()
         U_host[:, j, started] = u_np[:, started]
         V_host[:, j, started] = v_np[:, started]
@@ -802,8 +773,6 @@ def scca_grid(
                 d_host[j, c] = dj_np[c]
                 log(f"[cell {c}] dim {j} finished in {int(it_np[c])} "
                     "iterations", verbose=verbose)
-        U_dev = U_dev.at[:, j, :].set(u)
-        V_dev = V_dev.at[:, j, :].set(v)
 
     return SCCAGridResult(
         lambda1=lam1_c, lambda2=lam2_c, U=U_host, V=V_host, d=d_host,
@@ -900,16 +869,13 @@ def cv_scca(
     nzy = np.zeros((ndim, n1, n2))
     conv = np.zeros((nfolds, n1, n2), dtype=bool)
 
-    # the batched grid engine understands these scca() kwargs; anything
-    # else (or an explicit host engine / streaming request) falls back
-    # to the sequential per-cell loop
-    grid_ok = (scca_kwargs.get("engine", "auto") in ("auto", "device")
-               and set(scca_kwargs) <= {
-                   "divisor", "maxiter", "tol", "seed", "dtype", "mesh",
-                   "block_size", "stand_x", "stand_y", "auto_init",
-                   "engine", "streaming", "memory_mb"})
-    gkw = {k: v for k, v in scca_kwargs.items()
-           if k not in ("engine", "streaming", "memory_mb")}
+    # anything outside the grid engine's kwargs (or an explicit host
+    # engine / streaming request) falls back to the sequential per-cell
+    # loop -- visibly, since that costs ~C times more genotype passes
+    grid_ok, gkw = grid_fastpath(scca_kwargs, ("stand_x", "stand_y"))
+    if not grid_ok:
+        log("cv_scca: sequential per-cell fallback (host engine or "
+            "kwargs outside GRID_COMPAT_KWARGS)", verbose=verbose)
 
     for fold in range(nfolds):
         train = folds != fold

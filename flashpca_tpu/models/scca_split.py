@@ -31,15 +31,8 @@ from ..ops.operator import (StreamingPackedOperator, build_packed_operator,
                             default_dtype)
 from ..ops.standardize import VAR_TOL, standardize
 from ..utils.logging import log
-from .scca import scca, scca_grid
+from .scca import grid_fastpath, scca, scca_grid
 
-# scca() kwargs the batched grid engine understands; anything else in
-# scca_kwargs (or engine='host'/a streaming operator) falls back to the
-# sequential per-cell loop
-_GRID_KWARGS = frozenset({
-    "divisor", "maxiter", "tol", "seed", "V0", "dtype", "mesh",
-    "block_size", "auto_init", "engine", "streaming", "memory_mb",
-})
 
 
 @dataclass
@@ -177,14 +170,16 @@ def split_scca(
                 out[j] = np.corrcoef(a, b)[0, 1]
         return out
 
+    grid_ok, gkw = grid_fastpath(scca_kwargs, ("V0",))
     use_grid = (not isinstance(op_train, StreamingPackedOperator)
-                and scca_kwargs.get("engine", "auto") in ("auto", "device")
-                and set(scca_kwargs) <= _GRID_KWARGS)
+                and grid_ok)
+    if not use_grid:
+        log("split_scca: sequential per-cell fallback (streaming "
+            "operator, host engine, or kwargs outside "
+            "GRID_COMPAT_KWARGS)", verbose=verbose)
     if use_grid:
         # every grid cell rides the SAME genotype panel pass per
         # iteration (scca_grid): the whole grid costs ~one cell
-        gkw = {k: v for k, v in scca_kwargs.items()
-               if k not in ("engine", "streaming", "memory_mb")}
         gkw.setdefault("seed", seed)
         g = scca_grid(op_train, Y_train, lambda1, lambda2, ndim=ndim,
                       stand_x=stand_x, stand_y=stand_y, verbose=verbose,
