@@ -218,3 +218,26 @@ def test_grid_auto_init_matches_solo_auto_init(xy):
     np.testing.assert_allclose(g.V0, s.V0, atol=1e-12)
     np.testing.assert_allclose(g.U[:, :, 0], s.U, atol=1e-10)
     np.testing.assert_allclose(g.d[:, 0], s.d, atol=1e-10)
+
+
+def test_grid_fastpath_allowlist():
+    """grid_fastpath is the ONE definition of grid-compatible scca()
+    kwargs shared by cv_scca and split_scca (review r2: two hand-kept
+    lists had already diverged): engine gate, caller extras, and the
+    engine/streaming/memory_mb drop."""
+    from flashpca_tpu.models.scca import grid_fastpath
+
+    ok, gkw = grid_fastpath({"maxiter": 9, "engine": "auto",
+                             "streaming": "auto", "memory_mb": 64})
+    assert ok and gkw == {"maxiter": 9}
+
+    # host engine and unknown kwargs both force the sequential fallback
+    assert not grid_fastpath({"engine": "host"})[0]
+    assert not grid_fastpath({"state_out": "x.npz"})[0]
+
+    # caller extras compose on top of the shared core
+    assert not grid_fastpath({"stand_x": "binom"})[0]
+    ok, gkw = grid_fastpath({"stand_x": "binom"}, ("stand_x", "stand_y"))
+    assert ok and gkw == {"stand_x": "binom"}
+    ok, gkw = grid_fastpath({"V0": None, "engine": "device"}, ("V0",))
+    assert ok and gkw == {"V0": None}
