@@ -158,7 +158,11 @@ def sumsq_from_moments(
 
     with ``inv = 1/sd`` zeroed below VAR_TOL exactly like
     :func:`lookup_tables`.  Works for ANY (mean, sd) pair -- empirical
-    stats or preloaded meansd/MAF-file values (projection mode).
+    stats or preloaded meansd/MAF-file values (projection mode); a
+    zeroed column's mean is forced finite first (also like
+    lookup_tables), because an all-missing SNP has NaN stats and
+    ``inv * inv * NaN`` is NaN, not 0 -- without the guard one such
+    SNP would poison the whole trace/pve sum.
 
     This replaces a whole decode pass over the data: the reference
     accumulates trace(X X^T) during its first streamed operator pass
@@ -170,6 +174,7 @@ def sumsq_from_moments(
     mean = np.asarray(mean, dtype=np.float64)
     sd = np.asarray(sd, dtype=np.float64)
     inv = _inv_sd(sd)
+    mean = np.where(inv > 0.0, mean, 0.0)
     ss = d2sum - 2.0 * mean * dsum + ngood * mean * mean
     # ss is a sum of squares; cancellation can leave a tiny negative
     return inv * inv * np.maximum(ss, 0.0)
