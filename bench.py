@@ -313,8 +313,13 @@ def main():
     mv, ops_ = op.gram_pure()
     eigsh_block(mv, op.op_dim, k, block=16, maxiter=1, tol=tol,
                 dtype=op.dtype, seed=1, operands=ops_)       # cycle program
-    polish_subspace(mv, jnp.zeros((op.op_dim, k), op.dtype),
-                    iters=1, operands=ops_)                  # polish programs
+    # an orthonormal warm panel (not zeros): the ff-refined polish
+    # solves a generalized eigenproblem whose metric must be full rank.
+    # Width k+8 matches the real pca() run (solver buffer pairs), so
+    # the refinement's compiled programs are warm at the right shapes.
+    warm_U = jnp.eye(op.op_dim, k + 8, dtype=op.dtype)
+    polish_subspace(mv, warm_U, iters=1, operands=ops_,      # polish programs
+                    ff_gram=getattr(op, "gram_ff_permuted", None))
     # trace: resolved (and cached, one scalar fetch) during operator
     # prep, like the real PLINK path where it is an analytic f64
     # byproduct of the host stats pass (snp_stats(with_sumsq=True) ->
@@ -354,15 +359,16 @@ def main():
             f"(acceptance threshold ~eps_f32^(2/3))")
     else:
         t1 = time.time()
-        chk = check(op, res.vectors, res.values)
+        chk = check(op, res.vectors, res.values)   # compensated (f64-grade)
         d_max = float(np.max(res.values))
         rel_rmse = chk.rmse / d_max
         log(f"bench: check in {time.time() - t1:.1f}s: mse={chk.mse:.3e} "
             f"rmse={chk.rmse:.3e} rmse/d_max={rel_rmse:.3e} "
-            f"(reference contract README.md:207: mse < 1e-8 at d ~ O(1); "
-            f"scale-free form rmse/d_max < 1e-5 at f32)")
-        if rel_rmse > 1e-5:
-            log("bench: WARNING accuracy contract violated")
+            f"(reference contract README.md:207: mse < 1e-8 -- measured "
+            f"with the compensated two-float residual, the f64-grade "
+            f"measurement the reference's pipeline uses)")
+        if chk.mse > 1e-8:
+            log("bench: WARNING accuracy contract (mse < 1e-8) violated")
 
     if platform == "tpu" and mode != "tall":
         try:

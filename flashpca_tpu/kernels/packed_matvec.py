@@ -81,47 +81,73 @@ def _cols(ref):
 
 
 def _crossprod_kernel(packed_ref, b0_ref, b1_ref, b2_ref,
-                      xt_ref, zt_ref):
-    """zt[k8, TILE_P] += sum_s xt[s] @ W_s^T, accumulated over byte tiles."""
+                      xt_ref, zt_ref, ze_ref):
+    """zt[k8, TILE_P] += sum_s xt[s] @ W_s^T, accumulated over byte
+    tiles with TwoSum compensation (``ze`` scratch carries the exact
+    accumulation errors; folded into zt on the last tile).
+
+    Plain f32 accumulation across the ~1e3 grid steps of a biobank
+    product costs ~1e3*eps relative noise -- the single error source
+    that kept the solver's converged pairs (and the --check contract)
+    pinned at mse ~2e-8; compensation is ~8 VPU ops per step on a
+    small accumulator tile, unmeasurable next to the decode."""
     j = pl.program_id(1)
+    nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
         zt_ref[:] = jnp.zeros_like(zt_ref)
+        ze_ref[:] = jnp.zeros_like(ze_ref)
 
     packed = packed_ref[:].astype(jnp.int32)     # (TILE_P, TILE_NB)
     b0, b1, b2 = _cols(b0_ref), _cols(b1_ref), _cols(b2_ref)
-    acc = zt_ref[:]
+    t = jnp.zeros_like(zt_ref)
     for s in range(4):
         w = _decode_plane(packed, s, b0, b1, b2)          # (TILE_P, TILE_NB)
         x_s = xt_ref[s]                                   # (k8, TILE_NB)
-        acc = acc + jax.lax.dot_general(
+        t = t + jax.lax.dot_general(
             x_s, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    zt_ref[:] = acc
+    s_, e_ = _twosum(zt_ref[:], t)
+    zt_ref[:] = s_
+    ze_ref[:] = ze_ref[:] + e_
+
+    @pl.when(j == nj - 1)
+    def _():
+        zt_ref[:] = zt_ref[:] + ze_ref[:]
 
 
 def _matvec_kernel(packed_ref, b0_ref, b1_ref, b2_ref,
-                   vt_ref, yt_ref):
-    """yt[s, k8, TILE_NB] += vt @ W_s, accumulated over SNP tiles."""
+                   vt_ref, yt_ref, ye_ref):
+    """yt[s, k8, TILE_NB] += vt @ W_s, accumulated over SNP tiles with
+    TwoSum compensation (see _crossprod_kernel)."""
     i = pl.program_id(1)
+    ni = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _():
         yt_ref[:] = jnp.zeros_like(yt_ref)
+        ye_ref[:] = jnp.zeros_like(ye_ref)
 
     packed = packed_ref[:].astype(jnp.int32)     # (TILE_P, TILE_NB)
     b0, b1, b2 = _cols(b0_ref), _cols(b1_ref), _cols(b2_ref)
     vt = vt_ref[:]                               # (k8, TILE_P)
     for s in range(4):
         w = _decode_plane(packed, s, b0, b1, b2)          # (TILE_P, TILE_NB)
-        yt_ref[s] += jax.lax.dot_general(
+        t = jax.lax.dot_general(
             vt, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        s_, e_ = _twosum(yt_ref[s], t)
+        yt_ref[s] = s_
+        ye_ref[s] = ye_ref[s] + e_
+
+    @pl.when(i == ni - 1)
+    def _():
+        yt_ref[:] = yt_ref[:] + ye_ref[:]
 
 
 def _tile_nb(nbytes_pad: int) -> int:
@@ -177,6 +203,7 @@ def crossprod_planes(packed, coeffs, xt, *, interpret=False,
         out_specs=pl.BlockSpec((k8, tp), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k8, p_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k8, tp), jnp.float32)],
         interpret=interpret,
     )(packed, *coeffs, xt)
 
@@ -203,6 +230,7 @@ def matvec_planes(packed, coeffs, vt, *, interpret=False, tile_p=None):
         out_specs=pl.BlockSpec((4, k8, tile_nb), lambda j, i: (0, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, k8, nbp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, k8, tile_nb), jnp.float32)],
         interpret=interpret,
     )(packed, *coeffs, vt)
 
@@ -249,3 +277,183 @@ def gram_matvec_p(packed, mean, invsd, xp, *, interpret=False, tile_p=None):
     yt = matvec_planes(packed, coeffs, zt, interpret=interpret,
                        tile_p=tile_p)
     return _from_planes(yt, k)
+
+
+# ---------------------------------------------------------------------------
+# Compensated (two-float) fused kernels
+#
+# Same tiling and decode-in-VMEM design as above, but the standardized
+# values enter as an EXACT two-float split of the float64 value (per-SNP
+# LUT over the 2-bit code; ops/compensated.py code_value_luts) and the
+# long accumulations across grid steps use TwoSum, so the product's
+# error stays ~eps of the final value instead of growing with the
+# contraction length.  This is the data-pass engine behind the f64-grade
+# check and the ff-Krylov polish (reference contract: f64 end-to-end,
+# randompca.cpp:684-697).  Cost ~2x the plain kernels (still fused --
+# the jnp fallback in ops/compensated.py is ~16x the plain pass).
+# ---------------------------------------------------------------------------
+
+
+def _twosum(a, b):
+    """Knuth branch-free TwoSum on tiles (exact: a + b == s + e)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _decode_plane_lut(packed_i32, s, l0, l2, l3):
+    """(TILE_P, TILE_NB) bytes -> plane-s values via EXACT per-code
+    lookup (no arithmetic touches the table values, so eps-sized lo
+    tables survive bit-for-bit).  Code 1 (missing) is always 0."""
+    t = (packed_i32 >> (2 * s)) & 3
+    zero = jnp.zeros_like(l0)
+    v = jnp.where(t == 0, l0, zero)
+    v = jnp.where(t == 2, l2, v)
+    return jnp.where(t == 3, l3, v)
+
+
+def _lut_cols(refs):
+    return tuple(r[0, :][:, None] for r in refs)   # (1,TP) -> (TP,1)
+
+
+def _crossprod_ff_kernel(packed_ref, h0, h2, h3, g0, g2, g3,
+                         xt_ref, zt_ref, ze_ref):
+    """(z_hi, z_err) of sum_s xt[s] @ W_s^T, TwoSum across byte tiles.
+    W = W_hi + W_lo; the W_lo term is eps-sized and accumulates plain
+    into z_err."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        zt_ref[:] = jnp.zeros_like(zt_ref)
+        ze_ref[:] = jnp.zeros_like(ze_ref)
+
+    packed = packed_ref[:].astype(jnp.int32)
+    lh = _lut_cols((h0, h2, h3))
+    ll = _lut_cols((g0, g2, g3))
+    hp = jax.lax.Precision.HIGHEST
+    t = jnp.zeros_like(zt_ref)
+    c = jnp.zeros_like(ze_ref)
+    for s in range(4):
+        wh = _decode_plane_lut(packed, s, *lh)            # (TP, TNB)
+        wl = _decode_plane_lut(packed, s, *ll)
+        x_s = xt_ref[s]                                   # (k8, TNB)
+        t = t + jax.lax.dot_general(
+            x_s, wh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp)
+        c = c + jax.lax.dot_general(
+            x_s, wl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp)
+    s_, e_ = _twosum(zt_ref[:], t)
+    zt_ref[:] = s_
+    ze_ref[:] = ze_ref[:] + e_ + c
+
+
+def _matvec_ff_kernel(packed_ref, h0, h2, h3, g0, g2, g3,
+                      vh_ref, vl_ref, yt_ref, ye_ref):
+    """(y_hi, y_err) of W^T (v_hi + v_lo), TwoSum across SNP tiles."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        yt_ref[:] = jnp.zeros_like(yt_ref)
+        ye_ref[:] = jnp.zeros_like(ye_ref)
+
+    packed = packed_ref[:].astype(jnp.int32)
+    lh = _lut_cols((h0, h2, h3))
+    ll = _lut_cols((g0, g2, g3))
+    hp = jax.lax.Precision.HIGHEST
+    vh = vh_ref[:]                                        # (k8, TILE_P)
+    vl = vl_ref[:]
+    for s in range(4):
+        wh = _decode_plane_lut(packed, s, *lh)            # (TP, TNB)
+        wl = _decode_plane_lut(packed, s, *ll)
+        t = jax.lax.dot_general(
+            vh, wh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp)
+        c = jax.lax.dot_general(
+            vh, wl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp)
+        c = c + jax.lax.dot_general(
+            vl, wh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp)
+        s_, e_ = _twosum(yt_ref[s], t)
+        yt_ref[s] = s_
+        ye_ref[s] = ye_ref[s] + e_ + c
+
+
+def _lut_rows(lut_hi, lut_lo):
+    """(p_pad, 4) hi/lo tables -> 6 (1, p_pad) code rows (code 1 is
+    structurally zero and needs no row)."""
+    return tuple(lut[:, c][None, :].astype(jnp.float32)
+                 for lut in (lut_hi, lut_lo) for c in (0, 2, 3))
+
+
+def crossprod_ff_planes(packed, lut6, xt, *, interpret=False, tile_p=None):
+    p_pad, nbp = packed.shape
+    k8 = xt.shape[1]
+    tp = tile_p or TILE_P
+    tile_nb = _tile_nb(nbp)
+    grid = (p_pad // tp, nbp // tile_nb)
+    row_spec = pl.BlockSpec((1, tp), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((k8, tp), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _crossprod_ff_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, tile_nb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            *([row_spec] * 6),
+            pl.BlockSpec((4, k8, tile_nb), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((k8, p_pad), jnp.float32)] * 2,
+        interpret=interpret,
+    )(packed, *lut6, xt)
+
+
+def matvec_ff_planes(packed, lut6, vh, vl, *, interpret=False, tile_p=None):
+    p_pad, nbp = packed.shape
+    k8 = vh.shape[0]
+    tp = tile_p or TILE_P
+    tile_nb = _tile_nb(nbp)
+    grid = (nbp // tile_nb, p_pad // tp)
+    row_spec = pl.BlockSpec((1, tp), lambda j, i: (0, i),
+                            memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((k8, tp), lambda j, i: (0, i),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((4, k8, tile_nb), lambda j, i: (0, 0, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _matvec_ff_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, tile_nb), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            *([row_spec] * 6),
+            v_spec, v_spec,
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((4, k8, nbp), jnp.float32)] * 2,
+        interpret=interpret,
+    )(packed, *lut6, vh, vl)
+
+
+def gram_ff_p(packed, lut_hi, lut_lo, xp, *, interpret=False, tile_p=None):
+    """(y_hi, y_lo) of W W^T xp with W the EXACT two-float standardized
+    matrix -- fused Pallas twin of ops/compensated.gram_ff_p (same
+    contract; caller masks byte-padding positions)."""
+    p_pad, nbp = packed.shape
+    k = xp.shape[1]
+    k8 = _round_k(k)
+    lut6 = _lut_rows(lut_hi, lut_lo)
+    xt = _to_planes(xp.astype(jnp.float32), nbp, k8)
+    zh, zl = crossprod_ff_planes(packed, lut6, xt, interpret=interpret,
+                                 tile_p=tile_p)
+    yh, yl = matvec_ff_planes(packed, lut6, zh, zl, interpret=interpret,
+                              tile_p=tile_p)
+    return _from_planes(yh, k), _from_planes(yl, k)

@@ -50,6 +50,7 @@ def check(
     mesh=None,
     streaming: bool | str = "auto",
     memory_mb: int | None = None,
+    precision: str = "auto",
 ) -> CheckResult:
     """Check eigenvectors/eigenvalues against the data.
 
@@ -60,7 +61,17 @@ def check(
     in eigenvalues.txt).
     ``streaming`` bounds device memory (reference's online check,
     randompca.cpp:663-703); 'auto' streams when data exceeds HBM.
+
+    ``precision``: 'auto' (default) measures an f32 operator's residual
+    with the COMPENSATED two-float product (ops/compensated.py) -- the
+    f64-grade measurement the reference's pipeline gets for free
+    (randompca.cpp:684-697); without it, plain f32 accumulation noise
+    (~1e3*eps at biobank contraction lengths) floors the reported mse
+    near 1e-8 REGARDLESS of how good the eigenpairs are.  'f32' forces
+    the plain measurement; 'compensated' requires the ff path.
     """
+    if precision not in ("auto", "f32", "compensated"):
+        raise ValueError(f"unknown precision: {precision!r}")
     eval_np = np.asarray(eval_, dtype=np.float64).reshape(-1)
     if not isinstance(evec, jax.Array):
         evec = np.asarray(evec, dtype=np.float64)
@@ -105,8 +116,27 @@ def check(
         K = min(evec.shape[1], eval_np.shape[0])
         U = (evec if isinstance(evec, jax.Array)
              else jnp.asarray(evec, op.dtype))
-        XXU = op.perform_op(U)
         div = _div(divisor, n, p)
+        use_ff = (np.dtype(op.dtype) == np.dtype(np.float32)
+                  and hasattr(op, "perform_op_ff")
+                  and precision in ("auto", "compensated"))
+        if precision == "compensated" and not use_ff:
+            raise ValueError(
+                "precision='compensated' needs an f32 operator with a "
+                "two-float product path (Packed/Streaming/Dense)"
+            )
+        if use_ff:
+            from ..ops.compensated import residual_sums_ff
+
+            U32 = U[:, :K].astype(jnp.float32)
+            hi, lo = op.perform_op_ff(U32)
+            # residual measured UNdivided -- (X X^T U) - U * (d * div)
+            # in two-float arithmetic -- then rescaled exactly on host
+            err = residual_sums_ff(hi, lo, U32, eval_np[:K] * div)
+            err = err / (float(div) * float(div))
+            mse = float(err.sum() / (n * K))
+            return CheckResult(err=err, mse=mse, rmse=float(np.sqrt(mse)))
+        XXU = op.perform_op(U)
         # The residual is a near-cancelling subtraction of two O(d)
         # quantities; accumulate it in f64 when the runtime allows
         # (x64 on, e.g. CPU) so the reported err matches the

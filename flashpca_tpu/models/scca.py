@@ -342,6 +342,16 @@ def _xside_operator(X, n, k, ndim, stand_x, *, streaming, memory_mb,
             X, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         ), dtype
+    # dense-matrix X: there is no streaming dense operator, so an
+    # EXPLICIT bounded-memory request cannot be honored -- raise like
+    # check_operator_conflicts does, never drop it silently (review r2)
+    if streaming is True or memory_mb is not None:
+        raise ValueError(
+            "streaming=True / memory_mb apply to PLINK (packed) X data; "
+            "a dense matrix X is held in device memory whole -- pass the "
+            "PLINK fileset (or a StreamingPackedOperator) for bounded "
+            "device memory"
+        )
     Xm = np.asarray(X, dtype=np.float64)
     if Xm.shape[0] != n:
         raise ValueError("Y rows must equal the number of samples")
@@ -835,6 +845,16 @@ def cv_scca(
                 f"{bad} cannot be forwarded to a penalty grid: every "
                 "(fold, lambda) cell would overwrite the same file; "
                 "checkpoint individual scca() runs instead")
+    # matrix-only CV has no bounded-memory path: an explicit streaming /
+    # memory_mb request would otherwise vanish into the grid fast path's
+    # resolved-kwargs filter (review r3 -- the no-silent-drops rule)
+    if (scca_kwargs.get("streaming") is True
+            or scca_kwargs.get("memory_mb") is not None):
+        raise ValueError(
+            "cv_scca takes dense X/Y matrices, which have no streaming "
+            "path; drop streaming/memory_mb (or run split_scca on the "
+            "PLINK fileset, which honors them)"
+        )
     X = np.asarray(X, dtype=np.float64)
     Y = np.asarray(Y, dtype=np.float64)
     if Y.ndim == 1:

@@ -569,6 +569,89 @@ class PackedOperator(LinearOperatorBase):
             self._trace = float(jnp.sum(sq))
         return self._trace
 
+    # -- compensated (two-float) product: f64-grade verification ------------
+    def _ff(self):
+        """Lazy jitted compensated gram (ops/compensated.py): built on
+        first use (check / final polish rotation), cached per operator."""
+        if getattr(self, "_ff_state", None) is None:
+            from .compensated import code_value_luts, gram_ff_p
+
+            lh, ll = code_value_luts(self.center, self.scale, self.p_pad)
+            if self.mesh is not None:
+                row = NamedSharding(self.mesh, P(self.axis_name, None))
+                lut_hi = jax.device_put(lh, row)
+                lut_lo = jax.device_put(ll, row)
+            else:
+                lut_hi = jnp.asarray(lh)
+                lut_lo = jnp.asarray(ll)
+            if self.use_pallas:
+                # fused compensated kernels: decode stays in VMEM, ~2x
+                # a plain pass (the jnp fallback materializes W_hi/W_lo
+                # in HBM and runs ~16x a plain pass at biobank n4)
+                from ..kernels import packed_matvec as _pk
+
+                interp = self.use_pallas == "interpret"
+                raw = partial(_pk.gram_ff_p, interpret=interp)
+            else:
+                # two decoded (bs, n4) blocks live at once: halve the
+                # budget; cap at the compensation chunk so the stage-2
+                # contraction (over the block's SNPs) stays within one
+                # chunk's error floor
+                from .compensated import default_chunk
+
+                bs = budget_block_size(self.p_pad // self.nshards,
+                                       self.n4, itemsize=8,
+                                       cap=default_chunk())
+                raw = partial(gram_ff_p, block_size=bs)
+
+            def gram_ff(packed, lut_hi, lut_lo, xp, valid):
+                v = valid[:, None]
+                hi, lo = raw(packed, lut_hi, lut_lo, xp * v)
+                return hi * v, lo * v
+
+            if self.mesh is not None:
+                ax = self.axis_name
+                snp_row = P(ax, None)
+                rep = P(None, None)
+
+                def gram_ff_psum(packed, lut_hi, lut_lo, xp, valid):
+                    v = valid[:, None]
+                    hi, lo = raw(packed, lut_hi, lut_lo, xp * v)
+                    # psum hi and lo separately: lo terms are eps-sized,
+                    # so the f32 collective adds only ~eps^2 error
+                    hi = lax.psum(hi, ax)
+                    lo = lax.psum(lo, ax)
+                    return hi * v, lo * v
+
+                from jax import shard_map
+
+                gram_ff = shard_map(
+                    gram_ff_psum, mesh=self.mesh,
+                    in_specs=(snp_row, snp_row, snp_row, rep, P(None)),
+                    out_specs=(rep, rep),
+                )
+            self._ff_state = (jax.jit(gram_ff), lut_hi, lut_lo)
+        return self._ff_state
+
+    def gram_ff_permuted(self, xp):
+        """(y_hi, y_lo) two-float pair of X X^T xp, permuted space.
+        One pass, ~2-3x the cost of a plain gram product; used only for
+        the final Rayleigh-Ritz rotation and models.check."""
+        fn, lut_hi, lut_lo = self._ff()
+        vec = xp.ndim == 1
+        xp2 = xp[:, None] if vec else xp
+        hi, lo = fn(self.packed, lut_hi, lut_lo, xp2, self._valid)
+        self.nops += 1
+        return (hi[:, 0], lo[:, 0]) if vec else (hi, lo)
+
+    def perform_op_ff(self, x):
+        """Sample-space twin of :meth:`gram_ff_permuted`."""
+        x2, vec = self._as_2d(x, self.n_samples, "perform_op_ff")
+        hi, lo = self.gram_ff_permuted(permute_samples(x2, self.nbytes_pad))
+        hi = unpermute_samples(hi, self.n_samples)
+        lo = unpermute_samples(lo, self.n_samples)
+        return (hi[:, 0], lo[:, 0]) if vec else (hi, lo)
+
     def stats(self) -> dict:
         """Observability counters (the analog of the reference's nops /
         verbose block logging, svdwide.h:46): operator ops dispatched,
@@ -1141,6 +1224,78 @@ class StreamingPackedOperator(LinearOperatorBase):
         acc = acc * self._valid[:, None]
         return unpermute_samples(acc, self.n_samples)
 
+    # -- compensated (two-float) product -------------------------------------
+    def _ff(self):
+        """Lazy per-staged-block compensated gram accumulate (host loop
+        twin of PackedOperator._ff; see ops/compensated.py)."""
+        if getattr(self, "_ff_state", None) is None:
+            from .compensated import (code_value_luts, default_chunk,
+                                      gram_ff_p, twosum)
+
+            lh, ll = code_value_luts(self.center, self.scale, self.p_pad)
+            if self.use_pallas:
+                from ..kernels import packed_matvec as _pk
+
+                interp = self.use_pallas == "interpret"
+                raw = partial(_pk.gram_ff_p, interpret=interp)
+            else:
+                inner = budget_block_size(self.block_snps // self.nshards,
+                                          self.n4, itemsize=8,
+                                          cap=default_chunk())
+                raw = partial(gram_ff_p, block_size=inner)
+
+            if self.mesh is not None:
+                from jax import shard_map
+
+                ax = self.axis_name
+                row, rep, v1 = P(ax, None), P(None, None), P(None)
+                blk = shard_map(
+                    lambda pb, bh, bl, xp: tuple(
+                        lax.psum(t, ax) for t in raw(pb, bh, bl, xp)),
+                    mesh=self.mesh,
+                    in_specs=(row, row, row, rep), out_specs=(rep, rep))
+            else:
+                blk = raw
+
+            def acc(pb, bh, bl, xp, y_hi, y_err):
+                t_hi, t_err = blk(pb, bh, bl, xp)
+                y_hi, e = twosum(y_hi, t_hi)
+                return y_hi, y_err + e + t_err
+
+            self._ff_state = (jax.jit(acc), lh, ll)
+        return self._ff_state
+
+    def gram_ff_permuted(self, xp):
+        """(y_hi, y_lo) two-float pair of X X^T xp, permuted space
+        (one streamed pass; see PackedOperator.gram_ff_permuted)."""
+        acc, lh, ll = self._ff()
+        vec = xp.ndim == 1
+        xp2 = xp[:, None] if vec else xp
+        xp2 = xp2 * self._valid[:, None]
+        y_hi = jnp.zeros_like(xp2)
+        y_err = jnp.zeros_like(xp2)
+        bs = self.block_snps
+        if self.mesh is not None:
+            row_sh = NamedSharding(self.mesh, P(self.axis_name, None))
+        for pb, _, _, lo, _ in self._blocks():
+            bh, bl = lh[lo: lo + bs], ll[lo: lo + bs]
+            if self.mesh is not None:
+                bh = jax.device_put(bh, row_sh)
+                bl = jax.device_put(bl, row_sh)
+            y_hi, y_err = acc(pb, bh, bl, xp2, y_hi, y_err)
+        self.nops += 1
+        v = self._valid[:, None]
+        y_hi, y_err = y_hi * v, y_err * v
+        return (y_hi[:, 0], y_err[:, 0]) if vec else (y_hi, y_err)
+
+    def perform_op_ff(self, x):
+        """Sample-space twin of :meth:`gram_ff_permuted`."""
+        x2, vec = self._as_2d(x, self.n_samples, "perform_op_ff")
+        hi, lo = self.gram_ff_permuted(permute_samples(x2, self.nbytes_pad))
+        hi = unpermute_samples(hi, self.n_samples)
+        lo = unpermute_samples(lo, self.n_samples)
+        return (hi[:, 0], lo[:, 0]) if vec else (hi, lo)
+
     @property
     def snp_sumsq(self) -> np.ndarray:
         if self._sumsq is None:
@@ -1323,6 +1478,22 @@ class DenseOperator(LinearOperatorBase):
     def _prod(self, v2):
         self.nops += 1
         return self._mv_fn(self.X, v2)
+
+    def gram_ff_permuted(self, xp):
+        """(y_hi, y_lo) two-float pair of X X^T xp (identity sample
+        permutation); the 'exact' matrix here is the resident f32 X."""
+        from .compensated import dense_gram_ff
+
+        vec = xp.ndim == 1
+        x2 = xp[:, None] if vec else xp
+        hi, lo = dense_gram_ff(self.X, x2)
+        self.nops += 1
+        return (hi[:, 0], lo[:, 0]) if vec else (hi, lo)
+
+    def perform_op_ff(self, x):
+        x2, vec = self._as_2d(x, self.n_samples, "perform_op_ff")
+        hi, lo = self.gram_ff_permuted(x2)
+        return (hi[:, 0], lo[:, 0]) if vec else (hi, lo)
 
     @property
     def snp_sumsq(self) -> np.ndarray:

@@ -312,7 +312,110 @@ def _gram_small_jit(U, Y):
     return jnp.dot(U.T, Y, precision=lax.Precision.HIGHEST)
 
 
-def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
+@jax.jit
+def _ff_resid_raw_jit(U, y_hi, y_lo):
+    hp = lax.Precision.HIGHEST
+    Y = y_hi + y_lo
+    R = Y - jnp.dot(U, jnp.dot(U.T, Y, precision=hp), precision=hp)
+    R = _colnorm1(R)
+    R = R - jnp.dot(U, jnp.dot(U.T, R, precision=hp), precision=hp)
+    return _colnorm1(R)
+
+
+@jax.jit
+def _mix_cols_jit(R, T):
+    return jnp.dot(R, T, precision=lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _combine_pair_jit(B, y_hi, y_lo, S):
+    hp = lax.Precision.HIGHEST
+    U = jnp.dot(B, S, precision=hp)
+    return U, jnp.dot(y_hi, S, precision=hp), jnp.dot(y_lo, S, precision=hp)
+
+
+def _ff_resid_panel(U, y_hi, y_lo, rank_tol):
+    """Well-conditioned orthonormal panel spanning A U - U (U^T A U).
+
+    The residual directions of clustered Ritz pairs are strongly
+    CORRELATED, and f32 CholQR of a correlated panel leaves eps*kappa^2
+    non-orthogonality -- measured 1.7e-2 at the headline scale, which
+    makes the augmented metric near-singular and lets the small-problem
+    errors (and the f32 cancellation noise of forming B @ S) eat the
+    entire accuracy gain.  So: CGS2 against U in f32 (direction
+    accuracy ~1e-3 is plenty), then a COMPENSATED Gram + host-f64
+    eigendecomposition with rank truncation -- kept directions have
+    Gram eigenvalues > 1e-4 * max, bounding both the mixing
+    coefficients (<= ~100, so f32 mixing noise stays ~1e-5 relative)
+    and the final metric's conditioning."""
+    R = _ff_resid_raw_jit(U, y_hi, y_lo)
+    from ..ops.compensated import gram_small_ff
+
+    G = gram_small_ff(R)                        # f64 host, ff-accurate
+    lam, V = np.linalg.eigh(G)
+    keep = lam > 1e-4 * max(lam[-1], 1e-30)
+    if not keep.any():
+        return R[:, :0]
+    T = V[:, keep] / np.sqrt(lam[keep])[None, :]
+    return _mix_cols_jit(R, jnp.asarray(T, R.dtype))
+
+
+def _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds: int = 1):
+    """Block-Krylov refinement over the COMPENSATED operator.
+
+    The f32-built Krylov basis contains each eigenvector only to
+    ~(f32 product noise), spread white across the whole complement --
+    and no f32 product can see past that: the residual directions are
+    the same size as the product noise.  Each round takes ONE
+    compensated data pass on the current residual panel, RETAINS it as
+    a basis block, and re-solves the small Rayleigh-Ritz problem with
+    an ff-accurate projected matrix H and metric M (generalized: f32
+    CGS cannot make the basis orthonormal beyond ~1e3*eps, and
+    pretending it is re-injects exactly the error being removed).
+
+    One round exactifies every pair whose residual directions the
+    panel spans; polish_subspace interleaves an f32 sweep between two
+    rounds to reweight the surviving full-spectrum error (stacking
+    rounds without the sweep stalls -- measured).  Cost per round: one
+    compensated data pass of k columns.
+    """
+    from scipy.linalg import LinAlgError
+    from scipy.linalg import eigh as _geigh
+
+    from ..ops.compensated import gram_small_ff, ritz_ff
+
+    y_hi, y_lo = ff_gram(U)
+    B, Yh, Yl = U, y_hi, y_lo         # all basis blocks + their A-images
+    theta = None
+    for r in range(rounds):
+        R = _ff_resid_panel(U, y_hi, y_lo, rank_tol)
+        if R.shape[1]:
+            rh, rl = ff_gram(R)
+            B = jnp.concatenate([B, R], axis=1)
+            Yh = jnp.concatenate([Yh, rh], axis=1)
+            Yl = jnp.concatenate([Yl, rl], axis=1)
+        H = ritz_ff(B, Yh, Yl)
+        H = 0.5 * (H + H.T)
+        M = gram_small_ff(B)
+        try:
+            theta, S = _geigh(H, M)
+        except LinAlgError:
+            # a numerically dependent column slipped past the rank
+            # truncation: the standard problem only costs the last
+            # ~1e3*eps of cleanup, never correctness
+            theta, S = np.linalg.eigh(H)
+        order = np.argsort(theta)[::-1][:k]
+        theta = theta[order]
+        S = jnp.asarray(S[:, order], dtype=U.dtype)
+        # U and A U for the next residual panel WITHOUT a new data
+        # pass: combine the stored block images (f32 recombination
+        # noise ~eps only steers the next panel, never the answer)
+        U, y_hi, y_lo = _combine_pair_jit(B, Yh, Yl, S)
+    return theta, U
+
+
+def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True,
+                    ff_gram=None):
     """Refine converged Ritz vectors by orthogonal (subspace) iteration
     with a final host-f64 Rayleigh-Ritz.
 
@@ -322,6 +425,21 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
     near the single-matvec f32 noise floor.  Returns (theta, U) with
     theta descending and U exactly renormalized.  ``fused=False`` for
     non-traceable matvecs (streaming operators).
+
+    ``ff_gram`` (optional): an operator's compensated two-float gram
+    (``gram_ff_permuted``-style callable, xp -> (y_hi, y_lo)).  When
+    given, the final step becomes a Rayleigh-Ritz over the AUGMENTED
+    basis [U | orth(A U - U (U^T A U))] with both the products and the
+    projected matrix in two-float precision.  Rationale: f32 products
+    carry ~1e3*eps accumulation noise, so (a) an f32-converged subspace
+    floors at residual ~noise (mse ~2e-8 at the reference's headline
+    scale -- above its mse < 1e-8 contract, README.md:207), and (b) the
+    true residual directions A u - theta u are the SAME SIZE as that
+    noise, so no f32 product can see them.  The ff product resolves
+    them; keeping 2k columns lets the small f64 eigenproblem remove the
+    residual from the returned pairs (measured: mse 2.3e-8 -> < 1e-10
+    at 501,760 x 100,352, k=20).  Two extra compensated data passes;
+    the sweeps stay f32.
     """
     k = U.shape[1]
     rank_tol = (100 * float(np.finfo(np.dtype(U.dtype.name).name).eps)) ** 2
@@ -343,6 +461,17 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True):
 
     for _ in range(iters):
         U = sweep(U, consts)
+    if ff_gram is not None:
+        # refine -> sweep -> refine: the first pass exactifies the pairs
+        # within reach of the current basis; the f32 sweep pulls the
+        # surviving (white, full-spectrum) error toward the spectrum
+        # top where the second refinement's residual panel can see it.
+        # Measured at 501,760 x 100,352 k=20 (+8 buffer pairs): check
+        # mse 2.3e-8 -> ~1.1e-9, vs ~8e-9 for sweep-only interleaves
+        # and a ~2e-8 stall for refinement-only stacking.
+        _, U = _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds=1)
+        U = sweep(U, consts)
+        return _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds=1)
     Y, G = project(U, consts)
     G = np.asarray(G, dtype=np.float64)
     G = 0.5 * (G + G.T)
@@ -372,6 +501,7 @@ def eigsh_block(
     fused: bool = True,
     checkpoint_every: int = 0,
     checkpoint_fn=None,
+    extra: int = 0,
 ) -> EigshResult:
     """Largest-algebraic eigenpairs via thick-restart block Lanczos.
 
@@ -393,6 +523,13 @@ def eigsh_block(
     panel to host each time -- trivial on local hardware, slow over a
     thin device link, hence opt-in.  (The small-problem scalar fallback
     below solves in a handful of seconds and does not checkpoint.)
+
+    ``extra=E`` returns E additional buffer Ritz pairs beyond ``nev``
+    (values/vectors/residuals all nev+E wide) extracted from the same
+    final basis -- zero additional data passes.  Convergence is still
+    judged on the first nev; the buffer pairs are best-effort.  The
+    scalar fallback ignores ``extra`` (callers must handle a result of
+    either width).
     """
     b = int(block)
     ncv_user = ncv
@@ -548,6 +685,23 @@ def eigsh_block(
         thresh = np.maximum(eps23 * theta_max,
                             tol * np.maximum(np.abs(theta), 1e-300))
         nconv = int(np.sum(resid <= thresh))
+        # buffer pairs only need accurate DIRECTIONS (they feed the ff
+        # polish as spectral neighbors, never the returned results):
+        # gate on a loose 1e-4-relative tolerance.  Measured at the
+        # headline scale: raw end-of-basis Ritz estimates and 1e-3
+        # leave the polish stalled ~2x above the mse<1e-8 check
+        # contract; 1e-4 converges in the same restart as 1e-5 and
+        # lands mse ~1.6e-9 (the requested pairs' own tolerance stays
+        # the caller's ``tol``)
+        nbuf = min(max(0, int(extra)), ncv - nev)
+        buf_ok = True
+        if nbuf:
+            buf_thresh = np.maximum(
+                eps23 * theta_max,
+                max(1e-4, tol) * np.maximum(
+                    np.abs(theta_all[nev: nev + nbuf]), 1e-300))
+            buf_ok = bool(
+                np.all(res_all[nev: nev + nbuf] <= buf_thresh))
         if verbose:
             import sys
             print(f"eigsh_block cycle {restart}: nconv={nconv}/{nev} "
@@ -566,10 +720,19 @@ def eigsh_block(
             stall = 0
         best_resid = min(best_resid, rmax)
         at_floor = rmax <= np.sqrt(eps) * theta_max
-        if (nconv >= nev or restart == maxiter - 1
+        if ((nconv >= nev and buf_ok) or restart == maxiter - 1
                 or (stall >= 5 and at_floor)):
             converged = nconv >= nev or (stall >= 5 and at_floor)
-            S_keep = S[:, :nev]
+            # ``extra`` buffer pairs beyond nev come from the same basis
+            # eigendecomposition (NO additional data passes) --
+            # consumers: the ff polish, whose boundary pairs clean up
+            # like interior ones once their spectral neighbors are in
+            # the refinement basis.  Requested-pair convergence is
+            # judged on the first nev only.
+            nret = nev + nbuf
+            theta = theta_all[:nret]
+            resid = res_all[:nret]
+            S_keep = S[:, :nret]
             break
 
         # -- thick restart ---------------------------------------------------
@@ -593,7 +756,7 @@ def eigsh_block(
             checkpoint_fn(V[:, :m], theta_kept[:m].copy(),
                           res_all[:m].copy())
 
-    S_pad = np.zeros((ncv + b, nev), dtype=np.float64)
+    S_pad = np.zeros((ncv + b, S_keep.shape[1]), dtype=np.float64)
     S_pad[:ncv] = S_keep
     U = jnp.dot(V, jnp.asarray(S_pad, dtype=dtype),
                 precision=lax.Precision.HIGHEST)

@@ -102,3 +102,21 @@ def test_matching_kwargs_still_accepted(ops):
     resident, _ = ops
     res = pca(resident, 2, dtype=jnp.float32, streaming="auto", tol=1e-6)
     assert res.values.shape == (2,)
+
+
+def test_scca_matrix_rejects_streaming(rng):
+    """Dense-matrix X has no streaming path: an explicit bounded-memory
+    request must raise, not silently build a resident DenseOperator
+    (review r3)."""
+    from flashpca_tpu.models.scca import cv_scca, scca
+
+    X = rng.normal(size=(40, 12))
+    Y = rng.normal(size=(40, 3))
+    with pytest.raises(ValueError, match="streaming"):
+        scca(X, Y, 1e-3, 1e-3, ndim=2, stand_x="sd", streaming=True)
+    with pytest.raises(ValueError, match="streaming"):
+        scca(X, Y, 1e-3, 1e-3, ndim=2, stand_x="sd", memory_mb=64)
+    with pytest.raises(ValueError, match="streaming"):
+        cv_scca(X, Y, nfolds=2, ndim=2, stand_x="sd", streaming=True)
+    with pytest.raises(ValueError, match="streaming"):
+        cv_scca(X, Y, nfolds=2, ndim=2, stand_x="sd", memory_mb=64)
