@@ -418,25 +418,25 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
     use_ff = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
               and hasattr(op, "gram_ff_permuted"))
-    # Buffer Ritz pairs beyond ndim: with the boundary pairs' spectral
-    # neighbors resolved in the refinement basis, the compensated
-    # polish cleans them like interior ones, meeting the reference's
-    # check contract (measured at 501,760 x 100,352 k=20: mse 2.4e-8 ->
-    # ~1.6e-9).  The basis must be sized for them (ncv keyed to
-    # ndim+extra): in an ndim-sized basis the buffer residual ESTIMATES
-    # pass the gate while their true quality sits at the f32
-    # orthogonality floor.  Without ff polish the buffer has no
+    # Buffer pairs beyond ndim, SOLVED alongside the requested ones:
+    # with the boundary pairs' spectral neighbors converged in the
+    # refinement basis, the compensated polish cleans them like
+    # interior ones, meeting the reference's check contract (measured
+    # at 501,760 x 100,352 k=20: mse 2.4e-8 -> 1.6e-9).  Free-Ritz or
+    # loosely-gated buffers were measured insufficient (polish stalls
+    # ~2x above the contract).  Without ff polish the buffer has no
     # consumer and the plain path stays as before.
-    extra = 8 if use_ff else 0
-    if extra and ncv is None:
-        ncv = 4 * (ndim + extra)
+    max_dim = int((min(n, p) - 1) / 2.0)
+    extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
+    nev_solve = ndim + extra
     # With the ff polish running, the solver's job is SPAN-building:
     # the polish refines the returned pairs to ~1e-8 * theta_max
     # residual (f64-grade, verified by the compensated check)
     # regardless of how tightly the solver iterated, so driving the
-    # f32 solve past 1e-5 only burns data passes (measured: identical
-    # final mse, ~1.4x the passes at 1e-6).
-    solver_tol = max(tol, 1e-5) if use_ff else tol
+    # f32 solve past ~1e-4 only burns data passes (measured at the
+    # headline scale: final check mse 1.6e-9 either way, ~1.5x the
+    # passes at 1e-6).
+    solver_tol = max(tol, 1e-4) if use_ff else tol
 
     if fused:
         mv, ops_ = op.gram_pure()
@@ -449,13 +449,12 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         # sweep (b in {8,16,32} at 500k x 50k, k=20) picked 16 (35%
         # faster than 8; 32 over-restarts on clustered spectra)
         res = eigsh_block(
-            mv, op.op_dim, ndim, block=panel, ncv=ncv,
+            mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
             maxiter=maxiter, tol=solver_tol, dtype=dtype, seed=seed,
             v0=v0, operands=ops_, fused=fused, verbose=verbose,
             checkpoint_every=checkpoint_every,
             checkpoint_fn=_mid_run_checkpointer(op, state_out,
                                                 checkpoint_every),
-            extra=extra,
         )
     else:
         res = eigsh(

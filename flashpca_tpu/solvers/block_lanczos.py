@@ -685,23 +685,6 @@ def eigsh_block(
         thresh = np.maximum(eps23 * theta_max,
                             tol * np.maximum(np.abs(theta), 1e-300))
         nconv = int(np.sum(resid <= thresh))
-        # buffer pairs only need accurate DIRECTIONS (they feed the ff
-        # polish as spectral neighbors, never the returned results):
-        # gate on a loose 1e-4-relative tolerance.  Measured at the
-        # headline scale: raw end-of-basis Ritz estimates and 1e-3
-        # leave the polish stalled ~2x above the mse<1e-8 check
-        # contract; 1e-4 converges in the same restart as 1e-5 and
-        # lands mse ~1.6e-9 (the requested pairs' own tolerance stays
-        # the caller's ``tol``)
-        nbuf = min(max(0, int(extra)), ncv - nev)
-        buf_ok = True
-        if nbuf:
-            buf_thresh = np.maximum(
-                eps23 * theta_max,
-                max(1e-4, tol) * np.maximum(
-                    np.abs(theta_all[nev: nev + nbuf]), 1e-300))
-            buf_ok = bool(
-                np.all(res_all[nev: nev + nbuf] <= buf_thresh))
         if verbose:
             import sys
             print(f"eigsh_block cycle {restart}: nconv={nconv}/{nev} "
@@ -720,16 +703,19 @@ def eigsh_block(
             stall = 0
         best_resid = min(best_resid, rmax)
         at_floor = rmax <= np.sqrt(eps) * theta_max
-        if ((nconv >= nev and buf_ok) or restart == maxiter - 1
+        if (nconv >= nev or restart == maxiter - 1
                 or (stall >= 5 and at_floor)):
             converged = nconv >= nev or (stall >= 5 and at_floor)
-            # ``extra`` buffer pairs beyond nev come from the same basis
-            # eigendecomposition (NO additional data passes) --
-            # consumers: the ff polish, whose boundary pairs clean up
-            # like interior ones once their spectral neighbors are in
-            # the refinement basis.  Requested-pair convergence is
-            # judged on the first nev only.
-            nret = nev + nbuf
+            # ``extra`` Ritz pairs beyond nev come from the same basis
+            # eigendecomposition (NO additional data passes); their
+            # accuracy is whatever the basis holds at exit --
+            # best-effort.  A caller that NEEDS converged neighbors
+            # (e.g. the ff polish meeting the check contract) should
+            # solve nev = k + buffer instead: convergence gating on a
+            # buffer-only tolerance was tried and lost to the
+            # stagnation exit (the stall counter watches the first nev,
+            # which floor first).
+            nret = min(nev + max(0, int(extra)), ncv)
             theta = theta_all[:nret]
             resid = res_all[:nret]
             S_keep = S[:, :nret]
