@@ -30,6 +30,7 @@ from ..ops.operator import (DenseOperator, PackedOperator,
 from ..ops.standardize import standardize
 from ..solvers.block_lanczos import eigsh_block, polish_subspace
 from ..solvers.lanczos import eigsh
+from ._common import fetch_global as _fetch
 from ._common import resolve_divisor as _resolve_divisor
 
 DIVISORS = ("p", "n1", "none")
@@ -361,8 +362,10 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         Px = U * jnp.asarray(np.sqrt(d), U.dtype)[None, :]
     else:
         Vs = np.asarray(op.unpermute(V_dev), dtype=np.float64)
-        U = np.asarray(
-            op.prod(jnp.asarray(Vs, dtype=dtype)), dtype=np.float64)
+        # tall-path U = X v is SAMPLE-sharded: gather under
+        # multi-controller execution
+        U = _fetch(op.prod(jnp.asarray(Vs, dtype=dtype)),
+                   dtype=np.float64)
         U = U / np.sqrt(lam)[None, :]
         Px = U * np.sqrt(d)[None, :]
 
@@ -502,8 +505,10 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         U = np.asarray(op.unpermute(U_dev), dtype=np.float64)
         loadings = None
         if do_loadings:
-            Vt = np.asarray(op.crossprod(jnp.asarray(U, dtype=dtype)),
-                            dtype=np.float64)
+            # crossprod output is SNP-sharded: gather under
+            # multi-controller execution (models/_common.fetch_global)
+            Vt = _fetch(op.crossprod(jnp.asarray(U, dtype=dtype)),
+                        dtype=np.float64)
             loadings = Vt * (1.0 / np.sqrt(d) / np.sqrt(div))[None, :]
         Px = U * np.sqrt(d)[None, :]
 

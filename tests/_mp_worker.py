@@ -17,10 +17,11 @@ MODE = sys.argv[6] if len(sys.argv) > 6 else "full"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# mode "stats32" leaves x64 OFF (the real-TPU default) to prove the
-# f64 stats survive the process_allgather bit-exactly even when JAX
-# would canonicalize f64 device arrays to f32 (review r2)
-jax.config.update("jax_enable_x64", MODE != "stats32")
+# modes "stats32"/"pca32" leave x64 OFF (the real-TPU default): stats32
+# proves the f64 stats survive the process_allgather bit-exactly even
+# when JAX would canonicalize f64 device arrays to f32 (review r2);
+# pca32 runs the f32 solver + compensated polish exactly as on TPU
+jax.config.update("jax_enable_x64", MODE not in ("stats32", "pca32"))
 
 
 def main():
@@ -55,6 +56,42 @@ def main():
                  mean=mean, sd=sd)
         print(f"worker {pid} ok", flush=True)
         return
+
+    if MODE in ("pca", "pca32"):
+        # The FULL solver under multiple controller processes: the
+        # host-driven restart loop fetches the (replicated) stacked
+        # H/R, assembles T, runs numpy eigh and control flow on EVERY
+        # process -- lockstep demands each step be deterministic and
+        # identical across controllers (the classic multi-host
+        # divergence trap; VERDICT r2 weak #2).  Also exercised:
+        # mid-run failure + restart from state_out, loadings, trace,
+        # and (pca32) the f32 path's compensated polish under a
+        # process-spanning mesh.
+        from flashpca_tpu.models.pca import pca
+
+        dt = jnp.float32 if MODE == "pca32" else jnp.float64
+        op = sharded_operator(root, mesh, dtype=dt)
+        state = os.path.join(outdir, "state.npz")
+        first_converged = True
+        try:
+            # deliberately starved solve: writes state, then raises
+            pca(op, 5, tol=1e-10, maxiter=1, state_out=state)
+        except RuntimeError:
+            first_converged = False
+        # resume from the checkpoint; every process reads the shared
+        # state and must take the identical warm-started trajectory
+        res = pca(op, 5, tol=1e-7, state_in=state, state_out=state,
+                  do_loadings=True)
+        np.savez(
+            os.path.join(outdir, f"worker{pid}.npz"),
+            values=res.values, vectors=np.asarray(res.vectors),
+            loadings=np.asarray(res.loadings), pve=res.pve,
+            trace=res.trace, projection=np.asarray(res.projection),
+            first_converged=first_converged, n_ops=res.n_ops,
+        )
+        print(f"worker {pid} ok", flush=True)
+        return
+
     op = sharded_operator(root, mesh, dtype=jnp.float64)
 
     n = op.n_samples

@@ -117,3 +117,59 @@ def test_two_process_stats_exact_f64_without_x64(small_plink, tmp_path):
         assert d["mean"].dtype == np.float64
         np.testing.assert_array_equal(d["mean"], mean)
         np.testing.assert_array_equal(d["sd"], sd)
+
+
+@pytest.fixture(scope="module")
+def mp_pca_plink(tmp_path_factory):
+    """A fileset big enough for the BLOCK solver path (n=300 clears the
+    ncv+2b headroom for nev=5(+8 ff buffer) at panel 16)."""
+    from flashpca_tpu.io.plink import write_bed
+
+    rng = np.random.default_rng(7)
+    n, p = 300, 120
+    maf = rng.uniform(0.05, 0.5, size=p)
+    geno = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)
+    geno[rng.uniform(size=(n, p)) < 0.03] = np.nan
+    root = str(tmp_path_factory.mktemp("mp_pca") / "toy300")
+    write_bed(root, geno)
+    return root, geno
+
+
+def _pca_oracle(root, k=5):
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops import dense_standardized_np
+
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    lam, V = np.linalg.eigh(X @ X.T / ds.n_snps)
+    return lam[::-1][:k], V[:, ::-1][:, :k]
+
+
+@pytest.mark.parametrize("mode,rtol", [("pca", 1e-9), ("pca32", 2e-5)])
+def test_two_process_full_solver(mp_pca_plink, tmp_path, mode, rtol):
+    """The FULL pca() path (host-driven restart loop + polish +
+    loadings + trace) under 2 controller processes, including a starved
+    run that checkpoints then a restart from state_out (VERDICT r2
+    next-step #2).  Results must be BIT-IDENTICAL across processes
+    (lockstep) and match the f64 dense oracle."""
+    root, _ = mp_pca_plink
+    out = tmp_path / mode
+    out.mkdir()
+    _run_workers(root, str(out), mode=mode)
+
+    d0 = np.load(out / "worker0.npz")
+    d1 = np.load(out / "worker1.npz")
+    # lockstep: every host-side decision fed by replicated device
+    # results must have been identical -- outputs agree bit-for-bit
+    for key in ("values", "vectors", "loadings", "pve", "trace",
+                "projection", "n_ops"):
+        np.testing.assert_array_equal(d0[key], d1[key], err_msg=key)
+
+    lam_ref, V_ref = _pca_oracle(root)
+    np.testing.assert_allclose(d0["values"], lam_ref, rtol=rtol)
+    U = d0["vectors"]
+    # sign-align before comparing
+    sign = np.sign(np.sum(U * V_ref, axis=0))
+    rmse = np.sqrt(np.mean((U * sign[None, :] - V_ref) ** 2))
+    assert rmse < (1e-8 if mode == "pca" else 1e-4), rmse
