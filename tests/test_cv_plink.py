@@ -1,0 +1,72 @@
+"""PLINK-path k-fold cv_scca: packed end-to-end, parity vs matrix CV.
+
+Reference analog: scca.R:410-557 (k-fold CV) + scca.sh's plink-subset
+workflow.  The genotypes stay 2-bit packed through the whole CV
+(VERDICT r2 next-step #4)."""
+
+import numpy as np
+import pytest
+
+from flashpca_tpu.io.plink import write_bed
+from flashpca_tpu.models.scca import cv_scca
+
+
+@pytest.fixture(scope="module")
+def complete_plink(tmp_path_factory):
+    """No-missing fileset: the matrix path drops NaN test rows while
+    the packed raw-dosage projector zeroes them, so parity is asserted
+    on complete data (the divergence is documented in _cv_scca_plink)."""
+    rng = np.random.default_rng(11)
+    n, p = 80, 30
+    maf = rng.uniform(0.1, 0.5, size=p)
+    geno = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)
+    root = str(tmp_path_factory.mktemp("cvplink") / "toy")
+    write_bed(root, geno)
+    return root, geno
+
+
+def test_cv_scca_plink_matches_matrix(complete_plink, rng):
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 3))
+    l1 = np.array([1e-4, 1e-3])
+    l2 = np.array([1e-4, 1e-3])
+    kw = dict(ndim=2, nfolds=3, opt_dim=1, seed=5, tol=1e-9)
+
+    res_m = cv_scca(X, Y, l1, l2, **kw)
+    res_p = cv_scca(root, Y, l1, l2, **kw)
+
+    # identical folds (same seed/rng order), identical winner, and the
+    # pooled correlations agree to solver precision
+    np.testing.assert_array_equal(res_m.folds, res_p.folds)
+    assert res_p.best_lambda1 == res_m.best_lambda1
+    assert res_p.best_lambda2 == res_m.best_lambda2
+    np.testing.assert_allclose(res_p.corr, res_m.corr,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res_p.nzero_x, res_m.nzero_x)
+    np.testing.assert_allclose(res_p.nzero_y, res_m.nzero_y)
+    assert res_p.converged.all()
+
+
+def test_cv_scca_plink_streaming(complete_plink, rng):
+    """streaming=True is honored on the PLINK path (bounded device
+    memory; host-engine sequential fallback)."""
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 2))
+    res = cv_scca(root, Y, np.array([1e-4]), np.array([1e-4]),
+                  ndim=2, nfolds=2, seed=3, streaming=True,
+                  memory_mb=1, tol=1e-8)
+    assert res.corr.shape == (2, 1, 1)
+    assert np.isfinite(res.best_corr)
+
+
+def test_cv_scca_plink_explicit_folds(complete_plink, rng):
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 2))
+    folds = np.arange(n) % 2
+    res = cv_scca(root, Y, np.array([1e-4]), np.array([1e-3]),
+                  ndim=2, folds=folds, seed=3, tol=1e-8)
+    assert res.nfolds == 2
+    np.testing.assert_array_equal(res.folds, folds)
