@@ -968,6 +968,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         mesh: Mesh | None = None,
         axis_name: str = "snps",
         snp_sumsq: np.ndarray | None = None,
+        cache_mb: int | str | None = "auto",
     ):
         from ..io.plink import PlinkDataset
 
@@ -999,6 +1000,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         self.nbytes_pad = int(nbytes_pad)
         self.n4 = nbytes_pad * PACK_DENSITY
 
+        self._memory_bounded = memory_mb is not None
         if block_snps is None:
             if memory_mb is not None:
                 # --memory semantics: two packed block buffers on device
@@ -1025,6 +1027,18 @@ class StreamingPackedOperator(LinearOperatorBase):
         self._stage = None
         self._inflight = [None, None]
         self.nops = 0
+        # device-side block residency (the general form of the
+        # reference's single-block optimization, svdwide.cpp:32-40:
+        # when one block covers the data, keep it and skip re-reads).
+        # The FIRST n_cached blocks stay pinned on device after their
+        # first staging; later products re-stage only the remainder.
+        # A pinned PREFIX (not LRU) deliberately: products scan blocks
+        # cyclically, and an LRU smaller than the working set gets zero
+        # hits on a cyclic scan.
+        self.cache_mb = cache_mb
+        self._cache: dict = {}
+        self._n_cached: int | None = None
+        self.staged_host_blocks = 0   # observability: actual host reads
 
     def _raw(self):
         # under a mesh the raw fns see PER-SHARD rows, so the inner
@@ -1112,10 +1126,42 @@ class StreamingPackedOperator(LinearOperatorBase):
         self._sumsq_blk = jax.jit(sumsq_blk)
 
     # -- block staging -----------------------------------------------------
+    def _resolve_cache_blocks(self) -> int:
+        """Number of leading blocks pinned on device (see __init__).
+
+        ``cache_mb``: explicit MB budget, 'auto' (on TPU, half the
+        device's HBM limit minus two staging buffers -- conservative,
+        since the streaming operator exists precisely because the data
+        may exceed HBM; elsewhere 0, keeping CPU test semantics pure
+        streaming), or None/0 for off."""
+        if self._n_cached is None:
+            block_bytes = self.block_snps * self.nbytes_pad
+            if not self.cache_mb:
+                n = 0
+            elif self.cache_mb == "auto":
+                n = 0
+                # an explicit --memory bound means the USER capped
+                # device memory at two block buffers; auto-pinning
+                # beyond it would violate that contract (pass cache_mb
+                # explicitly to combine the two)
+                if (jax.default_backend() == "tpu"
+                        and not self._memory_bounded):
+                    # same 16 GB default as resolve_streaming: some
+                    # backends (axon) report no bytes_limit at all
+                    ms = jax.devices()[0].memory_stats()
+                    limit = (ms or {}).get("bytes_limit", 16 << 30)
+                    budget = limit // 2 - 2 * block_bytes
+                    n = max(0, int(budget // max(1, block_bytes)))
+            else:
+                n = int((int(self.cache_mb) << 20) // max(1, block_bytes))
+            self._n_cached = min(n, self.n_blocks)
+        return self._n_cached
+
     def _blocks(self):
         """Yield (packed_dev, mean_dev, invsd_dev, start, size) per block.
         device_put is async: the next block uploads while the previous
-        one computes.
+        one computes.  The first ``_resolve_cache_blocks()`` blocks are
+        served from the device-resident cache after their first staging.
 
         Staging-buffer reuse (FLASHPCA_STAGE_REUSE=1, default OFF)
         double-buffers two preallocated host arrays instead of a fresh
@@ -1126,8 +1172,10 @@ class StreamingPackedOperator(LinearOperatorBase):
         truly waits for the host->device copy -- on remote-tunnel
         backends it can return early (see CLAUDE.md), making the
         rewrite race unverifiable, so the safe default is a fresh
-        buffer per block."""
+        buffer per block.  Cached blocks never ride the reuse buffers
+        (their bytes must outlive the staging cycle)."""
         bs = self.block_snps
+        n_cached = self._resolve_cache_blocks()
         reuse = (os.environ.get("FLASHPCA_STAGE_REUSE") == "1"
                  and jax.default_backend() != "cpu")
         if reuse and self._stage is None:
@@ -1142,13 +1190,20 @@ class StreamingPackedOperator(LinearOperatorBase):
         if self.mesh is not None:
             row_sh = NamedSharding(self.mesh, P(self.axis_name, None))
             snp_sh = NamedSharding(self.mesh, P(self.axis_name))
+        seq = 0   # staging-buffer parity counts STREAMED blocks only
         for i in range(self.n_blocks):
             lo = i * bs
             hi = min(lo + bs, self.n_snps)
-            if reuse:
-                buf = self._stage[i % 2]
-                if inflight[i % 2] is not None:
-                    inflight[i % 2].block_until_ready()
+            cached = self._cache.get(i)
+            if cached is not None:
+                pb, mb, ib = cached
+                yield (pb, mb, ib, lo, hi - lo)
+                continue
+            pin = i < n_cached
+            if reuse and not pin:
+                buf = self._stage[seq % 2]
+                if inflight[seq % 2] is not None:
+                    inflight[seq % 2].block_until_ready()
                 if hi - lo < bs:
                     buf[hi - lo:] = 0
             else:
@@ -1162,8 +1217,12 @@ class StreamingPackedOperator(LinearOperatorBase):
                 pb = jax.device_put(buf)
                 mb = jax.device_put(self._mean_pad[lo: lo + bs])
                 ib = jax.device_put(self._invsd_pad[lo: lo + bs])
-            if reuse:
-                inflight[i % 2] = pb
+            self.staged_host_blocks += 1
+            if pin:
+                self._cache[i] = (pb, mb, ib)
+            elif reuse:
+                inflight[seq % 2] = pb
+                seq += 1
             yield (pb, mb, ib, lo, hi - lo)
 
     # -- products ----------------------------------------------------------
@@ -1390,6 +1449,7 @@ def build_packed_operator(
     dtype=jnp.float32,
     mesh: Mesh | None = None,
     snp_sumsq: np.ndarray | None = None,
+    cache_mb: int | str | None = "auto",
 ):
     """Build the right packed operator for an analysis mode: HBM-resident
     (optionally mesh-sharded) or host-streaming with bounded device
@@ -1398,7 +1458,7 @@ def build_packed_operator(
     if stream:
         return StreamingPackedOperator(
             ds, mean, sd, ds.n_samples, memory_mb=memory_mb, dtype=dtype,
-            mesh=mesh, snp_sumsq=snp_sumsq,
+            mesh=mesh, snp_sumsq=snp_sumsq, cache_mb=cache_mb,
         )
     return PackedOperator(
         ds.read_packed(), mean, sd, ds.n_samples,

@@ -106,3 +106,78 @@ def test_streaming_block_loop_exercised(small_plink, pheno):
     mean, sd = ds.snp_stats("binom2")
     op = StreamingPackedOperator(ds, mean, sd, ds.n_samples, block_snps=8)
     assert op.n_blocks > 1
+
+
+class TestBlockResidency:
+    """Device-side block cache (the general form of the reference's
+    single-block residency optimization, svdwide.cpp:32-40)."""
+
+    def _op(self, small_plink, cache_mb, block_snps=16):
+        from flashpca_tpu.io.plink import PlinkDataset
+        from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+        root, _ = small_plink
+        ds = PlinkDataset.open(root)
+        mean, sd = ds.snp_stats("binom2")
+        return StreamingPackedOperator(
+            ds, mean, sd, ds.n_samples, block_snps=block_snps,
+            cache_mb=cache_mb)
+
+    def test_full_cache_stages_once(self, small_plink, rng):
+        import numpy as np
+
+        op = self._op(small_plink, cache_mb=64)   # covers everything
+        ref = self._op(small_plink, cache_mb=0)
+        assert op.n_blocks > 1
+        x = rng.normal(size=(op.n_samples, 2))
+        y1 = np.asarray(op.perform_op(x))
+        assert op.staged_host_blocks == op.n_blocks
+        y2 = np.asarray(op.perform_op(x))
+        # second product: served entirely from the device cache
+        assert op.staged_host_blocks == op.n_blocks
+        yr = np.asarray(ref.perform_op(x))
+        np.testing.assert_allclose(y1, yr, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(y2, yr, rtol=1e-12, atol=1e-12)
+
+    def test_partial_cache_parity_and_counts(self, small_plink, rng):
+        import numpy as np
+
+        op = self._op(small_plink, cache_mb=0)
+        op1 = self._op(small_plink, cache_mb=1)
+        # toy blocks are far below MB granularity: pin exactly one
+        # block directly to exercise the partial-cache mechanics
+        op1._n_cached = 1
+        assert 0 < op1._resolve_cache_blocks() < op1.n_blocks
+        x = rng.normal(size=(op.n_samples, 3))
+        ya = np.asarray(op1.perform_op(x))
+        yb = np.asarray(op1.perform_op(x))
+        np.testing.assert_allclose(
+            yb, np.asarray(op.perform_op(x)), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(ya, yb, rtol=1e-12, atol=1e-12)
+        # later passes stage only the non-pinned remainder
+        n_pin = op1._resolve_cache_blocks()
+        assert op1.staged_host_blocks == (
+            op1.n_blocks + (op1.n_blocks - n_pin))
+
+    def test_memory_mb_disables_auto_cache(self, small_plink):
+        from flashpca_tpu.io.plink import PlinkDataset
+        from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+        root, _ = small_plink
+        ds = PlinkDataset.open(root)
+        mean, sd = ds.snp_stats("binom2")
+        op = StreamingPackedOperator(
+            ds, mean, sd, ds.n_samples, memory_mb=1, cache_mb="auto")
+        assert op._resolve_cache_blocks() == 0
+
+    def test_cache_with_sumsq_and_crossprod(self, small_plink, rng):
+        import numpy as np
+
+        op = self._op(small_plink, cache_mb=64)
+        ref = self._op(small_plink, cache_mb=0)
+        np.testing.assert_allclose(op.snp_sumsq, ref.snp_sumsq,
+                                   rtol=1e-12)
+        x = rng.normal(size=(op.n_samples, 2))
+        np.testing.assert_allclose(
+            np.asarray(op.crossprod(x)), np.asarray(ref.crossprod(x)),
+            rtol=1e-12, atol=1e-12)
