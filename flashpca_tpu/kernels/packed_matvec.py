@@ -443,17 +443,69 @@ def matvec_ff_planes(packed, lut6, vh, vl, *, interpret=False, tile_p=None):
     )(packed, *lut6, vh, vl)
 
 
+# Widest panel the ff kernels compile at (Mosaic VMEM: the compensated
+# kernels hold ~3x the plain kernels' live tiles; 96 measured OK at
+# full biobank width, 116 crashes the TPU compiler).  Wider requests
+# are column-chunked by the wrappers -- an extra decode pass per chunk,
+# amortized fine for the polish/check one-shots that use them.
+FF_MAX_K = 96
+
+
+def _column_chunked(fn, xp, width):
+    k = xp.shape[1]
+    if k <= width:
+        return fn(xp)
+    outs = [fn(xp[:, s: s + width]) for s in range(0, k, width)]
+    return (jnp.concatenate([o[0] for o in outs], axis=1),
+            jnp.concatenate([o[1] for o in outs], axis=1))
+
+
 def gram_ff_p(packed, lut_hi, lut_lo, xp, *, interpret=False, tile_p=None):
     """(y_hi, y_lo) of W W^T xp with W the EXACT two-float standardized
     matrix -- fused Pallas twin of ops/compensated.gram_ff_p (same
     contract; caller masks byte-padding positions)."""
     p_pad, nbp = packed.shape
-    k = xp.shape[1]
-    k8 = _round_k(k)
-    lut6 = _lut_rows(lut_hi, lut_lo)
-    xt = _to_planes(xp.astype(jnp.float32), nbp, k8)
-    zh, zl = crossprod_ff_planes(packed, lut6, xt, interpret=interpret,
-                                 tile_p=tile_p)
-    yh, yl = matvec_ff_planes(packed, lut6, zh, zl, interpret=interpret,
-                              tile_p=tile_p)
-    return _from_planes(yh, k), _from_planes(yl, k)
+
+    def one(xpc):
+        k = xpc.shape[1]
+        k8 = _round_k(k)
+        lut6 = _lut_rows(lut_hi, lut_lo)
+        xt = _to_planes(xpc.astype(jnp.float32), nbp, k8)
+        zh, zl = crossprod_ff_planes(packed, lut6, xt,
+                                     interpret=interpret, tile_p=tile_p)
+        yh, yl = matvec_ff_planes(packed, lut6, zh, zl,
+                                  interpret=interpret, tile_p=tile_p)
+        return _from_planes(yh, k), _from_planes(yl, k)
+
+    return _column_chunked(one, xp, FF_MAX_K)
+
+
+def gram_tall_ff_p(packed, lut_hi, lut_lo, mean, invsd, v2, valid2d, *,
+                   interpret=False, tile_p=None):
+    """(z_hi, z_lo) of W^T (M (W v)) for the TALL gram X^T X: v2 is
+    (p_pad, k) SNP-space, M the diagonal valid-sample mask.
+
+    Stage 1 (y = W^T v) and stage 2's main term run through the ff
+    kernels; stage 2's eps-sized correction W y_lo rides the PLAIN
+    (compensated) crossprod kernel -- its decode differs from the
+    exact hi table by ~eps, which lands at eps^2 of the result."""
+    p_pad, nbp = packed.shape
+
+    def one(v2c):
+        k = v2c.shape[1]
+        k8 = _round_k(k)
+        lut6 = _lut_rows(lut_hi, lut_lo)
+        vh = _pad_k(v2c.astype(jnp.float32), k8).T       # (k8, p_pad)
+        vl = jnp.zeros_like(vh)
+        yh, yl = matvec_ff_planes(packed, lut6, vh, vl,
+                                  interpret=interpret, tile_p=tile_p)
+        m = valid2d.reshape(4, 1, nbp)
+        yh = yh * m
+        yl = yl * m
+        zh, zl = crossprod_ff_planes(packed, lut6, yh,
+                                     interpret=interpret, tile_p=tile_p)
+        zl = zl + crossprod_planes(packed, _coeff_rows(mean, invsd), yl,
+                                   interpret=interpret, tile_p=tile_p)
+        return zh.T[:, :k], zl.T[:, :k]
+
+    return _column_chunked(one, v2, FF_MAX_K)

@@ -331,10 +331,19 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
     v0 = _solver_v0(op, p, dtype, seed, state_in)
 
+    # same buffered-solve + compensated-polish pattern as the wide path
+    # (see _pca_operator); the tall ff gram rides the Pallas kernels
+    use_ff = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+              and getattr(op, "supports_ff", False))
+    max_dim = int((min(n, p) - 1) / 2.0)
+    extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
+    nev_solve = ndim + extra
+    solver_tol = max(tol, 1e-4) if use_ff else tol
+
     mv, ops_ = op.gram_pure()
     res = eigsh_block(
-        mv, op.op_dim, ndim, block=panel, ncv=ncv,
-        maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
+        mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
+        maxiter=maxiter, tol=solver_tol, dtype=dtype, seed=seed, v0=v0,
         operands=ops_, verbose=verbose,
         checkpoint_every=checkpoint_every,
         checkpoint_fn=_mid_run_checkpointer(op, state_out,
@@ -344,14 +353,18 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     if not res.converged:
         raise RuntimeError(
             "eigen-decomposition was not successful: max scaled residual "
-            f"{float(np.max(res.residuals)):.3e} after {res.n_restarts} "
-            f"restarts (ndim={ndim}, tol={tol})"
+            f"{float(np.max(res.residuals[:ndim])):.3e} after "
+            f"{res.n_restarts} restarts (ndim={ndim}, tol={tol})"
         )
 
     lam = res.eigenvalues
     V_dev = res.eigenvectors
     if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
-        lam, V_dev = polish_subspace(mv, V_dev, iters=2, operands=ops_)
+        lam, V_dev = polish_subspace(
+            mv, V_dev, iters=2, operands=ops_,
+            ff_gram=op.gram_ff_permuted if use_ff else None)
+    lam = lam[:ndim]
+    V_dev = V_dev[:, :ndim]
     d = lam / div
     trace = op.trace / div
     pve = d / trace

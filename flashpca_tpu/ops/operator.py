@@ -628,7 +628,7 @@ class PackedOperator(LinearOperatorBase):
                 gram_ff = shard_map(
                     gram_ff_psum, mesh=self.mesh,
                     in_specs=(snp_row, snp_row, snp_row, rep, P(None)),
-                    out_specs=(rep, rep),
+                    out_specs=(rep, rep), check_vma=False,
                 )
             self._ff_state = (jax.jit(gram_ff), lut_hi, lut_lo)
         return self._ff_state
@@ -913,6 +913,69 @@ class TallPackedOperator:
         y = y[: self.n_samples]
         self.nops += 1
         return y[:, 0] if vec else y
+
+    # -- compensated (two-float) product -------------------------------------
+    @property
+    def supports_ff(self) -> bool:
+        """The tall ff gram rides the fused Pallas kernels only (the
+        jnp fallback has no tall composition; CPU tests run the kernels
+        interpreted via use_pallas='interpret')."""
+        return bool(self.use_pallas)
+
+    def _ff(self):
+        if getattr(self, "_ff_state", None) is None:
+            if not self.use_pallas:
+                raise NotImplementedError(
+                    "tall compensated gram needs the Pallas kernels "
+                    "(use_pallas=True or 'interpret')")
+            from ..kernels import packed_matvec as _pk
+            from .compensated import code_value_luts
+
+            lh, ll = code_value_luts(self.center, self.scale, self.p_pad)
+            if self.mesh is not None:
+                rep = NamedSharding(self.mesh, P())
+                lut_hi = jax.device_put(lh, rep)
+                lut_lo = jax.device_put(ll, rep)
+            else:
+                lut_hi = jnp.asarray(lh)
+                lut_lo = jnp.asarray(ll)
+            interp = self.use_pallas == "interpret"
+            raw = partial(_pk.gram_tall_ff_p, interpret=interp)
+
+            if self.mesh is not None:
+                from jax import shard_map
+
+                ax = self.axis_name
+                byte = P(None, ax)
+                rep1, rep2 = P(None), P(None, None)
+
+                def gram_ff_psum(packed, lut_hi, lut_lo, mean, invsd,
+                                 v2, valid2d):
+                    hi, lo = raw(packed, lut_hi, lut_lo, mean, invsd,
+                                 v2, valid2d)
+                    return lax.psum(hi, ax), lax.psum(lo, ax)
+
+                gram_ff = shard_map(
+                    gram_ff_psum, mesh=self.mesh,
+                    in_specs=(byte, rep2, rep2, rep1, rep1, rep2, byte),
+                    out_specs=(rep2, rep2),
+                    # a pallas_call inside shard_map trips the vma check
+                    check_vma=False)
+            else:
+                gram_ff = raw
+            self._ff_state = (jax.jit(gram_ff), lut_hi, lut_lo)
+        return self._ff_state
+
+    def gram_ff_permuted(self, v):
+        """(z_hi, z_lo) two-float pair of X^T X v in (padded) SNP
+        space; see PackedOperator.gram_ff_permuted."""
+        fn, lut_hi, lut_lo = self._ff()
+        vec = v.ndim == 1
+        v2 = v[:, None] if vec else v
+        hi, lo = fn(self.packed, lut_hi, lut_lo, self.mean, self.invsd,
+                    v2, self.valid2d)
+        self.nops += 1
+        return (hi[:, 0], lo[:, 0]) if vec else (hi, lo)
 
     @property
     def snp_sumsq(self) -> np.ndarray:
@@ -1312,7 +1375,8 @@ class StreamingPackedOperator(LinearOperatorBase):
                     lambda pb, bh, bl, xp: tuple(
                         lax.psum(t, ax) for t in raw(pb, bh, bl, xp)),
                     mesh=self.mesh,
-                    in_specs=(row, row, row, rep), out_specs=(rep, rep))
+                    in_specs=(row, row, row, rep), out_specs=(rep, rep),
+                    check_vma=False)
             else:
                 blk = raw
 

@@ -218,3 +218,39 @@ def test_pca_ff_polish_values_match_oracle(packed_problem):
     # eigenvalues from the ff final Rayleigh-Ritz: accuracy limited only
     # by the f32 rounding of X itself (~eps), not by accumulation noise
     assert np.max(np.abs(res.values - lam) / lam) < 3e-6
+
+
+@pytest.mark.parametrize("meshed", [False, True])
+def test_tall_gram_ff_vs_f64_oracle(packed_problem, rng, meshed):
+    """Tall (X^T X) compensated gram through the interpreted Pallas
+    kernels, single-device and sample(byte)-sharded."""
+    from flashpca_tpu.ops.operator import TallPackedOperator
+
+    packed, mean, sd, X, n = packed_problem
+    mesh = (Mesh(np.array(jax.devices()[:2]), ("samples",))
+            if meshed else None)
+    op = TallPackedOperator(packed, mean, sd, n, dtype=jnp.float32,
+                            use_pallas="interpret", mesh=mesh)
+    assert op.supports_ff
+    p = X.shape[1]
+    V = rng.standard_normal((p, 3)).astype(np.float32)
+    Vp = op.permute(jnp.asarray(V))
+    hi, lo = op.gram_ff_permuted(Vp)
+    got = _to64((hi[:p], lo[:p]))
+    ref = X.T @ (X @ V.astype(np.float64))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6, rel
+
+
+def test_tall_pca_ff_polish(packed_problem):
+    """Tall-path pca() with the ff polish: eigenvalues match the f64
+    oracle (same spectrum as the wide gram)."""
+    from flashpca_tpu.ops.operator import TallPackedOperator
+
+    packed, mean, sd, X, n = packed_problem
+    p = X.shape[1]
+    op = TallPackedOperator(packed, mean, sd, n, dtype=jnp.float32,
+                            use_pallas="interpret")
+    res = fp.pca(op, 4, tol=1e-6)
+    lam = np.linalg.eigvalsh(X.T @ X / p)[::-1][:4]
+    assert np.max(np.abs(res.values - lam) / lam) < 3e-6
