@@ -336,7 +336,11 @@ def main():
     x = jnp.ones((op.op_dim,), dtype=op.dtype)
     float(jnp.sum(op.gram_permuted(x)))                      # k=1 gram
     mv, ops_ = op.gram_pure()
-    eigsh_block(mv, op.op_dim, k, block=16, maxiter=1, tol=tol,
+    # warm the cycle program at pca()'s ACTUAL shapes: nev = k + 8
+    # buffer pairs, basis per the headroom rule (models/pca.py)
+    nev_w = k + 8
+    eigsh_block(mv, op.op_dim, nev_w, block=16, maxiter=1, tol=tol,
+                ncv=nev_w + max(72, (3 * nev_w) // 2),
                 dtype=op.dtype, seed=1, operands=ops_)       # cycle program
     # an orthonormal warm panel (not zeros): the ff-refined polish
     # solves a generalized eigenproblem whose metric must be full rank.

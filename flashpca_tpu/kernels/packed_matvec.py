@@ -451,6 +451,15 @@ def matvec_ff_planes(packed, lut6, vh, vl, *, interpret=False, tile_p=None):
 FF_MAX_K = 96
 
 
+def _round_k_ff(k: int) -> int:
+    """ff-kernel panel width: like _round_k, but k8 in {48, 56} crashes
+    the Mosaic compiler (measured on v5e: 40/64/72/88/96 compile,
+    48/56/104+ abort the tpu_compile_helper subprocess) -- pad those up
+    to 64.  Zero-padded columns are exact no-ops."""
+    k8 = _round_k(k)
+    return 64 if k8 in (48, 56) else k8
+
+
 def _column_chunked(fn, xp, width):
     k = xp.shape[1]
     if k <= width:
@@ -468,7 +477,7 @@ def gram_ff_p(packed, lut_hi, lut_lo, xp, *, interpret=False, tile_p=None):
 
     def one(xpc):
         k = xpc.shape[1]
-        k8 = _round_k(k)
+        k8 = _round_k_ff(k)
         lut6 = _lut_rows(lut_hi, lut_lo)
         xt = _to_planes(xpc.astype(jnp.float32), nbp, k8)
         zh, zl = crossprod_ff_planes(packed, lut6, xt,
@@ -493,7 +502,7 @@ def gram_tall_ff_p(packed, lut_hi, lut_lo, mean, invsd, v2, valid2d, *,
 
     def one(v2c):
         k = v2c.shape[1]
-        k8 = _round_k(k)
+        k8 = _round_k_ff(k)
         lut6 = _lut_rows(lut_hi, lut_lo)
         vh = _pad_k(v2c.astype(jnp.float32), k8).T       # (k8, p_pad)
         vl = jnp.zeros_like(vh)

@@ -338,6 +338,8 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     max_dim = int((min(n, p) - 1) / 2.0)
     extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
     nev_solve = ndim + extra
+    if use_ff and ncv is None:
+        ncv = nev_solve + max(72, (3 * nev_solve) // 2)
     solver_tol = max(tol, 1e-4) if use_ff else tol
 
     mv, ops_ = op.gram_pure()
@@ -445,6 +447,14 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     max_dim = int((min(n, p) - 1) / 2.0)
     extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
     nev_solve = ndim + extra
+    if use_ff and ncv is None:
+        # basis rule for the contract-meeting path, swept at full size
+        # (k in {10,20,40,100}, docs/PERFORMANCE.md): what matters is
+        # ABSOLUTE headroom beyond the solved pairs (~72 columns at
+        # panel 16) plus proportional room for large nev; the plain
+        # 4*nev rule costs ~1.7x the passes at k=100 for the same
+        # final accuracy
+        ncv = nev_solve + max(72, (3 * nev_solve) // 2)
     # With the ff polish running, the solver's job is SPAN-building:
     # the polish refines the returned pairs to ~1e-8 * theta_max
     # residual (f64-grade, verified by the compensated check)
