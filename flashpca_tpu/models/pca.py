@@ -317,6 +317,51 @@ def _mid_run_checkpointer(op, state_out, checkpoint_every):
     return ckpt
 
 
+def _clamp_buffer(extra, ndim, ncv, panel):
+    """Cap the buffer-pair count so a USER-pinned basis keeps the block
+    solver viable (eigsh_block falls back to scalar Lanczos when
+    nev + panel > ncv -- 1-column matvecs on a decode-bound operator,
+    ~16x the data passes).  A previously-valid (ndim, ncv) call must
+    not silently cross that guard because of the internal nev
+    inflation; the buffer shrinks instead."""
+    if ncv is None:
+        return extra
+    return max(0, min(extra, int(ncv) - int(panel) - int(ndim)))
+
+
+def _gate_convergence(res, ndim, tol):
+    """Requested pairs govern success; buffer pairs are best-effort.
+
+    The f32 contract path solves nev = ndim + buffer (see
+    _pca_operator); a buffer pair stuck in a tight cluster until
+    maxiter must not fail a run whose REQUESTED ndim pairs met
+    tolerance (that call succeeded before buffers existed), and a real
+    failure must report the residual that failed -- res.residuals spans
+    all solved pairs, so max over [:ndim] can read below tol while the
+    solve aborts.  Returns the converged flag for the PCAResult."""
+    if res.converged:
+        return True
+    mask = res.conv_mask
+    nsolve = len(res.residuals)
+    if (mask is not None and len(mask) >= ndim
+            and bool(np.all(mask[:ndim]))):
+        from ..utils.logging import log
+
+        miss = int(np.sum(~np.asarray(mask[ndim:], dtype=bool)))
+        log(f"note: {miss}/{nsolve - ndim} buffer pair(s) missed "
+            "tolerance by maxiter; the requested pairs converged (max "
+            f"residual {float(np.max(res.residuals[:ndim])):.3e}) -- "
+            "continuing (the compensated polish may land slightly "
+            "above the check contract; models.check() measures it)")
+        return True
+    raise RuntimeError(
+        "eigen-decomposition was not successful: max residual "
+        f"{float(np.max(res.residuals)):.3e} over the {nsolve} solved "
+        f"pair(s) after {res.n_restarts} restarts "
+        f"(ndim={ndim}, buffer={nsolve - ndim}, tol={tol})"
+    )
+
+
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
               dtype, ncv, mean, sd, panel=16, state_in=None,
               state_out=None, checkpoint_every=0, device_results=False,
@@ -337,6 +382,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
               and getattr(op, "supports_ff", False))
     max_dim = int((min(n, p) - 1) / 2.0)
     extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
+    extra = _clamp_buffer(extra, ndim, ncv, panel)
     nev_solve = ndim + extra
     if use_ff and ncv is None:
         ncv = nev_solve + max(72, (3 * nev_solve) // 2)
@@ -352,12 +398,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
                                             checkpoint_every),
     )
     _save_solver_state(op, res, state_out)
-    if not res.converged:
-        raise RuntimeError(
-            "eigen-decomposition was not successful: max scaled residual "
-            f"{float(np.max(res.residuals[:ndim])):.3e} after "
-            f"{res.n_restarts} restarts (ndim={ndim}, tol={tol})"
-        )
+    converged = _gate_convergence(res, ndim, tol)
 
     lam = res.eigenvalues
     V_dev = res.eigenvectors
@@ -393,10 +434,10 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         center=np.asarray(mean, dtype=np.float64),
         scale=np.asarray(sd, dtype=np.float64),
         loadings=Vs if do_loadings else None,
-        converged=res.converged,
+        converged=converged,
         n_ops=res.n_ops,
         n_restarts=res.n_restarts,
-        residuals=res.residuals,
+        residuals=res.residuals[:ndim],
     )
 
 
@@ -446,6 +487,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     # consumer and the plain path stays as before.
     max_dim = int((min(n, p) - 1) / 2.0)
     extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
+    extra = _clamp_buffer(extra, ndim, ncv, panel)
     nev_solve = ndim + extra
     if use_ff and ncv is None:
         # basis rule for the contract-meeting path, swept at full size
@@ -489,12 +531,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
             operands=ops_,
         )
     _save_solver_state(op, res, state_out)
-    if not res.converged:
-        raise RuntimeError(
-            "eigen-decomposition was not successful: max scaled residual "
-            f"{float(np.max(res.residuals[:ndim])):.3e} after "
-            f"{res.n_restarts} restarts (ndim={ndim}, tol={tol})"
-        )
+    converged = _gate_convergence(res, ndim, tol)
 
     lam = res.eigenvalues
     U_dev = res.eigenvectors
@@ -544,7 +581,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         center=np.asarray(mean, dtype=np.float64),
         scale=np.asarray(sd, dtype=np.float64),
         loadings=loadings,
-        converged=res.converged,
+        converged=converged,
         n_ops=res.n_ops,
         n_restarts=res.n_restarts,
         residuals=res.residuals[:ndim],

@@ -845,8 +845,10 @@ def cv_scca(
     through the whole CV (per-fold ``subset_samples`` repack + packed
     train operators + packed raw-dosage test projection) and honors
     ``streaming``/``memory_mb`` for bounded device memory.  ``workdir``
-    is where the per-fold train/test filesets are written (a temp dir
-    by default; PLINK path only).
+    is where the per-fold train/test filesets are written and KEPT; by
+    default they go to a temp dir and are deleted as each fold
+    completes (scratch high-water: one fold's train+test repack).
+    PLINK path only.
     """
     for bad in ("state_out", "state_in"):
         if bad in scca_kwargs:
@@ -1041,7 +1043,12 @@ def _cv_scca_plink(
             raise ValueError("nfolds is too large for the number of samples")
         folds = rng.integers(0, nfolds, size=n)
 
-    if workdir is None:
+    # without an explicit workdir the fold filesets are scratch: delete
+    # each fold's repack once consumed (nfolds x dataset-size of
+    # leaked temp files otherwise -- ~1 TB for 10-fold CV on a 100 GB
+    # biobank .bed); an explicit workdir keeps them for inspection
+    cleanup = workdir is None
+    if cleanup:
         workdir = tempfile.mkdtemp(prefix="cv_scca_")
     else:
         os.makedirs(workdir, exist_ok=True)
@@ -1071,18 +1078,28 @@ def _cv_scca_plink(
         log(f"-> fold {fold + 1}/{nfolds}", verbose=verbose)
         train_idx = np.flatnonzero(train)
         test_idx = np.flatnonzero(test)
+        fold_roots = []
         root_tr = subset_samples(
             ds, train_idx, os.path.join(workdir, f"{base}_f{fold}_train"))
-        root_te = subset_samples(
-            ds, test_idx, os.path.join(workdir, f"{base}_f{fold}_test"))
+        fold_roots.append(root_tr)
         ds_tr = PlinkDataset.open(root_tr)
-        ds_te = PlinkDataset.open(root_te)
+        if test_idx.size:
+            root_te = subset_samples(
+                ds, test_idx, os.path.join(workdir, f"{base}_f{fold}_test"))
+            fold_roots.append(root_te)
+            ds_te = PlinkDataset.open(root_te)
+            # raw-dosage test projector (see docstring)
+            op_te = build_packed_operator(
+                ds_te, np.zeros(ds_te.n_snps), np.ones(ds_te.n_snps),
+                **op_opts)
+        else:
+            # an unused fold label (or an unlucky random assignment)
+            # leaves this fold's test set empty: train and count like
+            # the matrix path (whose xpred[test] is a no-op), skip the
+            # projection -- subset_samples rejects empty subsets
+            op_te = None
         xm, xs = ds_tr.snp_stats(stand_x)
         op_tr = build_packed_operator(ds_tr, xm, xs, **op_opts)
-        # raw-dosage test projector (see docstring)
-        op_te = build_packed_operator(
-            ds_te, np.zeros(ds_te.n_snps), np.ones(ds_te.n_snps),
-            **op_opts)
         use_grid = (grid_ok
                     and not isinstance(op_tr, StreamingPackedOperator))
         if not use_grid and fold == 0:
@@ -1090,46 +1107,66 @@ def _cv_scca_plink(
                 "operator, host engine or kwargs outside "
                 "GRID_COMPAT_KWARGS)", verbose=verbose)
 
-        V0 = None
-        if init:
-            V0g = rng.standard_normal((Y.shape[1], ndim))
-            s0 = scca(op_tr, Y[train], 1e-12, 1e-12, ndim=ndim,
-                      V0=V0g, verbose=verbose, **scca_kwargs)
-            V0 = s0.V
-        if use_grid:
-            g = scca_grid(op_tr, Y[train], lambda1, lambda2,
-                          ndim=ndim, V0=V0, verbose=verbose, **gkw)
-            p = g.U.shape[0]
-            C = len(g.lambda1)
-            import jax.numpy as jnp
+        try:
+            V0 = None
+            if init:
+                V0g = rng.standard_normal((Y.shape[1], ndim))
+                s0 = scca(op_tr, Y[train], 1e-12, 1e-12, ndim=ndim,
+                          V0=V0g, verbose=verbose, **scca_kwargs)
+                V0 = s0.V
+            if use_grid:
+                g = scca_grid(op_tr, Y[train], lambda1, lambda2,
+                              ndim=ndim, V0=V0, verbose=verbose, **gkw)
+                p = g.U.shape[0]
+                C = len(g.lambda1)
+                import jax.numpy as jnp
 
-            px = np.asarray(
-                op_te.prod(jnp.asarray(
-                    g.U.reshape(p, ndim * C), op_te.dtype)),
-                dtype=np.float64).reshape(-1, ndim, C)
-            for c in range(C):
-                i, j = divmod(c, n2)
-                conv[fold, i, j] = g.converged[c]
-                nzx[:, i, j] += np.count_nonzero(g.U[:, :, c],
-                                                 axis=0) / nfolds
-                nzy[:, i, j] += np.count_nonzero(g.V[:, :, c],
-                                                 axis=0) / nfolds
-                if g.converged[c]:
-                    xpred[test, :, i, j] = px[:, :, c]
-                    ypred[test, :, i, j] = Y[test] @ g.V[:, :, c]
-            continue
-        for i, l1 in enumerate(lambda1):
-            for j, l2 in enumerate(lambda2):
-                res = scca(op_tr, Y[train], float(l1), float(l2),
-                           ndim=ndim, V0=V0, verbose=verbose,
-                           **scca_kwargs)
-                conv[fold, i, j] = res.converged
-                nzx[:, i, j] += np.count_nonzero(res.U, axis=0) / nfolds
-                nzy[:, i, j] += np.count_nonzero(res.V, axis=0) / nfolds
-                if res.converged:
-                    xpred[test, :, i, j] = np.asarray(
-                        op_te.prod(res.U), dtype=np.float64)
-                    ypred[test, :, i, j] = Y[test] @ res.V
+                px = None
+                if op_te is not None:
+                    px = np.asarray(
+                        op_te.prod(jnp.asarray(
+                            g.U.reshape(p, ndim * C), op_te.dtype)),
+                        dtype=np.float64).reshape(-1, ndim, C)
+                for c in range(C):
+                    i, j = divmod(c, n2)
+                    conv[fold, i, j] = g.converged[c]
+                    nzx[:, i, j] += np.count_nonzero(g.U[:, :, c],
+                                                     axis=0) / nfolds
+                    nzy[:, i, j] += np.count_nonzero(g.V[:, :, c],
+                                                     axis=0) / nfolds
+                    if g.converged[c] and px is not None:
+                        xpred[test, :, i, j] = px[:, :, c]
+                        ypred[test, :, i, j] = Y[test] @ g.V[:, :, c]
+                continue
+            for i, l1 in enumerate(lambda1):
+                for j, l2 in enumerate(lambda2):
+                    res = scca(op_tr, Y[train], float(l1), float(l2),
+                               ndim=ndim, V0=V0, verbose=verbose,
+                               **scca_kwargs)
+                    conv[fold, i, j] = res.converged
+                    nzx[:, i, j] += np.count_nonzero(res.U,
+                                                     axis=0) / nfolds
+                    nzy[:, i, j] += np.count_nonzero(res.V,
+                                                     axis=0) / nfolds
+                    if res.converged and op_te is not None:
+                        xpred[test, :, i, j] = np.asarray(
+                            op_te.prod(res.U), dtype=np.float64)
+                        ypred[test, :, i, j] = Y[test] @ res.V
+        finally:
+            if cleanup:
+                # the memmap-backed datasets keep their fds; unlink is
+                # safe and bounds the scratch high-water at ONE fold
+                for root in fold_roots:
+                    for ext in (".bed", ".bim", ".fam"):
+                        try:
+                            os.remove(root + ext)
+                        except OSError:
+                            pass
 
+    if cleanup:
+        try:
+            os.rmdir(workdir)
+        except OSError:
+            pass
     return _cv_pooled_result(xpred, ypred, lambda1, lambda2, ndim,
                              opt_dim, nzx, nzy, conv, nfolds, folds)

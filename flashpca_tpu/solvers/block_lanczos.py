@@ -334,7 +334,7 @@ def _combine_pair_jit(B, y_hi, y_lo, S):
     return U, jnp.dot(y_hi, S, precision=hp), jnp.dot(y_lo, S, precision=hp)
 
 
-def _ff_resid_panel(U, y_hi, y_lo, rank_tol):
+def _ff_resid_panel(U, y_hi, y_lo):
     """Well-conditioned orthonormal panel spanning A U - U (U^T A U).
 
     The residual directions of clustered Ritz pairs are strongly
@@ -360,7 +360,38 @@ def _ff_resid_panel(U, y_hi, y_lo, rank_tol):
     return _mix_cols_jit(R, jnp.asarray(T, R.dtype))
 
 
-def _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds: int = 1):
+def _ritz_generalized(H, M):
+    """Solve the small generalized Rayleigh-Ritz problem H S = M S Θ.
+
+    When a numerically dependent column slips past the residual-panel
+    rank truncation, M is not positive definite and scipy's Cholesky
+    path raises -- fall back to whitening against M's well-conditioned
+    eigensubspace instead of pretending the basis is orthonormal
+    (plain eigh(H) with a duplicated basis direction inflates that
+    eigenvalue -- a doubled column reports 2λ -- and leaves B @ S
+    denormalized, corrupting d/pve and PC scaling downstream).  Either
+    path returns S with SᵀMS = I on the kept subspace, so theta are
+    true Rayleigh quotients and B @ S columns stay unit-norm."""
+    from scipy.linalg import LinAlgError
+    from scipy.linalg import eigh as _geigh
+
+    try:
+        return _geigh(H, M)
+    except LinAlgError:
+        return _ritz_whitened(H, M)
+
+
+def _ritz_whitened(H, M):
+    """Rank-truncated whitening solve of H S = M S Θ (see
+    _ritz_generalized; split out so the rare fallback stays tested)."""
+    lam_m, V_m = np.linalg.eigh(M)
+    keep = lam_m > 1e-10 * max(lam_m[-1], 1e-30)
+    W = V_m[:, keep] / np.sqrt(lam_m[keep])[None, :]
+    theta, S_w = np.linalg.eigh(W.T @ H @ W)
+    return theta, W @ S_w
+
+
+def _ff_krylov_refine(ff_gram, U, k, rounds: int = 1):
     """Block-Krylov refinement over the COMPENSATED operator.
 
     The f32-built Krylov basis contains each eigenvector only to
@@ -379,16 +410,13 @@ def _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds: int = 1):
     rounds without the sweep stalls -- measured).  Cost per round: one
     compensated data pass of k columns.
     """
-    from scipy.linalg import LinAlgError
-    from scipy.linalg import eigh as _geigh
-
     from ..ops.compensated import gram_small_ff, ritz_ff
 
     y_hi, y_lo = ff_gram(U)
     B, Yh, Yl = U, y_hi, y_lo         # all basis blocks + their A-images
     theta = None
     for r in range(rounds):
-        R = _ff_resid_panel(U, y_hi, y_lo, rank_tol)
+        R = _ff_resid_panel(U, y_hi, y_lo)
         if R.shape[1]:
             rh, rl = ff_gram(R)
             B = jnp.concatenate([B, R], axis=1)
@@ -397,13 +425,7 @@ def _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds: int = 1):
         H = ritz_ff(B, Yh, Yl)
         H = 0.5 * (H + H.T)
         M = gram_small_ff(B)
-        try:
-            theta, S = _geigh(H, M)
-        except LinAlgError:
-            # a numerically dependent column slipped past the rank
-            # truncation: the standard problem only costs the last
-            # ~1e3*eps of cleanup, never correctness
-            theta, S = np.linalg.eigh(H)
+        theta, S = _ritz_generalized(H, M)
         order = np.argsort(theta)[::-1][:k]
         theta = theta[order]
         S = jnp.asarray(S[:, order], dtype=U.dtype)
@@ -469,9 +491,9 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True,
         # Measured at 501,760 x 100,352 k=20 (+8 buffer pairs): check
         # mse 2.3e-8 -> ~1.1e-9, vs ~8e-9 for sweep-only interleaves
         # and a ~2e-8 stall for refinement-only stacking.
-        _, U = _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds=1)
+        _, U = _ff_krylov_refine(ff_gram, U, k, rounds=1)
         U = sweep(U, consts)
-        return _ff_krylov_refine(ff_gram, U, k, rank_tol, rounds=1)
+        return _ff_krylov_refine(ff_gram, U, k, rounds=1)
     Y, G = project(U, consts)
     G = np.asarray(G, dtype=np.float64)
     G = 0.5 * (G + G.T)
@@ -501,7 +523,6 @@ def eigsh_block(
     fused: bool = True,
     checkpoint_every: int = 0,
     checkpoint_fn=None,
-    extra: int = 0,
 ) -> EigshResult:
     """Largest-algebraic eigenpairs via thick-restart block Lanczos.
 
@@ -524,12 +545,14 @@ def eigsh_block(
     thin device link, hence opt-in.  (The small-problem scalar fallback
     below solves in a handful of seconds and does not checkpoint.)
 
-    ``extra=E`` returns E additional buffer Ritz pairs beyond ``nev``
-    (values/vectors/residuals all nev+E wide) extracted from the same
-    final basis -- zero additional data passes.  Convergence is still
-    judged on the first nev; the buffer pairs are best-effort.  The
-    scalar fallback ignores ``extra`` (callers must handle a result of
-    either width).
+    Callers that need buffer pairs beyond the dimensions they will
+    return (the ff polish meeting the check contract, models/pca.py)
+    solve nev = k + buffer: best-effort buffers extracted from the
+    final basis without convergence gating were measured insufficient
+    (the polish stalls ~2x above the contract), and gating buffers on a
+    looser tolerance lost to the stagnation exit (the stall counter
+    watches the first nev, which floor first).  ``conv_mask`` in the
+    result tells such callers WHICH pairs met tolerance.
     """
     b = int(block)
     ncv_user = ncv
@@ -706,19 +729,8 @@ def eigsh_block(
         if (nconv >= nev or restart == maxiter - 1
                 or (stall >= 5 and at_floor)):
             converged = nconv >= nev or (stall >= 5 and at_floor)
-            # ``extra`` Ritz pairs beyond nev come from the same basis
-            # eigendecomposition (NO additional data passes); their
-            # accuracy is whatever the basis holds at exit --
-            # best-effort.  A caller that NEEDS converged neighbors
-            # (e.g. the ff polish meeting the check contract) should
-            # solve nev = k + buffer instead: convergence gating on a
-            # buffer-only tolerance was tried and lost to the
-            # stagnation exit (the stall counter watches the first nev,
-            # which floor first).
-            nret = min(nev + max(0, int(extra)), ncv)
-            theta = theta_all[:nret]
-            resid = res_all[:nret]
-            S_keep = S[:, :nret]
+            conv_mask = resid <= thresh
+            S_keep = S[:, :nev]
             break
 
         # -- thick restart ---------------------------------------------------
@@ -754,4 +766,5 @@ def eigsh_block(
         n_ops=nops,
         converged=converged,
         residuals=resid.copy(),
+        conv_mask=conv_mask.copy(),
     )

@@ -52,6 +52,11 @@ class EigshResult:
     n_ops: int
     converged: bool
     residuals: np.ndarray         # (k,) estimated |beta * s| residual norms
+    # per-pair converged-at-exit (resid <= the solver's per-pair
+    # threshold); lets callers that solve buffer pairs beyond the
+    # requested k distinguish "a requested pair failed" from "only a
+    # best-effort buffer pair failed" (models/pca.py)
+    conv_mask: np.ndarray | None = None
 
 
 def save_state(path, vectors, eigenvalues, residuals, converged) -> None:
@@ -272,6 +277,7 @@ def eigsh(
         if (nconv >= nev or restart == maxiter - 1
                 or (stall >= 8 and at_floor)):
             converged = nconv >= nev or (stall >= 8 and at_floor)
+            conv_mask = resid <= thresh
             S_keep = S[:, :nev]
             break
 
@@ -297,4 +303,5 @@ def eigsh(
         n_ops=nops,
         converged=converged,
         residuals=resid.copy(),
+        conv_mask=conv_mask.copy(),
     )

@@ -254,3 +254,35 @@ def test_tall_pca_ff_polish(packed_problem):
     res = fp.pca(op, 4, tol=1e-6)
     lam = np.linalg.eigvalsh(X.T @ X / p)[::-1][:4]
     assert np.max(np.abs(res.values - lam) / lam) < 3e-6
+
+
+def test_ritz_whitened_singular_metric():
+    """The generalized Rayleigh-Ritz fallback must respect the metric M
+    when scipy's Cholesky path fails: with a DUPLICATED basis column,
+    plain eigh(H) would report 2*lambda and denormalized vectors; the
+    M-whitened fallback recovers the true Rayleigh quotients (review
+    r3).  (_ritz_whitened is tested directly: whether scipy's potrf
+    trips on a float-singular M is roundoff luck.)"""
+    from flashpca_tpu.solvers.block_lanczos import _ritz_whitened
+
+    rng = np.random.default_rng(3)
+    n, k = 40, 4
+    A = rng.normal(size=(n, n))
+    A = A @ A.T
+    lam_true, Q = np.linalg.eigh(A)
+    # basis: top-k eigenvectors with the LAST column duplicated
+    B = np.concatenate([Q[:, -k:], Q[:, -1:]], axis=1)
+    H = B.T @ A @ B
+    M = B.T @ B                                  # singular (rank k)
+    theta, S = _ritz_whitened(H, M)
+    top = np.sort(theta)[::-1][:k]
+    np.testing.assert_allclose(np.sort(top), lam_true[-k:], rtol=1e-10)
+    # B @ S columns are unit-norm on the kept subspace (S^T M S = I)
+    U = B @ S
+    np.testing.assert_allclose(
+        np.linalg.norm(U, axis=0), np.ones(S.shape[1]), rtol=1e-8)
+
+    # the duplicated direction must NOT double its eigenvalue (the
+    # plain-eigh(H) bug this fallback replaces): every theta is a
+    # true Rayleigh quotient, bounded by lam_max
+    assert theta.max() <= lam_true[-1] * (1 + 1e-10)

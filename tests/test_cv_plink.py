@@ -70,3 +70,66 @@ def test_cv_scca_plink_explicit_folds(complete_plink, rng):
                   ndim=2, folds=folds, seed=3, tol=1e-8)
     assert res.nfolds == 2
     np.testing.assert_array_equal(res.folds, folds)
+
+
+def test_cv_scca_plink_empty_fold(complete_plink, rng):
+    """An unused fold label must not abort the CV: the matrix path
+    tolerates an empty test fold (xpred[test] is a no-op); the packed
+    path must train-and-skip rather than crash in subset_samples
+    (review r3)."""
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 2))
+    folds = (np.arange(n) % 2) * 2          # labels {0, 2}: fold 1 empty
+    kw = dict(ndim=2, opt_dim=1, seed=7, tol=1e-8)
+    res_p = cv_scca(root, Y, np.array([1e-4]), np.array([1e-3]),
+                    folds=folds, **kw)
+    res_m = cv_scca(X, Y, np.array([1e-4]), np.array([1e-3]),
+                    folds=folds, **kw)
+    assert res_p.nfolds == 3
+    np.testing.assert_allclose(res_p.corr, res_m.corr,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_cv_scca_plink_cleans_scratch(complete_plink, rng, monkeypatch,
+                                      tmp_path):
+    """Default (workdir=None) runs must not leak fold filesets --
+    nfolds x dataset-size of temp files otherwise (review r3)."""
+    import os
+
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 2))
+
+    import tempfile
+
+    made = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy_mkdtemp(*a, **k):
+        k.setdefault("dir", str(tmp_path))
+        d = real_mkdtemp(*a, **k)
+        made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy_mkdtemp)
+    cv_scca(root, Y, np.array([1e-4]), np.array([1e-3]),
+            ndim=1, nfolds=2, seed=3, tol=1e-8)
+    assert made, "PLINK CV should have allocated a scratch dir"
+    for d in made:
+        assert not os.path.exists(d), f"scratch dir leaked: {d}"
+
+
+def test_cv_scca_plink_explicit_workdir_kept(complete_plink, rng,
+                                             tmp_path):
+    """An explicit workdir keeps the fold filesets for inspection."""
+    import os
+
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 2))
+    wd = str(tmp_path / "folds")
+    cv_scca(root, Y, np.array([1e-4]), np.array([1e-3]),
+            ndim=1, nfolds=2, seed=3, tol=1e-8, workdir=wd)
+    kept = [f for f in os.listdir(wd) if f.endswith(".bed")]
+    assert len(kept) == 4                   # 2 folds x (train, test)

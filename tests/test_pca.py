@@ -160,3 +160,54 @@ def test_pca_panel_width_invariance(small_plink):
                                atol=1e-6)
     np.testing.assert_allclose(np.abs(res4.vectors), np.abs(res16.vectors),
                                atol=1e-6)
+
+
+def test_pca_user_ncv_keeps_block_solver(small_plink):
+    """A user-pinned ncv that was viable at nev=ndim must stay on the
+    block solver after the internal buffer-pair inflation: the buffer
+    shrinks to fit (review r3), it must not silently drop the solve to
+    scalar Lanczos (~16x the data passes on a decode-bound operator)."""
+    from flashpca_tpu.models.pca import _clamp_buffer, pca
+
+    # unit: buffer shrinks to keep nev + panel <= ncv, never negative
+    assert _clamp_buffer(8, 20, None, 16) == 8
+    assert _clamp_buffer(8, 20, 40, 16) == 4      # 20+4+16 == 40
+    assert _clamp_buffer(8, 20, 100, 16) == 8     # plenty of room
+    assert _clamp_buffer(8, 20, 30, 16) == 0      # no room at all
+
+    # end-to-end: pinned ncv still converges to the oracle
+    root, X = small_plink
+    res = pca(root, 3, tol=1e-8, panel=4, ncv=10)  # buffer fits 3
+    res_ref = pca(root, 3, tol=1e-8)
+    np.testing.assert_allclose(res.values, res_ref.values, rtol=1e-6)
+
+
+def test_gate_convergence_reports_buffers():
+    """Requested pairs govern success; a lagging buffer pair logs and
+    continues, and a REAL failure's message carries the residual that
+    failed, not max over [:ndim] (review r3)."""
+    from flashpca_tpu.models.pca import _gate_convergence
+    from flashpca_tpu.solvers.lanczos import EigshResult
+
+    def mk(mask, resid):
+        return EigshResult(
+            eigenvalues=np.zeros(len(mask)), eigenvectors=None,
+            n_restarts=7, n_ops=10, converged=False,
+            residuals=np.asarray(resid), conv_mask=np.asarray(mask))
+
+    # buffers lag, requested pairs fine -> continue (returns True)
+    assert _gate_convergence(
+        mk([True, True, False], [1e-9, 1e-9, 3e-2]), ndim=2, tol=1e-6)
+
+    # a requested pair failed -> raise, message names the 3e-2 residual
+    with pytest.raises(RuntimeError) as err:
+        _gate_convergence(
+            mk([True, False, True], [1e-9, 3e-2, 1e-9]), ndim=2,
+            tol=1e-6)
+    assert "3.000e-02" in str(err.value)
+    assert "buffer=1" in str(err.value)
+
+    # converged result passes through untouched
+    r = mk([True], [1e-9])
+    r.converged = True
+    assert _gate_convergence(r, ndim=1, tol=1e-6)
