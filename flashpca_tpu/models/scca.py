@@ -267,6 +267,96 @@ def _unpack_dim(packed, p_dev, k):
     return u, v, it, conv, uz, vz, d
 
 
+def _scca_dim_host_grid(op, U, V, Y_std, j, v0, alive, lam1, lam2,
+                        invdiv, tol, maxiter, dtype):
+    """One SCCA dimension for ALL penalty-grid cells, HOST-driven: the
+    batched twin of :func:`_scca_dim_device_grid` for STREAMING
+    operators, whose products stage host blocks and cannot be traced
+    into the device while_loop.
+
+    The streaming bottleneck is the host->device upload per staged
+    pass, and that cost is panel-width independent (the decode kernel
+    is VPU-bound; panel columns are nearly free, docs/PERFORMANCE.md).
+    So each iteration's ``X^T (Y v)`` / ``X u`` products run as ONE
+    C-column panel through the operator and all C cells share every
+    staged pass: a C-cell grid costs ~max-over-cells iterations in
+    data passes instead of the sequential per-cell sum -- the same win
+    the device grid engine gives resident operators, brought to the
+    bounded-memory (--memory / streaming) regime.
+
+    Per-cell math mirrors the device engine cell for cell (GS
+    deflation order randompca.cpp:270-278, norm_thresh, zero and
+    convergence tests, frozen-cell masking); host arithmetic runs in
+    f64 like the sequential host engine it batches.  ``U`` (p, ndim,
+    C) / ``V`` (k, ndim, C) are the f64 deflation histories (read
+    only); returns ``(u, v, it, conv, uz, vz, d)`` per cell -- the
+    same tuple :func:`_unpack_dim` yields from the device engine, so
+    :func:`scca_grid`'s bookkeeping is shared by both engines."""
+    p, C = U.shape[0], v0.shape[1]
+
+    def gs(x, basis):
+        # orthogonalize x[:, c] against basis[:, :j, c], one column at
+        # a time (reference order preserved)
+        for t in range(j):
+            col = basis[:, t, :]
+            denom = np.einsum("mc,mc->c", col, col)
+            num = np.einsum("mc,mc->c", x, col)
+            proj = np.where(denom > 0,
+                            num / np.where(denom > 0, denom, 1.0), 0.0)
+            x = x - proj[None, :] * col
+        return x
+
+    def nthresh(x, lam):
+        s = np.linalg.norm(x, axis=0)
+        x = np.where(s > 0, x / np.where(s > 0, s, 1.0)[None, :], x)
+        x = np.sign(x) * np.maximum(np.abs(x) - lam[None, :], 0.0)
+        s2 = np.linalg.norm(x, axis=0)
+        return np.where(s2 > 0, x / np.where(s2 > 0, s2, 1.0)[None, :], x)
+
+    def cross_panel(yn):   # (n, C) -> (p, C), ONE staged pass
+        return np.asarray(op.crossprod(jnp.asarray(yn, dtype)),
+                          dtype=np.float64) * invdiv
+
+    def prod_panel(up):    # (p, C) -> (n, C), ONE staged pass
+        return np.asarray(op.prod(jnp.asarray(up, dtype)),
+                          dtype=np.float64) * invdiv
+
+    u = np.zeros((p, C), dtype=np.float64)
+    v = np.asarray(v0, dtype=np.float64).copy()
+    it = np.zeros(C, dtype=np.int64)
+    du = np.full(C, np.inf)
+    dv = np.full(C, np.inf)
+    uz = np.zeros(C, dtype=bool)
+    vz = np.zeros(C, dtype=bool)
+
+    def active():
+        act = (alive & (it < maxiter)
+               & ((it == 0) | (du >= tol) | (dv >= tol)))
+        return act & ~((j == 0) & (uz | vz))
+
+    act = active()
+    while act.any():
+        u_new = nthresh(gs(cross_panel(Y_std @ v), U), lam1)
+        v_new = nthresh(gs(Y_std.T @ prod_panel(u_new), V), lam2)
+        du_new = np.max(np.abs(u_new - u), axis=0)
+        dv_new = np.max(np.abs(v_new - v), axis=0)
+        uz_new = uz | (np.max(np.abs(u_new), axis=0) < tol)
+        vz_new = vz | (np.max(np.abs(v_new), axis=0) < tol)
+        # frozen (converged/dead) cells keep their state untouched
+        u = np.where(act, u_new, u)
+        v = np.where(act, v_new, v)
+        du = np.where(act, du_new, du)
+        dv = np.where(act, dv_new, dv)
+        uz = np.where(act, uz_new, uz)
+        vz = np.where(act, vz_new, vz)
+        it = it + act.astype(np.int64)
+        act = active()
+
+    conv = (du < tol) & (dv < tol)
+    d = np.einsum("nc,nc->c", prod_panel(u), Y_std @ v)
+    return u, v, it, conv, uz, vz, d
+
+
 # scca() kwargs the batched grid engine understands -- the ONE
 # definition shared by the cv_scca and split_scca fast paths (each
 # composes its caller-specific extras on top via grid_fastpath) so the
@@ -650,6 +740,8 @@ def scca_grid(
     mesh=None,
     verbose: bool = False,
     auto_init: bool = False,
+    streaming: bool | str = "auto",
+    memory_mb: int | None = None,
 ) -> SCCAGridResult:
     """SCCA over a whole (lambda1, lambda2) penalty grid in one batched
     run: every cell advances through SHARED genotype data passes.
@@ -675,11 +767,16 @@ def scca_grid(
     every cell (the cv.scca convention, scca.R:291-300);
     ``auto_init=True`` derives it from one near-zero-penalty solo run.
 
-    Requires a resident operator (PLINK root/dataset, dense matrix, or
-    prebuilt Packed/Dense operator); for the streaming operator run
-    :func:`scca` per cell.  Device memory: the per-cell deflation
-    histories add 2 * p * ndim * C * itemsize bytes on top of the
-    packed genotypes.
+    Resident operators (PLINK root/dataset, dense matrix, or prebuilt
+    Packed/Dense operator) run the device while_loop engine; a
+    STREAMING operator (``streaming=True`` / ``memory_mb=`` or a
+    prebuilt :class:`StreamingPackedOperator`) rides the host-driven
+    batched twin (:func:`_scca_dim_host_grid`) -- the staged
+    host->device upload per pass is panel-width independent, so the
+    shared-pass win carries over to the bounded-memory regime.  Device
+    memory: the per-cell deflation histories add
+    2 * p * ndim * C * itemsize bytes on top of the packed genotypes
+    (resident engine only).
     """
     l1_axis = np.atleast_1d(np.asarray(lambda1, dtype=np.float64))
     l2_axis = np.atleast_1d(np.asarray(lambda2, dtype=np.float64))
@@ -697,7 +794,8 @@ def scca_grid(
         s0 = scca(X, Y, 1e-12, 1e-12, ndim=ndim, stand_x=stand_x,
                   stand_y=stand_y, divisor=divisor, maxiter=maxiter,
                   tol=tol, seed=seed, block_size=block_size, dtype=dtype,
-                  mesh=mesh, verbose=verbose, auto_init=False)
+                  mesh=mesh, verbose=verbose, auto_init=False,
+                  streaming=streaming, memory_mb=memory_mb)
         V0 = s0.V
 
     Y = np.asarray(Y, dtype=np.float64)
@@ -711,13 +809,8 @@ def scca_grid(
     Y_std = Y_std * invdiv
 
     op, dtype = _xside_operator(
-        X, n, k, ndim, stand_x, streaming="auto", memory_mb=None,
+        X, n, k, ndim, stand_x, streaming=streaming, memory_mb=memory_mb,
         block_size=block_size, dtype_arg=dtype, mesh=mesh)
-    if isinstance(op, StreamingPackedOperator):
-        raise ValueError(
-            "scca_grid needs a resident operator (the streaming "
-            "operator's products stage host blocks and cannot be traced "
-            "into the batched device loop); run scca() per cell instead")
     p = op.n_snps
 
     if V0 is None:
@@ -727,10 +820,24 @@ def scca_grid(
         if V0.shape != (k, ndim):
             raise ValueError(f"V0 must be ({k}, {ndim})")
 
-    cross_fn, mv_fn, consts = op.products_pure()
-    Yp = op.permute(jnp.asarray(Y_std, dtype=dtype))
-    p_dev = (op.p_pad if isinstance(op, PackedOperator) else p)
-    grid_fn = _grid_jit_for(cross_fn, mv_fn, maxiter)
+    # streaming operators stage host blocks inside their products and
+    # cannot be traced into the device while_loop: they ride the
+    # host-driven batched engine instead (same shared-pass win -- the
+    # staged upload is panel-width independent)
+    host_engine = isinstance(op, StreamingPackedOperator)
+    if not host_engine:
+        cross_fn, mv_fn, consts = op.products_pure()
+        Yp = op.permute(jnp.asarray(Y_std, dtype=dtype))
+        p_dev = (op.p_pad if isinstance(op, PackedOperator) else p)
+        grid_fn = _grid_jit_for(cross_fn, mv_fn, maxiter)
+        U_dev = jnp.zeros((p_dev, ndim, C), dtype=dtype)
+        V_dev = jnp.broadcast_to(
+            jnp.asarray(V0, dtype=dtype)[:, :, None], (k, ndim, C))
+        V0_dev = jnp.asarray(V0, dtype=dtype)
+        lam1_t = jnp.asarray(lam1_c, dtype)
+        lam2_t = jnp.asarray(lam2_c, dtype)
+        inv_t = jnp.asarray(invdiv, dtype)
+        tol_t = jnp.asarray(tol, dtype)
 
     U_host = np.zeros((p, ndim, C), dtype=np.float64)
     # dimensions never reached keep their V0 columns, like a solo run
@@ -741,25 +848,23 @@ def scca_grid(
     alive = np.ones(C, dtype=bool)
     conv_all = np.ones(C, dtype=bool)
 
-    U_dev = jnp.zeros((p_dev, ndim, C), dtype=dtype)
-    V_dev = jnp.broadcast_to(
-        jnp.asarray(V0, dtype=dtype)[:, :, None], (k, ndim, C))
-    V0_dev = jnp.asarray(V0, dtype=dtype)
-    lam1_t = jnp.asarray(lam1_c, dtype)
-    lam2_t = jnp.asarray(lam2_c, dtype)
-    inv_t = jnp.asarray(invdiv, dtype)
-    tol_t = jnp.asarray(tol, dtype)
-
     for j in range(ndim):
         if not alive.any():
             break
-        v0_j = jnp.broadcast_to(V0_dev[:, j][:, None], (k, C))
-        U_dev, V_dev, packed = grid_fn(
-            U_dev, V_dev, Yp, jnp.asarray(j, jnp.int32), v0_j,
-            jnp.asarray(alive), consts, lam1_t, lam2_t, inv_t, tol_t)
-        u_np, v_np, it_np, conv_np, uz_np, vz_np, dj_np = (
-            _unpack_dim(packed, p_dev, k))
-        u_np = u_np[:p]
+        if host_engine:
+            u_np, v_np, it_np, conv_np, uz_np, vz_np, dj_np = (
+                _scca_dim_host_grid(
+                    op, U_host, V_host, Y_std, j,
+                    np.broadcast_to(V0[:, j][:, None], (k, C)),
+                    alive, lam1_c, lam2_c, invdiv, tol, maxiter, dtype))
+        else:
+            v0_j = jnp.broadcast_to(V0_dev[:, j][:, None], (k, C))
+            U_dev, V_dev, packed = grid_fn(
+                U_dev, V_dev, Yp, jnp.asarray(j, jnp.int32), v0_j,
+                jnp.asarray(alive), consts, lam1_t, lam2_t, inv_t, tol_t)
+            u_np, v_np, it_np, conv_np, uz_np, vz_np, dj_np = (
+                _unpack_dim(packed, p_dev, k))
+            u_np = u_np[:p]
         started = alive.copy()
         U_host[:, j, started] = u_np[:, started]
         V_host[:, j, started] = v_np[:, started]
@@ -1100,12 +1205,12 @@ def _cv_scca_plink(
             op_te = None
         xm, xs = ds_tr.snp_stats(stand_x)
         op_tr = build_packed_operator(ds_tr, xm, xs, **op_opts)
-        use_grid = (grid_ok
-                    and not isinstance(op_tr, StreamingPackedOperator))
+        # streaming train operators ride the batched grid too (the
+        # host-driven engine shares each staged pass across cells)
+        use_grid = grid_ok
         if not use_grid and fold == 0:
-            log("cv_scca: sequential per-cell fallback (streaming "
-                "operator, host engine or kwargs outside "
-                "GRID_COMPAT_KWARGS)", verbose=verbose)
+            log("cv_scca: sequential per-cell fallback (host engine or "
+                "kwargs outside GRID_COMPAT_KWARGS)", verbose=verbose)
 
         try:
             V0 = None

@@ -27,8 +27,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..io.plink import PlinkDataset, subset_samples
-from ..ops.operator import (StreamingPackedOperator, build_packed_operator,
-                            default_dtype)
+from ..ops.operator import build_packed_operator, default_dtype
 from ..ops.standardize import VAR_TOL, standardize
 from ..utils.logging import log
 from .scca import grid_fastpath, scca, scca_grid
@@ -171,12 +170,12 @@ def split_scca(
         return out
 
     grid_ok, gkw = grid_fastpath(scca_kwargs, ("V0",))
-    use_grid = (not isinstance(op_train, StreamingPackedOperator)
-                and grid_ok)
+    # streaming train operators ride the batched grid too: scca_grid's
+    # host-driven engine shares each staged pass across cells
+    use_grid = grid_ok
     if not use_grid:
-        log("split_scca: sequential per-cell fallback (streaming "
-            "operator, host engine, or kwargs outside "
-            "GRID_COMPAT_KWARGS)", verbose=verbose)
+        log("split_scca: sequential per-cell fallback (host engine or "
+            "kwargs outside GRID_COMPAT_KWARGS)", verbose=verbose)
     if use_grid:
         # every grid cell rides the SAME genotype panel pass per
         # iteration (scca_grid): the whole grid costs ~one cell

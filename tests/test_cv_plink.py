@@ -133,3 +133,23 @@ def test_cv_scca_plink_explicit_workdir_kept(complete_plink, rng,
             ndim=1, nfolds=2, seed=3, tol=1e-8, workdir=wd)
     kept = [f for f in os.listdir(wd) if f.endswith(".bed")]
     assert len(kept) == 4                   # 2 folds x (train, test)
+
+
+def test_cv_scca_plink_streaming_matches_resident(complete_plink, rng):
+    """streaming=True CV rides the batched grid engine too (the
+    host-driven twin shares each staged pass across cells) and matches
+    the resident CV on the same folds."""
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 2))
+    folds = np.arange(n) % 3
+    kw = dict(ndim=2, folds=folds, seed=5, tol=1e-9)
+    l1 = np.array([1e-4, 1e-3])
+    l2 = np.array([1e-4])
+    res_r = cv_scca(root, Y, l1, l2, **kw)
+    res_s = cv_scca(root, Y, l1, l2, streaming=True, memory_mb=1, **kw)
+    np.testing.assert_allclose(res_s.corr, res_r.corr,
+                               rtol=1e-6, atol=1e-8)
+    assert res_s.best_lambda1 == res_r.best_lambda1
+    assert res_s.best_lambda2 == res_r.best_lambda2
+    np.testing.assert_allclose(res_s.nzero_x, res_r.nzero_x)

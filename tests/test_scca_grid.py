@@ -144,17 +144,64 @@ def test_grid_sharded_matches_unsharded(small_plink, rng):
     np.testing.assert_array_equal(g1.converged, g2.converged)
 
 
-def test_grid_rejects_streaming_operator(small_plink, rng):
+def test_grid_on_streaming_operator_matches_solo(small_plink, rng):
+    """A streaming operator rides scca_grid's host-batched engine: the
+    per-cell results match sequential solo streaming runs, and all
+    cells SHARE each staged pass (the host->device upload is
+    panel-width independent) instead of re-streaming the data once per
+    cell -- the bounded-memory (--memory) analog of the device grid
+    engine's shared-pass win."""
     from flashpca_tpu.io import PlinkDataset
     from flashpca_tpu.ops.operator import StreamingPackedOperator
 
     root, geno = small_plink
     ds = PlinkDataset.open(root)
     mean, sd = ds.snp_stats("binom2")
-    op = StreamingPackedOperator(ds, mean, sd, ds.n_samples, block_snps=16)
-    Y = rng.normal(size=(geno.shape[0], 3))
-    with pytest.raises(ValueError, match="resident operator"):
-        scca_grid(op, Y, [1e-6], [1e-6], ndim=2, V0=rng.normal(size=(3, 2)))
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    Y[:, 0] += 0.5 * np.nan_to_num(geno[:, :3]).sum(axis=1)
+    ndim = 2
+    V0 = rng.normal(size=(3, ndim))
+    kw = dict(ndim=ndim, maxiter=1000, tol=1e-9)
+
+    import jax.numpy as jnp
+
+    op = StreamingPackedOperator(ds, mean, sd, n, block_snps=16,
+                                 cache_mb=0, dtype=jnp.float64)
+    g = scca_grid(op, Y, [1e-6, 1e-2], [1e-6, 1e-3], V0=V0, **kw)
+    grid_ops = op.nops
+
+    # sequential per-cell runs on a fresh streaming operator
+    op2 = StreamingPackedOperator(ds, mean, sd, n, block_snps=16,
+                                  cache_mb=0, dtype=jnp.float64)
+    solo_ops = 0
+    solos = []
+    for l1, l2 in zip(g.lambda1, g.lambda2):
+        before = op2.nops
+        solos.append(scca(op2, Y, float(l1), float(l2), V0=V0, **kw))
+        solo_ops += op2.nops - before
+    _assert_grid_matches_solo(g, solos, atol=1e-8)
+    # shared passes: the grid pays ~max-over-cells iterations of
+    # products, the sequential loop pays the sum
+    assert grid_ops < solo_ops
+
+
+def test_grid_streaming_memory_mb_kwarg(small_plink, rng):
+    """scca_grid(root, streaming=True, memory_mb=) builds the bounded
+    operator itself and matches the resident grid."""
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    ndim = 2
+    V0 = rng.normal(size=(3, ndim))
+    kw = dict(ndim=ndim, maxiter=1000, tol=1e-9)
+    g_r = scca_grid(root, Y, [1e-6, 1e-3], [1e-6], V0=V0, **kw)
+    g_s = scca_grid(root, Y, [1e-6, 1e-3], [1e-6], V0=V0,
+                    streaming=True, memory_mb=1, **kw)
+    np.testing.assert_allclose(g_s.U, g_r.U, atol=1e-8)
+    np.testing.assert_allclose(g_s.V, g_r.V, atol=1e-8)
+    np.testing.assert_allclose(g_s.d, g_r.d, atol=1e-8)
+    np.testing.assert_array_equal(g_s.converged, g_r.converged)
 
 
 def test_grid_v0_validation(xy):
@@ -241,3 +288,23 @@ def test_grid_fastpath_allowlist():
     assert ok and gkw == {"stand_x": "binom"}
     ok, gkw = grid_fastpath({"V0": None, "engine": "device"}, ("V0",))
     assert ok and gkw == {"V0": None}
+
+
+def test_split_scca_streaming_rides_grid(small_plink, tmp_path, rng):
+    """split_scca with streaming=True now takes the batched grid path
+    (host-driven engine) and matches the resident split."""
+    from flashpca_tpu.models.scca_split import split_scca
+
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    Y[:, 0] += 0.6 * np.nan_to_num(geno[:, :4]).sum(axis=1)
+    kw = dict(lambda1=[1e-3, 2e-2], lambda2=[1e-4], ndim=2,
+              prop_train=0.7, seed=3, maxiter=600, tol=1e-8)
+    rr = split_scca(root, Y, workdir=str(tmp_path / "r"), **kw)
+    rs = split_scca(root, Y, workdir=str(tmp_path / "s"),
+                    streaming=True, memory_mb=1, **kw)
+    np.testing.assert_array_equal(rs.converged, rr.converged)
+    np.testing.assert_allclose(rs.corr_train, rr.corr_train, atol=1e-7)
+    np.testing.assert_allclose(rs.corr_test, rr.corr_test, atol=1e-7)
+    assert rs.best_lambda1 == rr.best_lambda1
