@@ -255,8 +255,13 @@ def _unpack_dim(packed, p_dev, k):
     """Split the engine's single per-dimension device->host transfer
     back into per-cell host arrays ``(u, v, iters, conv, u_zero,
     v_zero, d)`` (u keeps its (p_dev, C) padded rows; slice ``[:p]``
-    at the call site)."""
-    out = np.asarray(packed, dtype=np.float64)
+    at the call site).  Under multi-controller execution the stacked
+    array can inherit the u-rows' SNP sharding and span processes:
+    gather globally (every controller sees the identical stack, which
+    the lockstep host bookkeeping requires)."""
+    from ._common import fetch_global
+
+    out = fetch_global(packed, dtype=np.float64)
     u = out[:p_dev]
     v = out[p_dev:p_dev + k]
     it = out[p_dev + k].astype(np.int64)

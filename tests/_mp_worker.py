@@ -17,11 +17,12 @@ MODE = sys.argv[6] if len(sys.argv) > 6 else "full"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# modes "stats32"/"pca32" leave x64 OFF (the real-TPU default): stats32
-# proves the f64 stats survive the process_allgather bit-exactly even
-# when JAX would canonicalize f64 device arrays to f32 (review r2);
-# pca32 runs the f32 solver + compensated polish exactly as on TPU
-jax.config.update("jax_enable_x64", MODE not in ("stats32", "pca32"))
+# modes "stats32"/"pca32"/"scca32" leave x64 OFF (the real-TPU
+# default): stats32 proves the f64 stats survive the process_allgather
+# bit-exactly even when JAX would canonicalize f64 device arrays to
+# f32 (review r2); pca32/scca32 run the f32 paths exactly as on TPU
+jax.config.update("jax_enable_x64",
+                  MODE not in ("stats32", "pca32", "scca32"))
 
 
 def main():
@@ -88,6 +89,30 @@ def main():
             loadings=np.asarray(res.loadings), pve=res.pve,
             trace=res.trace, projection=np.asarray(res.projection),
             first_converged=first_converged, n_ops=res.n_ops,
+        )
+        print(f"worker {pid} ok", flush=True)
+        return
+
+    if MODE in ("scca", "scca32"):
+        # SCCA's device engine under multiple controllers: every
+        # dimension ends in ONE fetched (u, v, scalars) stack whose
+        # per-cell host control flow (zero-abort, convergence, d
+        # bookkeeping) must stay lockstep across processes -- the same
+        # divergence-trap class the pca mode guards (VERDICT r2 weak
+        # #2), now on the second solver family.
+        from flashpca_tpu.models.scca import scca
+
+        dt = jnp.float32 if MODE == "scca32" else jnp.float64
+        op = sharded_operator(root, mesh, dtype=dt)
+        rng = np.random.default_rng(0)      # same seed on every process
+        Y = rng.standard_normal((op.n_samples, 3))
+        V0 = rng.standard_normal((3, 2))
+        res = scca(op, Y, 1e-3, 1e-3, ndim=2, V0=V0, tol=1e-7,
+                   maxiter=500)
+        np.savez(
+            os.path.join(outdir, f"worker{pid}.npz"),
+            U=res.U, V=res.V, d=res.d, Px=np.asarray(res.Px),
+            Py=np.asarray(res.Py), converged=res.converged,
         )
         print(f"worker {pid} ok", flush=True)
         return

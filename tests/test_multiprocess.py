@@ -173,3 +173,33 @@ def test_two_process_full_solver(mp_pca_plink, tmp_path, mode, rtol):
     sign = np.sign(np.sum(U * V_ref, axis=0))
     rmse = np.sqrt(np.mean((U * sign[None, :] - V_ref) ** 2))
     assert rmse < (1e-8 if mode == "pca" else 1e-4), rmse
+
+
+@pytest.mark.parametrize("mode,tol", [("scca", 1e-9), ("scca32", 5e-5)])
+def test_two_process_scca(mp_pca_plink, tmp_path, mode, tol):
+    """The SCCA device engine under 2 controller processes: per-
+    dimension fetched scalars feed host control flow that must stay
+    lockstep (bit-identical outputs across processes), and the sharded
+    run must match a single-process run on the same V0."""
+    root, _ = mp_pca_plink
+    out = tmp_path / mode
+    out.mkdir()
+    _run_workers(root, str(out), mode=mode)
+
+    d0 = np.load(out / "worker0.npz")
+    d1 = np.load(out / "worker1.npz")
+    for key in ("U", "V", "d", "Px", "Py", "converged"):
+        np.testing.assert_array_equal(d0[key], d1[key], err_msg=key)
+    assert bool(d0["converged"])
+
+    # single-process oracle with the worker's exact Y/V0 (seed 0)
+    from flashpca_tpu.models.scca import scca
+
+    root, geno = mp_pca_plink
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((geno.shape[0], 3))
+    V0 = rng.standard_normal((3, 2))
+    ref = scca(root, Y, 1e-3, 1e-3, ndim=2, V0=V0, tol=1e-7, maxiter=500)
+    np.testing.assert_allclose(d0["d"], ref.d, rtol=tol, atol=tol)
+    np.testing.assert_allclose(d0["U"], ref.U, atol=10 * tol)
+    np.testing.assert_allclose(d0["V"], ref.V, atol=10 * tol)
