@@ -38,6 +38,7 @@ from ..ops.operator import (DenseOperator, PackedOperator,
                             check_operator_conflicts, default_dtype)
 from ..ops.standardize import standardize
 from ..utils.logging import log
+from ._common import fetch_global
 
 
 @dataclass
@@ -259,8 +260,6 @@ def _unpack_dim(packed, p_dev, k):
     array can inherit the u-rows' SNP sharding and span processes:
     gather globally (every controller sees the identical stack, which
     the lockstep host bookkeeping requires)."""
-    from ._common import fetch_global
-
     out = fetch_global(packed, dtype=np.float64)
     u = out[:p_dev]
     v = out[p_dev:p_dev + k]
@@ -319,8 +318,10 @@ def _scca_dim_host_grid(op, U, V, Y_std, j, v0, alive, lam1, lam2,
         return np.where(s2 > 0, x / np.where(s2 > 0, s2, 1.0)[None, :], x)
 
     def cross_panel(yn):   # (n, C) -> (p, C), ONE staged pass
-        return np.asarray(op.crossprod(jnp.asarray(yn, dtype)),
-                          dtype=np.float64) * invdiv
+        # (fetch_global: the SNP-sharded output spans processes under
+        # multi-controller execution)
+        return fetch_global(op.crossprod(jnp.asarray(yn, dtype)),
+                            dtype=np.float64) * invdiv
 
     def prod_panel(up):    # (p, C) -> (n, C), ONE staged pass
         return np.asarray(op.prod(jnp.asarray(up, dtype)),
@@ -527,8 +528,10 @@ def scca(
         block_size=block_size, dtype_arg=dtype, mesh=mesh)
     p = op.n_snps
 
-    def xt(y_n):  # u-step product: X^T y, scaled
-        return np.asarray(
+    def xt(y_n):  # u-step product: X^T y, scaled (crossprod output is
+        #             SNP-sharded under a mesh: gather globally so
+        #             multi-controller host engines stay lockstep)
+        return fetch_global(
             op.crossprod(jnp.asarray(y_n, dtype=dtype)), dtype=np.float64
         ) * invdiv
 

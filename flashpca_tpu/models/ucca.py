@@ -30,6 +30,7 @@ from ..ops.operator import (DenseOperator, PackedOperator,
                             StreamingPackedOperator, build_packed_operator,
                             check_operator_conflicts, default_dtype)
 from ..ops.standardize import standardize
+from ._common import fetch_global
 
 
 @dataclass
@@ -128,7 +129,9 @@ def ucca(
         # decode-bound, extra panel columns are nearly free, and a
         # second pass would double the host->HBM traffic when streaming
         both = np.concatenate([Yc, np.ones((n, 1))], axis=1)
-        out = np.asarray(
+        # crossprod output is SNP-sharded under a mesh: gather globally
+        # so multi-controller runs see the full (p, k+1) block
+        out = fetch_global(
             op.crossprod(jnp.asarray(both, dtype=dtype)), dtype=np.float64
         )
         covXY = out[:, :k] / (n - 1.0)

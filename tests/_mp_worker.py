@@ -93,6 +93,21 @@ def main():
         print(f"worker {pid} ok", flush=True)
         return
 
+    if MODE == "ucca":
+        # UCCA's single crossprod pass returns a SNP-SHARDED (p, k+1)
+        # block: multi-controller runs must gather it globally (plain
+        # np.asarray raises -- the fetch_global fix this mode guards)
+        from flashpca_tpu.models.ucca import ucca
+
+        op = sharded_operator(root, mesh, dtype=jnp.float64)
+        rng = np.random.default_rng(0)      # same seed on every process
+        Y = rng.standard_normal((op.n_samples, 3))
+        res = ucca(op, Y)
+        np.savez(os.path.join(outdir, f"worker{pid}.npz"),
+                 result=res.result)
+        print(f"worker {pid} ok", flush=True)
+        return
+
     if MODE in ("scca", "scca32"):
         # SCCA's device engine under multiple controllers: every
         # dimension ends in ONE fetched (u, v, scalars) stack whose

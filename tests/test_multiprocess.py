@@ -203,3 +203,27 @@ def test_two_process_scca(mp_pca_plink, tmp_path, mode, tol):
     np.testing.assert_allclose(d0["d"], ref.d, rtol=tol, atol=tol)
     np.testing.assert_allclose(d0["U"], ref.U, atol=10 * tol)
     np.testing.assert_allclose(d0["V"], ref.V, atol=10 * tol)
+
+
+def test_two_process_ucca(mp_pca_plink, tmp_path):
+    """UCCA under 2 controller processes: its one crossprod pass
+    returns a SNP-sharded (p, k+1) block that spans processes --
+    fetch_global must gather it (plain np.asarray raised before the
+    fix), and results must be bit-identical across controllers and
+    match a single-process run."""
+    root, geno = mp_pca_plink
+    out = tmp_path / "ucca"
+    out.mkdir()
+    _run_workers(root, str(out), mode="ucca")
+
+    d0 = np.load(out / "worker0.npz")
+    d1 = np.load(out / "worker1.npz")
+    np.testing.assert_array_equal(d0["result"], d1["result"])
+
+    from flashpca_tpu.models.ucca import ucca
+
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((geno.shape[0], 3))
+    ref = ucca(root, Y)
+    np.testing.assert_allclose(d0["result"], ref.result,
+                               rtol=1e-9, atol=1e-12)
