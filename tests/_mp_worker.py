@@ -93,6 +93,23 @@ def main():
         print(f"worker {pid} ok", flush=True)
         return
 
+    if MODE == "check":
+        # checker under 2 controllers: solve on the sharded operator,
+        # then verify the decomposition through check()'s device-side
+        # residual reduction (replicated psum outputs -- must stay
+        # lockstep and report identical err/mse on every process)
+        from flashpca_tpu.models.check import check as run_check
+        from flashpca_tpu.models.pca import pca
+
+        op = sharded_operator(root, mesh, dtype=jnp.float64)
+        res = pca(op, 4, tol=1e-9)
+        chk = run_check(op, res.vectors, res.values)
+        np.savez(os.path.join(outdir, f"worker{pid}.npz"),
+                 err=chk.err, mse=chk.mse, rmse=chk.rmse,
+                 values=res.values)
+        print(f"worker {pid} ok", flush=True)
+        return
+
     if MODE == "ucca":
         # UCCA's single crossprod pass returns a SNP-SHARDED (p, k+1)
         # block: multi-controller runs must gather it globally (plain

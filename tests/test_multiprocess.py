@@ -227,3 +227,19 @@ def test_two_process_ucca(mp_pca_plink, tmp_path):
     ref = ucca(root, Y)
     np.testing.assert_allclose(d0["result"], ref.result,
                                rtol=1e-9, atol=1e-12)
+
+
+def test_two_process_check(mp_pca_plink, tmp_path):
+    """check() under 2 controller processes: solve + verify on the
+    sharded operator; every process must report identical err/mse and
+    the f64 residual must sit at solver accuracy."""
+    root, _ = mp_pca_plink
+    out = tmp_path / "check"
+    out.mkdir()
+    _run_workers(root, str(out), mode="check")
+
+    d0 = np.load(out / "worker0.npz")
+    d1 = np.load(out / "worker1.npz")
+    for key in ("err", "mse", "rmse", "values"):
+        np.testing.assert_array_equal(d0[key], d1[key], err_msg=key)
+    assert float(d0["mse"]) < 1e-12
