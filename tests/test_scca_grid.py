@@ -308,3 +308,61 @@ def test_split_scca_streaming_rides_grid(small_plink, tmp_path, rng):
     np.testing.assert_allclose(rs.corr_train, rr.corr_train, atol=1e-7)
     np.testing.assert_allclose(rs.corr_test, rr.corr_test, atol=1e-7)
     assert rs.best_lambda1 == rr.best_lambda1
+
+
+def _streaming_op_f64(root):
+    import jax.numpy as jnp
+
+    from flashpca_tpu.io import PlinkDataset
+    from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    return StreamingPackedOperator(ds, mean, sd, ds.n_samples,
+                                   block_snps=16, cache_mb=0,
+                                   dtype=jnp.float64)
+
+
+def test_host_grid_zero_abort_cell_matches_device_grid(small_plink, rng):
+    """Host-batched engine: a cell whose penalty zeroes U at dim 0 dies
+    exactly like the DEVICE grid engine (the grid contract; the
+    sequential host solo aborts mid-iteration and leaves the dead
+    cell's V at its init, an unobservable difference since dead cells
+    are non-converged) without disturbing neighbours."""
+    import jax.numpy as jnp
+
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    ndim = 2
+    V0 = rng.normal(size=(3, ndim))
+    kw = dict(ndim=ndim, maxiter=500, tol=1e-8)
+    op = _streaming_op_f64(root)
+    g = scca_grid(op, Y, [1e-6, 0.9], [1e-6], V0=V0, **kw)
+    g_dev = scca_grid(root, Y, [1e-6, 0.9], [1e-6], V0=V0,
+                      dtype=jnp.float64, **kw)
+    np.testing.assert_array_equal(g.converged, g_dev.converged)
+    assert g.converged[0] and not g.converged[1]
+    np.testing.assert_allclose(g.U, g_dev.U, atol=1e-8)
+    np.testing.assert_allclose(g.V, g_dev.V, atol=1e-8)
+    np.testing.assert_allclose(g.d, g_dev.d, atol=1e-8)
+    # the dead cell never ran dim 1
+    assert np.all(g.U[:, 1, 1] == 0.0) and np.all(g.n_iters[1:, 1] == 0)
+
+
+def test_host_grid_nonconverged_cell_matches_solo(small_plink, rng):
+    """Host-batched engine: maxiter-starved cells record the last
+    iterate and die, matching solo streaming semantics."""
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    ndim = 2
+    V0 = rng.normal(size=(3, ndim))
+    kw = dict(ndim=ndim, maxiter=2, tol=1e-12)
+    op = _streaming_op_f64(root)
+    g = scca_grid(op, Y, [1e-6, 5e-3], [1e-6], V0=V0, **kw)
+    op2 = _streaming_op_f64(root)
+    solos = [scca(op2, Y, float(l1), float(l2), V0=V0, **kw)
+             for l1, l2 in zip(g.lambda1, g.lambda2)]
+    assert not any(s.converged for s in solos)
+    _assert_grid_matches_solo(g, solos, atol=1e-8)
