@@ -323,10 +323,14 @@ def _clamp_buffer(extra, ndim, ncv, panel):
     nev + panel > ncv -- 1-column matvecs on a decode-bound operator,
     ~16x the data passes).  A previously-valid (ndim, ncv) call must
     not silently cross that guard because of the internal nev
-    inflation; the buffer shrinks instead."""
+    inflation; the buffer shrinks instead.  The guard compares against
+    the PANEL-ROUNDED basis (eigsh_block floor-rounds a user ncv to a
+    multiple of the panel width), so clamp against that value."""
     if ncv is None:
         return extra
-    return max(0, min(extra, int(ncv) - int(panel) - int(ndim)))
+    ncv, panel = int(ncv), int(panel)
+    ncv_eff = panel * (ncv // panel) if ncv % panel else ncv
+    return max(0, min(extra, ncv_eff - panel - int(ndim)))
 
 
 def _gate_convergence(res, ndim, tol):
@@ -356,9 +360,10 @@ def _gate_convergence(res, ndim, tol):
         return True
     raise RuntimeError(
         "eigen-decomposition was not successful: max residual "
-        f"{float(np.max(res.residuals)):.3e} over the {nsolve} solved "
-        f"pair(s) after {res.n_restarts} restarts "
-        f"(ndim={ndim}, buffer={nsolve - ndim}, tol={tol})"
+        f"{float(np.max(res.residuals[:ndim])):.3e} over the {ndim} "
+        f"requested pair(s) after {res.n_restarts} restarts "
+        f"(buffer={nsolve - ndim}, max residual "
+        f"{float(np.max(res.residuals)):.3e} incl. buffers, tol={tol})"
     )
 
 

@@ -1192,35 +1192,42 @@ def _cv_scca_plink(
         train_idx = np.flatnonzero(train)
         test_idx = np.flatnonzero(test)
         fold_roots = []
-        root_tr = subset_samples(
-            ds, train_idx, os.path.join(workdir, f"{base}_f{fold}_train"))
-        fold_roots.append(root_tr)
-        ds_tr = PlinkDataset.open(root_tr)
-        if test_idx.size:
-            root_te = subset_samples(
-                ds, test_idx, os.path.join(workdir, f"{base}_f{fold}_test"))
-            fold_roots.append(root_te)
-            ds_te = PlinkDataset.open(root_te)
-            # raw-dosage test projector (see docstring)
-            op_te = build_packed_operator(
-                ds_te, np.zeros(ds_te.n_snps), np.ones(ds_te.n_snps),
-                **op_opts)
-        else:
-            # an unused fold label (or an unlucky random assignment)
-            # leaves this fold's test set empty: train and count like
-            # the matrix path (whose xpred[test] is a no-op), skip the
-            # projection -- subset_samples rejects empty subsets
-            op_te = None
-        xm, xs = ds_tr.snp_stats(stand_x)
-        op_tr = build_packed_operator(ds_tr, xm, xs, **op_opts)
-        # streaming train operators ride the batched grid too (the
-        # host-driven engine shares each staged pass across cells)
-        use_grid = grid_ok
-        if not use_grid and fold == 0:
-            log("cv_scca: sequential per-cell fallback (host engine or "
-                "kwargs outside GRID_COMPAT_KWARGS)", verbose=verbose)
-
+        # the whole fold body sits inside the try so a failure at ANY
+        # point (repack, open, stats, operator build, solve) still
+        # removes the fold's already-written scratch filesets
         try:
+            root_tr = subset_samples(
+                ds, train_idx,
+                os.path.join(workdir, f"{base}_f{fold}_train"))
+            fold_roots.append(root_tr)
+            ds_tr = PlinkDataset.open(root_tr)
+            if test_idx.size:
+                root_te = subset_samples(
+                    ds, test_idx,
+                    os.path.join(workdir, f"{base}_f{fold}_test"))
+                fold_roots.append(root_te)
+                ds_te = PlinkDataset.open(root_te)
+                # raw-dosage test projector (see docstring)
+                op_te = build_packed_operator(
+                    ds_te, np.zeros(ds_te.n_snps), np.ones(ds_te.n_snps),
+                    **op_opts)
+            else:
+                # an unused fold label (or an unlucky random
+                # assignment) leaves this fold's test set empty: train
+                # and count like the matrix path (whose xpred[test] is
+                # a no-op), skip the projection -- subset_samples
+                # rejects empty subsets
+                op_te = None
+            xm, xs = ds_tr.snp_stats(stand_x)
+            op_tr = build_packed_operator(ds_tr, xm, xs, **op_opts)
+            # streaming train operators ride the batched grid too (the
+            # host-driven engine shares each staged pass across cells)
+            use_grid = grid_ok
+            if not use_grid and fold == 0:
+                log("cv_scca: sequential per-cell fallback (host engine "
+                    "or kwargs outside GRID_COMPAT_KWARGS)",
+                    verbose=verbose)
+
             V0 = None
             if init:
                 V0g = rng.standard_normal((Y.shape[1], ndim))

@@ -169,11 +169,15 @@ def test_pca_user_ncv_keeps_block_solver(small_plink):
     scalar Lanczos (~16x the data passes on a decode-bound operator)."""
     from flashpca_tpu.models.pca import _clamp_buffer, pca
 
-    # unit: buffer shrinks to keep nev + panel <= ncv, never negative
+    # unit: buffer shrinks to keep nev + panel <= PANEL-ROUNDED ncv
+    # (eigsh_block floor-rounds a user ncv to a multiple of the panel;
+    # clamping against the raw value still tripped the fallback)
     assert _clamp_buffer(8, 20, None, 16) == 8
-    assert _clamp_buffer(8, 20, 40, 16) == 4      # 20+4+16 == 40
-    assert _clamp_buffer(8, 20, 100, 16) == 8     # plenty of room
+    assert _clamp_buffer(8, 20, 40, 16) == 0      # 40 rounds to 32
+    assert _clamp_buffer(8, 20, 100, 16) == 8     # 100 rounds to 96
     assert _clamp_buffer(8, 20, 30, 16) == 0      # no room at all
+    assert _clamp_buffer(8, 14, 46, 16) == 2      # 46 rounds to 32
+    assert _clamp_buffer(8, 20, 96, 16) == 8      # exact multiple
 
     # end-to-end: pinned ncv still converges to the oracle
     root, X = small_plink
