@@ -349,8 +349,13 @@ def main():
     # Width k+8 matches the real pca() run (solver buffer pairs), so
     # the refinement's compiled programs are warm at the right shapes.
     warm_U = jnp.eye(op.op_dim, k + 8, dtype=op.dtype)
+    # same ff gate as pca() itself: the tall operator exposes
+    # gram_ff_permuted unconditionally but supports it only on the
+    # Pallas path (supports_ff False on CPU-no-pallas -> plain polish)
+    use_ff = (hasattr(op, "gram_ff_permuted")
+              and getattr(op, "supports_ff", True))
     polish_subspace(mv, warm_U, iters=1, operands=ops_,      # polish programs
-                    ff_gram=getattr(op, "gram_ff_permuted", None))
+                    ff_gram=op.gram_ff_permuted if use_ff else None)
     # trace: resolved (and cached, one scalar fetch) during operator
     # prep, like the real PLINK path where it is an analytic f64
     # byproduct of the host stats pass (snp_stats(with_sumsq=True) ->

@@ -1,0 +1,53 @@
+"""bench.py smoke: the driver-facing benchmark must always produce one
+valid JSON line (it is the round's recorded metric -- a broken bench
+loses the measurement even when the framework is healthy)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run_bench(extra_env):
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = (repo + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else repo)
+    env.update(extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {out.stdout!r}"
+    rec = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in rec, key
+    assert rec["unit"] == "s" and rec["value"] > 0
+    return rec, out.stderr
+
+
+_TINY = {
+    "FLASHPCA_FORCE_CPU": "1",
+    "FLASHPCA_BENCH_N": "1024",
+    "FLASHPCA_BENCH_P": "512",
+    "FLASHPCA_BENCH_K": "4",
+}
+
+
+def test_bench_wide_smoke():
+    rec, err = _run_bench(_TINY)
+    assert rec["metric"].startswith("pca_n1024_p512_k4")
+    assert "converged=True" in err
+
+
+def test_bench_tall_smoke():
+    rec, _ = _run_bench({**_TINY, "FLASHPCA_BENCH_MODE": "tall",
+                         "FLASHPCA_BENCH_N": "2048",
+                         "FLASHPCA_BENCH_P": "256"})
+    assert rec["metric"].startswith("pca_tall_")
+
+
+def test_bench_repeats_reports_min():
+    rec, err = _run_bench({**_TINY, "FLASHPCA_BENCH_REPEATS": "2"})
+    assert "run 2/2" in err and "min over 2 identical runs" in err
