@@ -46,8 +46,10 @@ def main():
     print(f"check mse={ck.mse:.3e} rmse={ck.rmse:.3e}")
 
     # ---- sparse CCA with k-fold CV penalty selection ----------------------
-    X = fp.PlinkDataset.open(root).read_matrix()
-    cv = fp.cv_scca(X, Y, lambda1=np.logspace(-4, -1.2, 4),
+    # the PLINK path keeps genotypes 2-bit packed through the whole CV
+    # (per-fold subset repack + batched penalty grid); pass a dense
+    # matrix instead if the data is already in memory
+    cv = fp.cv_scca(root, Y, lambda1=np.logspace(-4, -1.2, 4),
                     lambda2=[1e-4, 1e-3], ndim=2, nfolds=4)
     print(cv)
     sc = fp.scca(root, Y, cv.best_lambda1, cv.best_lambda2, ndim=2)
