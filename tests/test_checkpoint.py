@@ -213,3 +213,27 @@ def test_scalar_fallback_warns_checkpoints_off(rng):
                           checkpoint_fn=lambda *a: None)
     assert any("checkpoint" in str(x.message) for x in w)
     assert res.converged
+
+
+def test_streaming_checkpoint_resume_composition(small_plink, tmp_path):
+    """Checkpoints compose with the streaming (bounded-memory)
+    operator: an interrupted streaming run persists its Ritz panel and
+    a streaming resume converges to the resident-path answer -- the
+    fault-tolerance story a biobank --memory run actually needs."""
+    root, _ = small_plink
+    state = str(tmp_path / "stream_ritz.npz")
+
+    with pytest.raises(RuntimeError, match="not successful"):
+        pca(root, 3, tol=1e-12, maxiter=1, streaming=True, memory_mb=1,
+            state_out=state)
+    st = load_state(state)
+    assert not bool(st["converged"])
+    assert st["vectors"].shape[1] == 3
+
+    warm = pca(root, 3, tol=1e-9, streaming=True, memory_mb=1,
+               state_in=state)
+    ref = pca(root, 3, tol=1e-9)                 # resident oracle
+    np.testing.assert_allclose(warm.values, ref.values, rtol=1e-7)
+    for j in range(3):
+        c = abs(np.dot(warm.vectors[:, j], ref.vectors[:, j]))
+        assert c > 1 - 1e-7
