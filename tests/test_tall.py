@@ -168,3 +168,31 @@ def test_tall_streaming_overrides_auto_tall(tall_plink, monkeypatch):
     assert isinstance(seen["op"], StreamingPackedOperator)
     res2 = pca(tall_plink, ndim=2, streaming=False)
     np.testing.assert_allclose(res.values, res2.values, rtol=1e-8)
+
+
+def test_tall_checkpoint_resume(tall_plink, tmp_path):
+    """Checkpoint/resume on the tall path: the persisted Ritz panel
+    lives in (unpermuted) SNP space (p-dim vectors, unlike the wide
+    path's sample space), so this exercises TallPackedOperator's
+    permute_np/unpermute round trip through a real interrupted solve."""
+    import pytest
+
+    from flashpca_tpu.models.pca import pca
+    from flashpca_tpu.solvers.lanczos import load_state
+
+    state = str(tmp_path / "tall_ritz.npz")
+    with pytest.raises(RuntimeError, match="not successful"):
+        pca(tall_plink, 3, tol=1e-13, maxiter=1, operator_mode="tall",
+            state_out=state)
+    st = load_state(state)
+    assert not bool(st["converged"])
+    ds = PlinkDataset.open(tall_plink)
+    assert st["vectors"].shape[0] == ds.n_snps    # SNP space, unpadded
+
+    warm = pca(tall_plink, 3, tol=1e-9, operator_mode="tall",
+               state_in=state)
+    ref = pca(tall_plink, 3, tol=1e-9, operator_mode="wide")
+    np.testing.assert_allclose(warm.values, ref.values, rtol=1e-7)
+    for j in range(3):
+        c = abs(np.dot(warm.vectors[:, j], ref.vectors[:, j]))
+        assert c > 1 - 1e-7
