@@ -366,3 +366,27 @@ def test_host_grid_nonconverged_cell_matches_solo(small_plink, rng):
              for l1, l2 in zip(g.lambda1, g.lambda2)]
     assert not any(s.converged for s in solos)
     _assert_grid_matches_solo(g, solos, atol=1e-8)
+
+
+def test_split_scca_sharded_matches_unsharded(small_plink, tmp_path, rng):
+    """split_scca composes with a SNP mesh: the train/test repacked
+    operators shard over the mesh and the grid results match the
+    single-device split exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from flashpca_tpu.models.scca_split import split_scca
+
+    root, geno = small_plink
+    n = geno.shape[0]
+    Y = rng.normal(size=(n, 3))
+    Y[:, 0] += 0.5 * np.nan_to_num(geno[:, :4]).sum(axis=1)
+    kw = dict(lambda1=[1e-3, 2e-2], lambda2=[1e-4], ndim=2,
+              prop_train=0.7, seed=3, maxiter=600, tol=1e-8)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("snps",))
+    r1 = split_scca(root, Y, workdir=str(tmp_path / "a"), **kw)
+    r2 = split_scca(root, Y, workdir=str(tmp_path / "b"), mesh=mesh, **kw)
+    np.testing.assert_array_equal(r1.converged, r2.converged)
+    np.testing.assert_allclose(r1.corr_train, r2.corr_train, atol=1e-8)
+    np.testing.assert_allclose(r1.corr_test, r2.corr_test, atol=1e-8)
+    assert r1.best_lambda1 == r2.best_lambda1
