@@ -215,6 +215,32 @@ def test_scalar_fallback_warns_checkpoints_off(rng):
     assert res.converged
 
 
+def test_mesh_streaming_resume_from_unsharded_state(small_plink, tmp_path):
+    """Topology-changed restart: a Ritz panel checkpointed by a plain
+    single-device run warm-starts a SNP-sharded bounded-memory run (the
+    reverse of test_mesh_modes' mesh->unsharded resume, composed with
+    streaming) -- after an outage the replacement fleet need not match
+    the shape of the run that wrote the checkpoint."""
+    import jax
+    from jax.sharding import Mesh
+
+    root, _ = small_plink
+    state = str(tmp_path / "ritz.npz")
+    with pytest.raises(RuntimeError, match="not successful"):
+        pca(root, 3, tol=1e-12, maxiter=1, state_out=state)
+    assert not bool(load_state(state)["converged"])
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("snps",))
+    warm = pca(root, 3, tol=1e-9, streaming=True, memory_mb=1,
+               mesh=mesh, state_in=state)
+    ref = pca(root, 3, tol=1e-9)                 # resident oracle
+    np.testing.assert_allclose(warm.values, ref.values, rtol=1e-7)
+    for j in range(3):
+        c = abs(np.dot(np.asarray(warm.vectors[:, j]),
+                       np.asarray(ref.vectors[:, j])))
+        assert c > 1 - 1e-7
+
+
 def test_streaming_checkpoint_resume_composition(small_plink, tmp_path):
     """Checkpoints compose with the streaming (bounded-memory)
     operator: an interrupted streaming run persists its Ritz panel and
