@@ -106,3 +106,46 @@ def test_pca_mid_run_checkpoint_sharded(mesh4, tmp_path, monkeypatch):
     assert bool(st["converged"])      # final write wins
     warm = pca(root, 3, tol=1e-10, state_in=state)   # resume UNsharded
     np.testing.assert_allclose(warm.values, res.values, rtol=1e-8)
+
+
+def test_scca_mesh_resume_from_unsharded_state(small_plink, pheno, mesh4,
+                                               tmp_path):
+    """Topology-changed SCCA restart: per-dimension checkpoints written
+    by an UNsharded run resume onto a SNP-sharded mesh.  The deflation
+    state is topology-free (completed U/V columns plus V0), so the
+    replacement fleet need not match the run that wrote it."""
+    import sys
+
+    scca_mod = sys.modules["flashpca_tpu.models.scca"]
+    from flashpca_tpu.models.scca import save_scca_state
+
+    root, _ = small_plink
+    rng = np.random.default_rng(7)
+    V0 = rng.normal(size=(pheno.shape[1], 2))
+    kw = dict(ndim=2, maxiter=1000, tol=1e-9, V0=V0)
+    state = str(tmp_path / "scca_unsharded.npz")
+
+    # capture the checkpoint written after each completed dimension
+    snaps = []
+    orig = save_scca_state
+
+    def spy(path, U, V, d, next_dim, V0_, l1, l2):
+        snaps.append(int(next_dim))
+        orig(str(tmp_path / f"snap{next_dim}.npz"),
+             U, V, d, next_dim, V0_, l1, l2)
+        return orig(path, U, V, d, next_dim, V0_, l1, l2)
+
+    scca_mod.save_scca_state, saved = spy, scca_mod.save_scca_state
+    try:
+        full = scca(root, pheno, 1e-3, 1e-3, state_out=state, **kw)
+    finally:
+        scca_mod.save_scca_state = saved
+    assert full.converged and snaps == [1, 2]
+
+    # resume dim 1 from the post-dim-0 snapshot, now SNP-sharded
+    resumed = scca(root, pheno, 1e-3, 1e-3, mesh=mesh4,
+                   state_in=str(tmp_path / "snap1.npz"), **kw)
+    assert resumed.converged
+    np.testing.assert_allclose(resumed.d, full.d, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(resumed.U, full.U, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(resumed.V, full.V, rtol=1e-7, atol=1e-9)
