@@ -91,3 +91,38 @@ def test_block_solver_random_spectra(trial):
     # per-vector comparison to Q ill-defined)
     R = A @ U - U * res.eigenvalues[None, :]
     assert np.linalg.norm(R, axis=0).max() < 1e-6 * d[0]
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_pca_end_to_end_random_shapes(trial):
+    """pca(plink_root) vs the dense eigh oracle across random shapes,
+    missingness, standardizations, and operator modes -- the whole
+    PLINK -> stats -> operator -> block solver -> polish pipeline as
+    one seeded property (the E2E twin of the operator fuzz above)."""
+    from flashpca_tpu.models.pca import pca
+
+    rng = np.random.default_rng(4200 + trial)
+    n = int(rng.integers(40, 160))
+    p = int(rng.integers(25, 120))
+    k = int(rng.integers(2, 6))
+    method = ["binom", "binom2"][trial % 2]
+    maf = rng.uniform(0.05, 0.5, size=p)
+    geno = rng.binomial(2, maf[None, :], size=(n, p)).astype(np.float64)
+    geno[rng.uniform(size=(n, p)) < 0.1] = np.nan
+    root = tempfile.mkdtemp() + "/fz_pca"
+    write_bed(root, geno)
+
+    res = pca(root, k, stand=method, tol=1e-9,
+              streaming=bool(trial % 2), memory_mb=1 if trial % 2 else None)
+
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats(method)
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T   # (n, p)
+    G = X @ X.T / p
+    w, Q = np.linalg.eigh(G)
+    w, Q = w[::-1][:k], Q[:, ::-1][:, :k]
+    np.testing.assert_allclose(res.values, w, rtol=1e-7, atol=1e-10)
+    s = np.sign(np.sum(Q * res.vectors, axis=0))
+    s[s == 0] = 1.0
+    np.testing.assert_allclose(res.vectors * s[None, :], Q, atol=1e-6)
+    np.testing.assert_allclose(res.trace, (X ** 2).sum() / p, rtol=1e-9)
