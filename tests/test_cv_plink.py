@@ -153,3 +153,27 @@ def test_cv_scca_plink_streaming_matches_resident(complete_plink, rng):
     assert res_s.best_lambda1 == res_r.best_lambda1
     assert res_s.best_lambda2 == res_r.best_lambda2
     np.testing.assert_allclose(res_s.nzero_x, res_r.nzero_x)
+
+
+def test_cv_scca_plink_mesh_matches(complete_plink, rng):
+    """The PLINK CV composes with a SNP-sharded mesh: the per-fold
+    repacked training operators shard over the mesh and the CV matches
+    the single-device run on the same folds."""
+    import jax
+    from jax.sharding import Mesh
+
+    root, X = complete_plink
+    n = X.shape[0]
+    Y = rng.normal(size=(n, 2))
+    folds = np.arange(n) % 3
+    kw = dict(ndim=2, folds=folds, seed=5, tol=1e-9)
+    l1 = np.array([1e-4, 1e-3])
+    l2 = np.array([1e-4])
+    res_1 = cv_scca(root, Y, l1, l2, **kw)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("snps",))
+    res_m = cv_scca(root, Y, l1, l2, mesh=mesh, **kw)
+    np.testing.assert_allclose(res_m.corr, res_1.corr,
+                               rtol=1e-6, atol=1e-8)
+    assert res_m.best_lambda1 == res_1.best_lambda1
+    assert res_m.best_lambda2 == res_1.best_lambda2
+    np.testing.assert_allclose(res_m.nzero_x, res_1.nzero_x)
