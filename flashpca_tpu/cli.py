@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PCA with --outstate: also rewrite the "
                         "checkpoint after every R-th restart DURING "
                         "the solve (mid-run fault tolerance; 0 = off)")
+    p.add_argument("--polish", default="contract",
+                   choices=["contract", "fast"],
+                   help="f32 accuracy/speed knob: 'contract' (default) "
+                        "meets the reference's --check mse < 1e-8 via "
+                        "the compensated polish at ~2x the data "
+                        "passes; 'fast' stops at the plain-f32 floor "
+                        "(~2e-8) in about half the passes")
     return p
 
 
@@ -335,6 +342,7 @@ def main(argv=None) -> int:
                 streaming=stream, memory_mb=args.memory,
                 state_in=args.instate, state_out=args.outstate,
                 checkpoint_every=args.checkpoint_every,
+                polish=args.polish,
             )
             print(timestamp() + "PCA done")
             save_text(res.values.reshape(-1, 1), out["val"], precision=prec)

@@ -90,6 +90,7 @@ def pca(
     state_in: str | None = None,
     state_out: str | None = None,
     checkpoint_every: int = 0,
+    polish: str = "contract",
 ) -> PCAResult:
     """Compute the top ``ndim`` principal components.
 
@@ -118,7 +119,25 @@ def pca(
     every R-th thick restart DURING the solve, so even a killed process
     resumes from its last checkpoint (mid-run fault tolerance; costs
     one (N, panel) device->host fetch per checkpoint).
+
+    ``polish`` is the accuracy/speed knob for f32 (TPU) runs:
+
+    * ``"contract"`` (default): solve ndim + up-to-8 buffer pairs and
+      finish with the compensated (two-float) ff-Krylov refinement --
+      meets the reference's ``--check`` contract literally
+      (mse < 1e-8, README.md:207; measured ~2e-9 at 501,760 x
+      100,352 k=20) at ~2x the data passes (n_ops 30 vs 15 at k=20).
+    * ``"fast"``: plain f32 solve + f32 subspace polish -- about half
+      the passes; the residual floors at the f32 product-noise level
+      (check mse ~2.4e-8 at the same scale -- far beyond any
+      statistical need for PCA, but above the literal contract).
+
+    On f64 (CPU) runs both settings are identical (the f64 path never
+    needs the compensated refinement).
     """
+    if polish not in ("contract", "fast"):
+        raise ValueError(
+            f"polish must be 'contract' or 'fast', got {polish!r}")
     if checkpoint_every:
         if checkpoint_every < 0:
             raise ValueError(
@@ -153,6 +172,7 @@ def pca(
             state_in=state_in, state_out=state_out,
             checkpoint_every=checkpoint_every,
             device_results=device_results, verbose=verbose,
+            polish=polish,
         )
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
@@ -163,7 +183,7 @@ def pca(
             fused=not isinstance(data, StreamingPackedOperator),
             device_results=device_results,
             state_in=state_in, state_out=state_out, verbose=verbose,
-            checkpoint_every=checkpoint_every,
+            checkpoint_every=checkpoint_every, polish=polish,
         )
 
     if isinstance(data, PlinkDataset):
@@ -180,7 +200,7 @@ def pca(
                 do_loadings, dtype, ncv, check_geno=False, panel=panel,
                 verbose=verbose, mesh=mesh,
                 state_in=state_in, state_out=state_out,
-                checkpoint_every=checkpoint_every,
+                checkpoint_every=checkpoint_every, polish=polish,
             )
         # one host pass yields (mean, sd) AND the exact per-SNP sum of
         # squares of standardized X -- so trace/pve cost no device data
@@ -225,6 +245,7 @@ def pca(
                 state_in=state_in, state_out=state_out,
                 checkpoint_every=checkpoint_every,
                 device_results=device_results, verbose=verbose,
+                polish=polish,
             )
         # streaming: host(/disk)-resident packed data, bounded device
         # memory -- the reference's core capability (README.md:11-12).
@@ -241,6 +262,7 @@ def pca(
             device_results=device_results,
             state_in=state_in, state_out=state_out,
             verbose=verbose, checkpoint_every=checkpoint_every,
+            polish=polish,
         )
 
     X = np.asarray(data, dtype=np.float64)
@@ -260,7 +282,7 @@ def pca(
         X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
         dtype, ncv, check_geno=False, panel=panel, verbose=verbose,
         mesh=mesh, state_in=state_in, state_out=state_out,
-        checkpoint_every=checkpoint_every,
+        checkpoint_every=checkpoint_every, polish=polish,
     )
 
 
@@ -370,7 +392,7 @@ def _gate_convergence(res, ndim, tol):
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
               dtype, ncv, mean, sd, panel=16, state_in=None,
               state_out=None, checkpoint_every=0, device_results=False,
-              verbose=False) -> PCAResult:
+              verbose=False, polish="contract") -> PCAResult:
     """Tall path: eigenpairs of X^T X; identical outputs to the wide
     path: lambda(X^T X) = lambda(X X^T) on the top spectrum,
     U = X V_s Lambda^{-1/2}, and the loadings V equal V_s exactly
@@ -384,7 +406,8 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     # same buffered-solve + compensated-polish pattern as the wide path
     # (see _pca_operator); the tall ff gram rides the Pallas kernels
     use_ff = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-              and getattr(op, "supports_ff", False))
+              and getattr(op, "supports_ff", False)
+              and polish == "contract")
     max_dim = int((min(n, p) - 1) / 2.0)
     extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
     extra = _clamp_buffer(extra, ndim, ncv, panel)
@@ -449,7 +472,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
                 dtype, ncv, check_geno, panel=16, verbose=False,
                 mesh=None, state_in=None, state_out=None,
-                checkpoint_every=0):
+                checkpoint_every=0, polish="contract"):
     if mesh is not None and mesh.size > 1:
         # the dense-matrix path has no sharded implementation; silent
         # single-device placement would hide a dropped request
@@ -465,7 +488,7 @@ def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
         op, ndim, divisor, maxiter, tol, seed, do_loadings, dtype, ncv,
         mean, sd, panel=panel, verbose=verbose,
         state_in=state_in, state_out=state_out,
-        checkpoint_every=checkpoint_every,
+        checkpoint_every=checkpoint_every, polish=polish,
     )
 
 
@@ -473,7 +496,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
                   dtype, ncv, mean, sd, solver="block", panel=16,
                   fused=True, device_results=False, state_in=None,
                   state_out=None, checkpoint_every=0,
-                  verbose=False) -> PCAResult:
+                  verbose=False, polish="contract") -> PCAResult:
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
@@ -481,7 +504,8 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     v0 = _solver_v0(op, n, dtype, seed, state_in)
 
     use_ff = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-              and hasattr(op, "gram_ff_permuted"))
+              and hasattr(op, "gram_ff_permuted")
+              and polish == "contract")
     # Buffer pairs beyond ndim, SOLVED alongside the requested ones:
     # with the boundary pairs' spectral neighbors converged in the
     # refinement basis, the compensated polish cleans them like
@@ -550,7 +574,8 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         # README.md:207) -- the buffer pairs solved above exist for it.
         lam, U_dev = polish_subspace(
             mv, U_dev, iters=2, operands=ops_, fused=fused,
-            ff_gram=getattr(op, "gram_ff_permuted", None))
+            ff_gram=(getattr(op, "gram_ff_permuted", None)
+                     if use_ff else None))
     # drop the buffer pairs: only the requested dimensions are returned
     lam = lam[:ndim]
     U_dev = U_dev[:, :ndim]

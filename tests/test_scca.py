@@ -58,9 +58,9 @@ def test_scca_matrix_vs_plink(small_plink, rng):
     W = dense_standardized_np(ds.read_codes(), mean, sd)
     res_mx = scca(W.T, Y, 1e-3, 1e-3, ndim=2, maxiter=1000, tol=1e-8,
                   V0=V0, stand_x="none")
-    # stand_x="none" passes values through untouched (no recentering, no
-    # imputation); W is already standardized with no NaN, so both paths see
-    # the identical matrix.
+    # stand_x="none" only mean-imputes missing values (no centering/
+    # scaling, ops/standardize.py matching util.cpp:52-56); W has no NaN,
+    # so both paths see the identical matrix.
     np.testing.assert_allclose(res_pl.d, res_mx.d, rtol=1e-6)
     np.testing.assert_allclose(res_pl.U, res_mx.U, atol=1e-7)
     np.testing.assert_allclose(res_pl.V, res_mx.V, atol=1e-7)
