@@ -51,3 +51,24 @@ def test_bench_tall_smoke():
 def test_bench_repeats_reports_min():
     rec, err = _run_bench({**_TINY, "FLASHPCA_BENCH_REPEATS": "2"})
     assert "run 2/2" in err and "min over 2 identical runs" in err
+
+
+def test_bench_watchdog_emits_json():
+    """A starved run must still print ONE parseable JSON line and exit 0
+    (BENCH_r03 died rc=124 with nothing on stdout)."""
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = (repo + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else repo)
+    env.update({**_TINY, "FLASHPCA_BENCH_N": "20000",
+                "FLASHPCA_BENCH_P": "4000", "FLASHPCA_BENCH_K": "20",
+                "FLASHPCA_BENCH_BUDGET_S": "3"})
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec.get("incomplete") is True or rec["vs_baseline"] > 0
+    assert "WATCHDOG" in out.stderr
