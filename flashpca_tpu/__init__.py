@@ -12,7 +12,8 @@ __version__ = "0.3.0"
 
 from .io import PlinkDataset
 from .ops import standardize, scale2, PackedOperator, DenseOperator
-from .ops.operator import StreamingPackedOperator, TallPackedOperator
+from .ops.operator import (StreamingPackedOperator, TallPackedOperator,
+                           TallStreamingOperator)
 from .models import (
     pca, flashpca, PCAResult,
     project, ProjectResult,

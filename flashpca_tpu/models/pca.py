@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..io.plink import PlinkDataset
 from ..ops.operator import (DenseOperator, PackedOperator,
                             StreamingPackedOperator, TallPackedOperator,
+                            TallStreamingOperator,
                             build_packed_operator, check_operator_conflicts,
                             default_dtype as _default_dtype)
 from ..ops.standardize import standardize
@@ -154,8 +155,9 @@ def pca(
     if isinstance(data, str):
         data = PlinkDataset.open(data)
 
-    if isinstance(data, (TallPackedOperator, PackedOperator,
-                         StreamingPackedOperator, DenseOperator)):
+    if isinstance(data, (TallPackedOperator, TallStreamingOperator,
+                         PackedOperator, StreamingPackedOperator,
+                         DenseOperator)):
         # a prebuilt operator fixes dtype/sharding/residency; explicit
         # conflicting kwargs raise instead of being dropped silently
         check_operator_conflicts(data, dtype=dtype_arg, mesh=mesh,
@@ -164,11 +166,12 @@ def pca(
             raise ValueError(
                 "batch=True has no effect on a prebuilt operator"
             )
-    if isinstance(data, TallPackedOperator):
+    if isinstance(data, (TallPackedOperator, TallStreamingOperator)):
         _check_ndim(ndim, data.n_samples, data.n_snps)
         return _pca_tall(
             data, ndim, divisor, maxiter, tol, seed, do_loadings,
             data.dtype, ncv, data.center, data.scale, panel=panel,
+            fused=not isinstance(data, TallStreamingOperator),
             state_in=state_in, state_out=state_out,
             checkpoint_every=checkpoint_every,
             device_results=device_results, verbose=verbose,
@@ -219,29 +222,30 @@ def pca(
 
         stream_on = resolve_streaming(streaming, data, mesh)
         tall = (operator_mode == "tall"
-                or (operator_mode == "auto" and n > 2 * p and not stream_on))
-        if tall and stream_on:
-            if streaming is True:
-                raise ValueError(
-                    "operator_mode='tall' has no streaming variant; use "
-                    "operator_mode='wide' (or 'auto') with streaming, or "
-                    "drop streaming for the HBM-resident tall path"
-                )
-            stream_on = False   # operator_mode='tall' forced, auto-stream off
+                or (operator_mode == "auto" and n > 2 * p))
         if tall:
             # tall sharding splits the SAMPLE (byte) axis; reuse whatever
             # axis name the caller's 1-D mesh carries (CLI meshes are
             # built as ("snps",) -- the name is just a label here)
-            op = TallPackedOperator(
-                data.read_packed(), mean, sd, n,
-                block_size=block_size, dtype=dtype, mesh=mesh,
-                axis_name=(mesh.axis_names[0] if mesh is not None
-                           else "samples"),
-                snp_sumsq=sumsq,
-            )
+            ax = mesh.axis_names[0] if mesh is not None else "samples"
+            if stream_on:
+                # streaming x tall: byte-axis blocks staged from host
+                # (the composition the reference stubbed twice --
+                # svdtall.cpp dead + svdwide.cpp:21-68 SNP-blocks-only)
+                op = TallStreamingOperator(
+                    data, mean, sd, n, memory_mb=memory_mb,
+                    dtype=dtype, mesh=mesh, axis_name=ax,
+                    snp_sumsq=sumsq,
+                )
+            else:
+                op = TallPackedOperator(
+                    data.read_packed(), mean, sd, n,
+                    block_size=block_size, dtype=dtype, mesh=mesh,
+                    axis_name=ax, snp_sumsq=sumsq,
+                )
             return _pca_tall(
                 op, ndim, divisor, maxiter, tol, seed, do_loadings,
-                dtype, ncv, mean, sd, panel=panel,
+                dtype, ncv, mean, sd, panel=panel, fused=not stream_on,
                 state_in=state_in, state_out=state_out,
                 checkpoint_every=checkpoint_every,
                 device_results=device_results, verbose=verbose,
@@ -390,7 +394,7 @@ def _gate_convergence(res, ndim, tol):
 
 
 def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
-              dtype, ncv, mean, sd, panel=16, state_in=None,
+              dtype, ncv, mean, sd, panel=16, fused=True, state_in=None,
               state_out=None, checkpoint_every=0, device_results=False,
               verbose=False, polish="contract") -> PCAResult:
     """Tall path: eigenpairs of X^T X; identical outputs to the wide
@@ -416,11 +420,14 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         ncv = nev_solve + max(72, (3 * nev_solve) // 2)
     solver_tol = max(tol, 1e-4) if use_ff else tol
 
-    mv, ops_ = op.gram_pure()
+    if fused:
+        mv, ops_ = op.gram_pure()
+    else:
+        mv, ops_ = op.gram_permuted, ()
     res = eigsh_block(
         mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
         maxiter=maxiter, tol=solver_tol, dtype=dtype, seed=seed, v0=v0,
-        operands=ops_, verbose=verbose,
+        operands=ops_, fused=fused, verbose=verbose,
         checkpoint_every=checkpoint_every,
         checkpoint_fn=_mid_run_checkpointer(op, state_out,
                                             checkpoint_every),
@@ -432,7 +439,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     V_dev = res.eigenvectors
     if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
         lam, V_dev = polish_subspace(
-            mv, V_dev, iters=2, operands=ops_,
+            mv, V_dev, iters=2, operands=ops_, fused=fused,
             ff_gram=op.gram_ff_permuted if use_ff else None)
     lam = lam[:ndim]
     V_dev = V_dev[:, :ndim]

@@ -18,6 +18,7 @@ from .operator import (
     DenseOperator,
     StreamingPackedOperator,
     TallPackedOperator,
+    TallStreamingOperator,
     build_packed_operator,
     resolve_streaming,
     check_operator_conflicts,
