@@ -81,3 +81,39 @@ def test_end_to_end_sharded_pca(small_plink):
     for j in range(3):
         c = abs(np.dot(res_d.vectors[:, j], res_l.vectors[:, j]))
         assert c > 1 - 1e-9
+
+
+def test_tall_sharded_operator_matches_local(small_plink):
+    """tall_sharded_operator (per-host byte-window loader) equals a
+    locally-built TallPackedOperator on the same mesh: identical
+    padded layout, gram, prod, and analytic trace."""
+    from flashpca_tpu.ops.operator import TallPackedOperator
+    from flashpca_tpu.parallel.dist import tall_sharded_operator
+
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("samples",))
+    op_d = tall_sharded_operator(ds, mesh, dtype=jnp.float64)
+    op_l = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                              mesh=mesh, dtype=jnp.float64)
+    assert (op_d.p_pad, op_d.nbytes_pad) == (op_l.p_pad, op_l.nbytes_pad)
+    np.testing.assert_array_equal(np.asarray(op_d.packed),
+                                  np.asarray(op_l.packed))
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal((ds.n_snps, 2)), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(op_d.gram_permuted(op_d.permute(v))),
+        np.asarray(op_l.gram_permuted(op_l.permute(v))),
+        rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(op_d.prod(v)), np.asarray(op_l.prod(v)),
+        rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(op_d.trace, op_l.trace, rtol=1e-12)
+
+
+def test_plan_byte_shards_even():
+    from flashpca_tpu.parallel.dist import plan_byte_shards
+
+    cols = plan_byte_shards(512, 4)
+    assert cols == [(0, 128), (128, 256), (256, 384), (384, 512)]
