@@ -62,6 +62,7 @@ N_POPS = 8
 _START = time.time()
 _BUDGET = float(os.environ.get("FLASHPCA_BENCH_BUDGET_S", "1080"))
 _json_printed = False
+_json_lock = threading.Lock()
 _metric_name = "pca_incomplete"
 _ref_scaled = 0.0
 _walls: list[float] = []
@@ -80,9 +81,10 @@ def emit_json(extra=None):
     the completed timed solves, or an explicit incomplete marker if
     none finished inside the budget."""
     global _json_printed
-    if _json_printed:
-        return
-    _json_printed = True
+    with _json_lock:        # the watchdog thread races the main thread
+        if _json_printed:
+            return
+        _json_printed = True
     if _walls:
         result = {
             "metric": _metric_name,

@@ -214,10 +214,10 @@ def pca(
             raise ValueError(f"unknown operator_mode: {operator_mode}")
         # tall regime (n >> p): decompose the p x p Gram X^T X instead
         # of the n x n X X^T -- the path the reference stubbed
-        # (svdtall.cpp; see SURVEY.md 2.1).  The tall operator is
-        # HBM-resident only, so a streaming request (explicit, or auto
-        # resolving on for data larger than HBM) takes precedence over
-        # the auto-tall heuristic; forcing BOTH is a visible conflict.
+        # (svdtall.cpp; see SURVEY.md 2.1).  Since r4 tall COMPOSES
+        # with streaming: data larger than HBM keeps the p x p problem
+        # shape and streams sample(byte)-axis blocks through
+        # TallStreamingOperator (host-driven solver cycles).
         from ..ops.operator import resolve_streaming
 
         stream_on = resolve_streaming(streaming, data, mesh)
@@ -229,6 +229,18 @@ def pca(
             # built as ("snps",) -- the name is just a label here)
             ax = mesh.axis_names[0] if mesh is not None else "samples"
             if stream_on:
+                if block_size is not None:
+                    # block_size counts SNPs-per-block (the wide axis);
+                    # the tall streaming operator blocks the BYTE
+                    # (sample) axis, so a SNP count is not honorable --
+                    # raising beats dropping it silently (the prebuilt-
+                    # operator conflict rule, check_operator_conflicts)
+                    raise ValueError(
+                        "block_size= (SNPs per block) does not apply to "
+                        "the tall streaming path, which blocks the "
+                        "sample(byte) axis; bound its staged buffers "
+                        "with memory_mb= instead"
+                    )
                 # streaming x tall: byte-axis blocks staged from host
                 # (the composition the reference stubbed twice --
                 # svdtall.cpp dead + svdwide.cpp:21-68 SNP-blocks-only)

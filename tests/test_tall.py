@@ -351,3 +351,12 @@ def test_tall_streaming_prebuilt_conflicts(tall_plink):
     w = np.linalg.eigvalsh(X @ X.T / ds.n_snps)[::-1][:3]
     res = pca(op, 3, tol=1e-9)
     np.testing.assert_allclose(res.values, w, rtol=1e-8)
+
+
+def test_tall_streaming_rejects_block_size(tall_plink):
+    """block_size counts SNPs per block (the wide axis); the tall
+    streaming path blocks BYTES -- an explicit block_size must raise,
+    not drop silently (review r4)."""
+    with pytest.raises(ValueError, match="memory_mb"):
+        pca(tall_plink, ndim=2, operator_mode="tall", streaming=True,
+            block_size=512)
