@@ -437,8 +437,10 @@ def main():
         log(f"bench: warm {label} in {time.time() - t1:.1f}s "
             f"(budget left {budget_left():.0f}s)")
 
-    x = jnp.ones((op.op_dim,), dtype=op.dtype)
-    warm("gram k=1", lambda: float(jnp.sum(op.gram_permuted(x))))
+    # (no k=1 gram warm: pca() never calls the operator's own jitted
+    # vector program -- the solver traces mv from gram_pure into its
+    # own cycle programs, warmed below.  The old warm cost 67 s of
+    # cold compile for a program the timed path never ran.)
     mv, ops_ = op.gram_pure()
     # warm the cycle program at pca()'s ACTUAL shapes: nev = k + 8
     # buffer pairs, basis per the headroom rule (models/pca.py)
