@@ -15,7 +15,8 @@ from flashpca_tpu.io.plink import PlinkDataset, write_bed
 from flashpca_tpu.ops import dense_standardized_np
 from flashpca_tpu.ops.operator import (PackedOperator,
                                        StreamingPackedOperator,
-                                       TallPackedOperator)
+                                       TallPackedOperator,
+                                       TallStreamingOperator)
 
 
 @pytest.mark.parametrize("trial", range(8))
@@ -61,6 +62,22 @@ def test_operator_products_random_shapes(trial):
     u = tall.unpermute(tall.gram_permuted(tall.permute(
         jnp.asarray(v, jnp.float64))))
     np.testing.assert_allclose(np.asarray(u), X.T @ (X @ v),
+                               rtol=1e-9, atol=1e-9)
+
+    # tall STREAMING twin: random byte-axis block size (1..nbytes+2
+    # spans single-block, ragged-tail, and multi-block staging) and a
+    # randomly enabled pinned-block cache
+    tstream = TallStreamingOperator(
+        ds, mean, sd, n, dtype=jnp.float64,
+        block_bytes=int(rng.integers(1, ds.nbytes_per_snp + 3)),
+        cache_mb=("auto" if trial % 2 else 0))
+    u2 = tstream.unpermute(tstream.gram_permuted(tstream.permute(
+        jnp.asarray(v, jnp.float64))))
+    np.testing.assert_allclose(np.asarray(u2), X.T @ (X @ v),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tstream.crossprod(
+        jnp.asarray(x, jnp.float64))), X.T @ x, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tstream.prod(v)), X @ v,
                                rtol=1e-9, atol=1e-9)
 
 
