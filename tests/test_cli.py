@@ -177,3 +177,21 @@ def test_cli_batch_writes_state(small_plink, workdir):
     assert os.path.exists("ck.npz")
     assert main(["--bfile", root, "--ndim", "2", "--batch",
                  "--instate", "ck.npz", "--notime"]) == 0
+
+
+def test_cli_polish_fast(small_plink, workdir):
+    """--polish fast runs end-to-end and matches --polish contract to
+    the plain-f32 floor (the knob's CLI wiring, cli.py --polish)."""
+    root, _ = small_plink
+    assert main(["--bfile", root, "--ndim", "3", "--tol", "1e-9",
+                 "--polish", "fast", "--suffix", ".fast.txt",
+                 "--notime", "--shards", "1"]) == 0
+    assert main(["--bfile", root, "--ndim", "3", "--tol", "1e-9",
+                 "--suffix", ".contract.txt",
+                 "--notime", "--shards", "1"]) == 0
+    fast = read_text("eigenvalues.fast.txt", firstcol=1)
+    full = read_text("eigenvalues.contract.txt", firstcol=1)
+    np.testing.assert_allclose(fast[:, 0], full[:, 0], rtol=1e-6)
+    ef = read_text("eigenvectors.fast.txt", firstcol=3, skip=1)
+    ec = read_text("eigenvectors.contract.txt", firstcol=3, skip=1)
+    np.testing.assert_allclose(np.abs(ef), np.abs(ec), atol=1e-6)
