@@ -26,3 +26,4 @@ from .models.scca import (cv_scca, CVSCCAResult, save_scca_state,
 from .models.scca_split import split_scca, SplitSCCAResult
 from .solvers.lanczos import eigsh
 from .solvers.block_lanczos import eigsh_block
+from . import plots  # matplotlib itself loads lazily inside plots

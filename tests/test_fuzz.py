@@ -64,13 +64,16 @@ def test_operator_products_random_shapes(trial):
     np.testing.assert_allclose(np.asarray(u), X.T @ (X @ v),
                                rtol=1e-9, atol=1e-9)
 
-    # tall STREAMING twin: random byte-axis block size (1..nbytes+2
-    # spans single-block, ragged-tail, and multi-block staging) and a
-    # randomly enabled pinned-block cache
+    # tall STREAMING twin: every 4th trial pins the exact single-block
+    # geometry (whole data staged once), the rest draw a random
+    # byte-axis block size (ragged tails, multi-block accumulation);
+    # the cache arm uses an explicit MB budget -- "auto" resolves to 0
+    # cached blocks off-TPU, which would silently skip the cache path
     tstream = TallStreamingOperator(
         ds, mean, sd, n, dtype=jnp.float64,
-        block_bytes=int(rng.integers(1, ds.nbytes_per_snp + 3)),
-        cache_mb=("auto" if trial % 2 else 0))
+        block_bytes=(ds.nbytes_per_snp if trial % 4 == 0
+                     else int(rng.integers(1, ds.nbytes_per_snp + 3))),
+        cache_mb=(64 if trial % 2 else 0))
     u2 = tstream.unpermute(tstream.gram_permuted(tstream.permute(
         jnp.asarray(v, jnp.float64))))
     np.testing.assert_allclose(np.asarray(u2), X.T @ (X @ v),
