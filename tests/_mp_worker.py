@@ -117,6 +117,39 @@ def main():
         print(f"worker {pid} ok", flush=True)
         return
 
+    if MODE == "tallstream":
+        # Tall x STREAMING x 2 controllers -- the full composition:
+        # the packed data stays HOST-resident (every controller memmaps
+        # the same shared .bed), byte-axis blocks are staged per
+        # product onto the process-spanning byte-sharded NamedSharding
+        # (device_put places only each process's addressable shards
+        # from the replicated host block), and the p-space gram psums
+        # over the global mesh.  The host-driven block loop runs in
+        # lockstep on every controller, so staging order and solver
+        # trajectories are identical by construction.
+        from flashpca_tpu.io.plink import PlinkDataset
+        from flashpca_tpu.models.pca import pca
+        from flashpca_tpu.ops.operator import TallStreamingOperator
+
+        ds = PlinkDataset.open(root)
+        mesh_t = snp_mesh(axis_name="samples")
+        mean, sd = ds.snp_stats("binom2")
+        op = TallStreamingOperator(ds, mean, sd, ds.n_samples,
+                                   block_bytes=16, dtype=jnp.float64,
+                                   mesh=mesh_t, cache_mb=0)
+        assert op.n_blocks > 2          # really multi-block staging
+        rng = np.random.default_rng(0)  # same seed on every process
+        v = rng.standard_normal((op.n_snps, 2))
+        u = np.asarray(op.unpermute(op.gram_permuted(op.permute(
+            jnp.asarray(v, op.dtype)))))
+        res = pca(op, 4, tol=1e-9)
+        np.savez(os.path.join(outdir, f"worker{pid}.npz"),
+                 gram=u, values=res.values,
+                 vectors=np.asarray(res.vectors), pve=res.pve,
+                 trace=res.trace, n_ops=res.n_ops)
+        print(f"worker {pid} ok", flush=True)
+        return
+
     if MODE == "check":
         # checker under 2 controllers: solve on the sharded operator,
         # then verify the decomposition through check()'s device-side

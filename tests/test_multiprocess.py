@@ -282,3 +282,42 @@ def test_two_process_tall(mp_pca_plink, tmp_path, mode, rtol):
     assert rmse < (1e-8 if mode == "tall" else 1e-4), rmse
     np.testing.assert_allclose(float(d0["trace"]),
                                (X ** 2).sum() / ds.n_snps, rtol=1e-10)
+
+
+def test_two_process_tall_streaming(mp_pca_plink, tmp_path):
+    """Tall x streaming x 2 controllers: host-resident packed data
+    (shared memmap on every controller), byte-axis blocks staged per
+    product onto the process-spanning byte-sharded mesh, psum'd
+    p-space gram -- bit-identical across processes and matching the
+    dense oracle (the full composition of the r4 TallStreamingOperator
+    with the multi-controller runtime)."""
+    root, geno = mp_pca_plink
+    out = tmp_path / "tallstream"
+    out.mkdir()
+    _run_workers(root, str(out), mode="tallstream")
+
+    d0 = np.load(out / "worker0.npz")
+    d1 = np.load(out / "worker1.npz")
+    for key in ("gram", "values", "vectors", "pve", "trace", "n_ops"):
+        np.testing.assert_array_equal(d0[key], d1[key], err_msg=key)
+
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops import dense_standardized_np
+
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((ds.n_snps, 2))
+    ref_u = X.T @ (X @ v)
+    rel = np.linalg.norm(d0["gram"] - ref_u) / np.linalg.norm(ref_u)
+    assert rel < 1e-12, rel
+
+    lam_ref, V_ref = _pca_oracle(root, 4)
+    np.testing.assert_allclose(d0["values"], lam_ref, rtol=1e-9)
+    U = d0["vectors"]
+    sign = np.sign(np.sum(U * V_ref, axis=0))
+    rmse = np.sqrt(np.mean((U * sign[None, :] - V_ref) ** 2))
+    assert rmse < 1e-8, rmse
+    np.testing.assert_allclose(float(d0["trace"]),
+                               (X ** 2).sum() / ds.n_snps, rtol=1e-10)
