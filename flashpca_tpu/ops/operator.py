@@ -194,12 +194,6 @@ class LinearOperatorBase:
     n_samples: int
     n_snps: int
 
-    def rows(self) -> int:
-        return self.n_samples
-
-    def cols(self) -> int:
-        return self.n_samples
-
     def _as_2d(self, x, length, name):
         x = jnp.asarray(x, dtype=self.dtype)
         vec = x.ndim == 1
@@ -438,21 +432,28 @@ class PackedOperator(LinearOperatorBase):
 
             from jax import shard_map
 
+            # check_vma=False on every product: a pallas_call inside
+            # shard_map trips the vma check (the ff paths below carry
+            # the same flag; mesh+jnp paths are unaffected)
             gram = shard_map(
                 gram_psum, mesh=mesh,
                 in_specs=(row, snp, snp, rep, P(None)), out_specs=rep,
+                check_vma=False,
             )
             cross = shard_map(
                 cross_psum, mesh=mesh,
                 in_specs=(row, snp, snp, rep, P(None)), out_specs=row,
+                check_vma=False,
             )
             mv = shard_map(
                 prod_psum, mesh=mesh,
                 in_specs=(row, snp, snp, row, P(None)), out_specs=rep,
+                check_vma=False,
             )
             sumsq = shard_map(
                 local_sumsq, mesh=mesh,
                 in_specs=(row, snp, snp, P(None)), out_specs=snp,
+                check_vma=False,
             )
 
         self._gram_fn = jax.jit(gram)
@@ -657,10 +658,11 @@ class PackedOperator(LinearOperatorBase):
         verbose block logging, svdwide.h:46): operator ops dispatched,
         packed bytes resident, and the per-pass decode volume."""
         bytes_per_pass = self.p_pad * self.nbytes_pad
+        itemsize = jnp.dtype(self.dtype).itemsize
         return {
             "nops": self.nops,
             "packed_bytes": bytes_per_pass,
-            "decoded_gb_per_pass": bytes_per_pass * 4 * 4 / 1e9,
+            "decoded_gb_per_pass": bytes_per_pass * 4 * itemsize / 1e9,
             "use_pallas": bool(self.use_pallas),
             "n_shards": self.nshards,
             "block_size": self.block_size,
@@ -871,16 +873,20 @@ class TallPackedOperator:
 
             from jax import shard_map
 
+            # check_vma=False: a pallas_call inside shard_map trips
+            # the vma check (same flag as the ff path)
             gram = shard_map(
                 gram_psum, mesh=self.mesh,
-                in_specs=(byte, rep1, rep1, rep2, byte), out_specs=rep2)
+                in_specs=(byte, rep1, rep1, rep2, byte), out_specs=rep2,
+                check_vma=False)
             prod = shard_map(
                 local_prod, mesh=self.mesh,
                 in_specs=(byte, rep1, rep1, rep2, byte),
-                out_specs=P(ax, None))
+                out_specs=P(ax, None), check_vma=False)
             sumsq = shard_map(
                 sumsq_psum, mesh=self.mesh,
-                in_specs=(byte, rep1, rep1, byte), out_specs=rep1)
+                in_specs=(byte, rep1, rep1, byte), out_specs=rep1,
+                check_vma=False)
         else:
             gram, prod, sumsq = local_gram, local_prod, local_sumsq
 
@@ -1171,24 +1177,30 @@ class StreamingPackedOperator(LinearOperatorBase):
             row, snp = P(ax, None), P(ax)
             rep, v1 = P(None, None), P(None)
 
+            # check_vma=False: a pallas_call inside shard_map trips
+            # the vma check (same flag as the ff path)
             gram_shard = shard_map(
                 lambda pb, mb, ib, xp, valid: lax.psum(
                     raw_gram(pb, mb, ib, xp * valid[:, None]), ax),
                 mesh=self.mesh,
-                in_specs=(row, snp, snp, rep, v1), out_specs=rep)
+                in_specs=(row, snp, snp, rep, v1), out_specs=rep,
+                check_vma=False)
             cross_shard = shard_map(
                 lambda pb, mb, ib, xp, valid: raw_cross(
                     pb, mb, ib, xp * valid[:, None]),
                 mesh=self.mesh,
-                in_specs=(row, snp, snp, rep, v1), out_specs=row)
+                in_specs=(row, snp, snp, rep, v1), out_specs=row,
+                check_vma=False)
             mv_shard = shard_map(
                 lambda pb, mb, ib, vb, valid: lax.psum(
                     raw_mv(pb, mb, ib, vb), ax),
                 mesh=self.mesh,
-                in_specs=(row, snp, snp, row, v1), out_specs=rep)
+                in_specs=(row, snp, snp, row, v1), out_specs=rep,
+                check_vma=False)
             sumsq_shard = shard_map(
                 raw_sumsq, mesh=self.mesh,
-                in_specs=(row, snp, snp, v1), out_specs=snp)
+                in_specs=(row, snp, snp, v1), out_specs=snp,
+                check_vma=False)
 
             def gram_acc(pb, mb, ib, xp, valid, acc):
                 return acc + gram_shard(pb, mb, ib, xp, valid)
@@ -1892,10 +1904,15 @@ class TallStreamingOperator:
     @property
     def snp_sumsq(self) -> np.ndarray:
         if self._sumsq is None:
-            tot = jnp.zeros((self.p_pad,), self.dtype)
+            # combine per-block partials in HOST f64 like the wide
+            # streaming twin: device-dtype (f32) cross-block adds leak
+            # ~1e-6 relative into trace/pve on many-block cohorts
+            tot = np.zeros(self.p_pad, dtype=np.float64)
             for pb, va, _, _ in self._blocks():
-                tot = tot + self._sumsq_blk(pb, self.mean, self.invsd, va)
-            self._sumsq = np.asarray(tot, dtype=np.float64)[: self.n_snps]
+                tot += np.asarray(
+                    self._sumsq_blk(pb, self.mean, self.invsd, va),
+                    dtype=np.float64)
+            self._sumsq = tot[: self.n_snps]
         return self._sumsq
 
     @property
@@ -1985,7 +2002,8 @@ def build_packed_operator(
     stream = resolve_streaming(streaming, ds, mesh)
     if stream:
         return StreamingPackedOperator(
-            ds, mean, sd, ds.n_samples, memory_mb=memory_mb, dtype=dtype,
+            ds, mean, sd, ds.n_samples, memory_mb=memory_mb,
+            block_snps=block_size, dtype=dtype,
             mesh=mesh, snp_sumsq=snp_sumsq, cache_mb=cache_mb,
         )
     return PackedOperator(

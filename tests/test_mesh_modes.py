@@ -149,3 +149,57 @@ def test_scca_mesh_resume_from_unsharded_state(small_plink, pheno, mesh4,
     np.testing.assert_allclose(resumed.d, full.d, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(resumed.U, full.U, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(resumed.V, full.V, rtol=1e-7, atol=1e-9)
+
+
+def test_mesh_pallas_products_all_operators(small_plink, mesh4):
+    """mesh x Pallas-kernel products (the flagship multi-chip TPU
+    configuration, exercised here via interpret mode): the plain-path
+    shard_maps need check_vma=False exactly like the ff paths -- a
+    pallas_call inside shard_map trips the vma check, and the mesh
+    suite otherwise runs the jnp (f64) paths only.  Regression for a
+    trace-time ValueError on every product of all three Pallas-capable
+    operator classes."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops import dense_standardized_np
+    from flashpca_tpu.ops.operator import (PackedOperator,
+                                           StreamingPackedOperator,
+                                           TallPackedOperator)
+
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    X = dense_standardized_np(ds.read_codes(), mean, sd).T
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((ds.n_samples, 2))
+    v = rng.standard_normal((ds.n_snps, 2))
+    tol = dict(rtol=2e-4, atol=2e-4)   # f32 + interpret-mode kernels
+
+    op = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                        mesh=mesh4, use_pallas="interpret",
+                        dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(op.perform_op(x)),
+                               X @ (X.T @ x), **tol)
+    np.testing.assert_allclose(np.asarray(op.crossprod(x)), X.T @ x, **tol)
+    np.testing.assert_allclose(np.asarray(op.prod(v)), X @ v, **tol)
+    np.testing.assert_allclose(op.snp_sumsq, (X ** 2).sum(axis=0),
+                               rtol=1e-3)
+
+    mesh_s = Mesh(np.array(jax.devices("cpu")[:4]), ("samples",))
+    top = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                             mesh=mesh_s, use_pallas="interpret",
+                             dtype=jnp.float32)
+    u = top.unpermute(top.gram_permuted(top.permute(
+        jnp.asarray(v, top.dtype))))
+    np.testing.assert_allclose(np.asarray(u), X.T @ (X @ v), **tol)
+    np.testing.assert_allclose(np.asarray(top.prod(v)), X @ v, **tol)
+
+    sop = StreamingPackedOperator(ds, mean, sd, ds.n_samples,
+                                  block_snps=16, mesh=mesh4,
+                                  use_pallas="interpret",
+                                  dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(sop.perform_op(x)),
+                               X @ (X.T @ x), **tol)
+    np.testing.assert_allclose(np.asarray(sop.crossprod(x)), X.T @ x, **tol)
+    np.testing.assert_allclose(np.asarray(sop.prod(v)), X @ v, **tol)

@@ -123,6 +123,13 @@ def test_operator_snp_sumsq_passthrough(tmp_path, rng):
                                snp_sumsq=sumsq)
     assert np.array_equal(op.snp_sumsq, sumsq)
 
+    # an explicit block_size must reach the streaming operator's block
+    # geometry, not be silently dropped (review r4)
+    ops = build_packed_operator(ds, mean, sd, dtype=jnp.float64,
+                                streaming=True, block_size=8,
+                                snp_sumsq=sumsq)
+    assert ops.block_snps == 8
+
 
 def test_pca_trace_uses_analytic_sumsq(tmp_path, rng):
     """The PLINK pca() path gets trace without any sumsq decode pass;
