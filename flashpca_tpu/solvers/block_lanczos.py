@@ -239,34 +239,61 @@ def _host_orth_step(V, W, jitter, scale2):
     return Qn, H, R, good, Wo
 
 
+@partial(jax.jit, static_argnames=("jitter",))
+def _host_inject_step(V, Qn, Wo, Z, good, jitter, z2):
+    """Deflation injection for the host-driven expansion -- the SAME
+    math and ordering as the fused body's inject branch plus its
+    post-merge cleanup and final R (inject -> merged proj_out(V) +
+    panel_orth -> R against the final panel), with every dot pinned to
+    HIGHEST.  ``Z`` arrives UN-normalized so the ``jitter * z2``
+    absolute floor is scale-consistent (z2 ~ n), exactly like the
+    fused twin -- running the full orth step on Z first would
+    unit-normalize it and make the floor grow linearly with n."""
+    hp = lax.Precision.HIGHEST
+    H1 = jnp.dot(V.T, Z, precision=hp)
+    Z = Z - jnp.dot(V, H1, precision=hp)
+    H2 = jnp.dot(V.T, Z, precision=hp)
+    Z = Z - jnp.dot(V, H2, precision=hp)
+    Z = Z - jnp.dot(Qn, jnp.dot(Qn.T, Z, precision=hp), precision=hp)
+    Zq, _, _ = _panel_orth(Z, jitter, jitter * z2)
+    Qm = jnp.where(good[None, :] > 0, Qn, Zq)
+    Qm = Qm - jnp.dot(V, jnp.dot(V.T, Qm, precision=hp), precision=hp)
+    Qm, _, _ = _panel_orth(Qm, jitter)
+    R = jnp.dot(Qm.T, Wo, preferred_element_type=V.dtype, precision=hp)
+    return Qm, R
+
+
 def _expand_cycle_host(matvec, V, key, l, nsteps, b, jitter):
     """Host-driven twin of _expand_cycle_block for NON-traceable
     matvecs (e.g. the streaming operator, whose product loops over
-    host-staged blocks).  Same math, one host step per panel."""
+    host-staged blocks).  Same math, one host step per panel; the only
+    blocking fetch per panel is the deflation flag (host control
+    flow), H/R stay on device and come back in ONE stacked
+    end-of-cycle transfer like the fused twin."""
     n = V.shape[0]
     dtype = V.dtype
-    H_all = np.zeros((nsteps, V.shape[1], b))
-    R_all = np.zeros((nsteps, b, b))
+    H_dev = []
+    R_dev = []
     for t in range(nsteps):
         cs = l + t * b
         Q = V[:, cs: cs + b]
         W = matvec(Q)
-        scale2 = float(jnp.sum(W * W) / b)
-        Qn, H, R, good, _ = _host_orth_step(V, W, jitter, scale2)
+        scale2 = jnp.sum(W * W) / b        # device scalar, no fetch
+        Qn, H, R, good, Wo = _host_orth_step(V, W, jitter, scale2)
         if not bool(jnp.all(good > 0)):
             # fresh injection for deflated directions (see the fused
-            # expansion's inject branch)
+            # expansion's inject branch): merged-panel cleanup and the
+            # final R happen inside the jitted helper
             Z = jax.random.normal(jax.random.fold_in(key, t), (n, b), dtype)
-            z2 = float(jnp.sum(Z * Z) / b)
-            Zq = _host_orth_step(V, Z, jitter, z2)[0]
-            Zq = Zq - Qn @ (Qn.T @ Zq)
-            Zq, _, _ = _panel_orth(Zq, jitter, jitter * z2)
-            Qn = jnp.where(good[None, :] > 0, Qn, Zq)
+            z2 = jnp.sum(Z * Z) / b
+            Qn, R = _host_inject_step(V, Qn, Wo, Z, good, jitter, z2)
         V = V.at[:, cs + b: cs + 2 * b].set(Qn)
-        H_all[t] = np.asarray(H, dtype=np.float64)
-        R_all[t] = np.asarray(R, dtype=np.float64)
-    # same stacked (nsteps, ncv+2b, b) layout as the fused expansion
-    return V, np.concatenate([H_all, R_all], axis=1)
+        H_dev.append(H)
+        R_dev.append(R)
+    # same stacked (nsteps, ncv+2b, b) layout as the fused expansion;
+    # ONE device->host transfer for the whole cycle's H/R
+    HR = jnp.concatenate([jnp.stack(H_dev), jnp.stack(R_dev)], axis=1)
+    return V, np.asarray(HR, dtype=np.float64)
 
 
 def _colnorm1(Y):
@@ -554,6 +581,8 @@ def eigsh_block(
     watches the first nev, which floor first).  ``conv_mask`` in the
     result tells such callers WHICH pairs met tolerance.
     """
+    if maxiter < 1:
+        raise ValueError("maxiter must be >= 1")
     b = int(block)
     ncv_user = ncv
 

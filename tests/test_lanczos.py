@@ -133,3 +133,37 @@ def test_block_warm_start_panel():
     assert warm.n_ops < cold.n_ops
     np.testing.assert_allclose(warm.eigenvalues, cold.eigenvalues,
                                rtol=1e-8)
+
+
+def test_block_exhaustion_stress_host_path():
+    """The HOST-driven expansion twin (fused=False, the streaming
+    operators' driver) through the same Krylov-exhaustion sweep: its
+    deflation injection runs a separate jitted step
+    (_host_inject_step) that must mirror the fused inject branch --
+    scale-consistent deflation floor on the UN-normalized fresh panel,
+    merged-panel cleanup, post-merge R (review r4)."""
+    import jax.numpy as jnp
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        n, p, k = 40, 30, 3
+        X = rng.binomial(2, 0.3, size=(n, p)).astype(float)
+        sd = np.where(X.std(0) > 0, X.std(0), 1.0)
+        Xs = (X - X.mean(0)) / sd
+        A = Xs @ Xs.T
+        Ad = jnp.asarray(A)
+        w_ref = np.linalg.eigvalsh(A)[::-1][:k]
+        res = eigsh_block(lambda Q: Ad @ Q, n, k, block=8, maxiter=100,
+                          tol=1e-10, dtype=jnp.float64, seed=1,
+                          fused=False)
+        assert res.converged, f"seed {seed} did not converge"
+        np.testing.assert_allclose(res.eigenvalues, w_ref,
+                                   atol=1e-8 * max(1.0, w_ref[0]))
+
+
+def test_eigsh_block_rejects_nonpositive_maxiter():
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+
+    with pytest.raises(ValueError, match="maxiter"):
+        eigsh_block(lambda Q: Q, 40, 3, maxiter=0)
