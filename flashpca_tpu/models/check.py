@@ -101,7 +101,9 @@ def check(
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
         check_operator_conflicts(data, dtype=dtype, mesh=mesh,
-                                 streaming=streaming)
+                                 streaming=streaming,
+                                 memory_mb=memory_mb,
+                                 block_size=block_size)
         op = data
     elif isinstance(data, PlinkDataset):
         mean, sd = data.snp_stats(stand)

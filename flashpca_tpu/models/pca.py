@@ -161,7 +161,9 @@ def pca(
         # a prebuilt operator fixes dtype/sharding/residency; explicit
         # conflicting kwargs raise instead of being dropped silently
         check_operator_conflicts(data, dtype=dtype_arg, mesh=mesh,
-                                 streaming=streaming)
+                                 streaming=streaming,
+                                 memory_mb=memory_mb,
+                                 block_size=block_size)
         if batch:
             raise ValueError(
                 "batch=True has no effect on a prebuilt operator"

@@ -82,14 +82,25 @@ def make_gaussian(rows: int, cols: int, seed: int) -> np.ndarray:
 
 
 def save_scca_state(path, U, V, d, next_dim, V0,
-                    lambda1, lambda2) -> None:
+                    lambda1, lambda2, *, divisor=None, stand_x=None,
+                    stand_y=None) -> None:
     """Persist SCCA progress after a completed dimension (atomic write,
     same tmp+rename discipline as the PCA Ritz checkpoints).  The
     deflation is strictly sequential (randompca.cpp:428-498), so the
     finished columns U[:, :next_dim] / V / d plus the shared V0 are the
-    complete resume state; the reference has no such surface."""
+    complete resume state; the reference has no such surface.  The
+    problem identity (penalties, divisor, standardizations) rides along
+    so a resume under different settings is rejected instead of mixing
+    deflation sequences."""
     from ..utils.state import atomic_savez
 
+    extra = {}
+    if divisor is not None:
+        extra["divisor"] = np.asarray(str(divisor))
+    if stand_x is not None:
+        extra["stand_x"] = np.asarray(str(stand_x))
+    if stand_y is not None:
+        extra["stand_y"] = np.asarray(str(stand_y))
     atomic_savez(
         path,
         U=np.asarray(U, dtype=np.float64),
@@ -99,6 +110,7 @@ def save_scca_state(path, U, V, d, next_dim, V0,
         V0=np.asarray(V0, dtype=np.float64),
         lambda1=np.asarray(float(lambda1)),
         lambda2=np.asarray(float(lambda2)),
+        **extra,
     )
 
 
@@ -207,18 +219,23 @@ def _scca_dim_device_grid(cross_fn, mv_fn, U, V, Yp, j, v0, alive, consts,
         u, v, it, du, dv, uz, vz = carry
         act = active_of(it, du, dv, uz, vz)
         u_new = u_step(v)
+        uzi = jnp.max(jnp.abs(u_new), axis=0) < tol   # u zeroed THIS iter
         v_new = v_step(u_new)
         du_new = jnp.max(jnp.abs(u_new - u), axis=0)
         dv_new = jnp.max(jnp.abs(v_new - v), axis=0)
-        uz_new = uz | (jnp.max(jnp.abs(u_new), axis=0) < tol)
+        uz_new = uz | uzi
         vz_new = vz | (jnp.max(jnp.abs(v_new), axis=0) < tol)
-        # frozen (converged/dead) cells keep their state untouched
+        # frozen (converged/dead) cells keep their state untouched;
+        # a dim-0 u-zero abort additionally keeps v at its PRE-step
+        # value (V0): the reference aborts BEFORE the v step
+        # (randompca.cpp:280-287), as does the solo host engine
+        keep_v = act & ~((j == 0) & uzi)
         u = jnp.where(act, u_new, u)
-        v = jnp.where(act, v_new, v)
+        v = jnp.where(keep_v, v_new, v)
         du = jnp.where(act, du_new, du)
-        dv = jnp.where(act, dv_new, dv)
+        dv = jnp.where(keep_v, dv_new, dv)
         uz = jnp.where(act, uz_new, uz)
-        vz = jnp.where(act, vz_new, vz)
+        vz = jnp.where(keep_v, vz_new, vz)
         return u, v, it + act.astype(jnp.int32), du, dv, uz, vz
 
     C = v0.shape[1]
@@ -343,18 +360,22 @@ def _scca_dim_host_grid(op, U, V, Y_std, j, v0, alive, lam1, lam2,
     act = active()
     while act.any():
         u_new = nthresh(gs(cross_panel(Y_std @ v), U), lam1)
+        uzi = np.max(np.abs(u_new), axis=0) < tol     # u zeroed THIS iter
         v_new = nthresh(gs(Y_std.T @ prod_panel(u_new), V), lam2)
         du_new = np.max(np.abs(u_new - u), axis=0)
         dv_new = np.max(np.abs(v_new - v), axis=0)
-        uz_new = uz | (np.max(np.abs(u_new), axis=0) < tol)
+        uz_new = uz | uzi
         vz_new = vz | (np.max(np.abs(v_new), axis=0) < tol)
-        # frozen (converged/dead) cells keep their state untouched
+        # frozen (converged/dead) cells keep their state untouched;
+        # a dim-0 u-zero abort keeps v at its PRE-step value (V0) --
+        # the reference aborts BEFORE the v step (randompca.cpp:280-287)
+        keep_v = act & ~((j == 0) & uzi)
         u = np.where(act, u_new, u)
-        v = np.where(act, v_new, v)
+        v = np.where(keep_v, v_new, v)
         du = np.where(act, du_new, du)
-        dv = np.where(act, dv_new, dv)
+        dv = np.where(keep_v, dv_new, dv)
         uz = np.where(act, uz_new, uz)
-        vz = np.where(act, vz_new, vz)
+        vz = np.where(keep_v, vz_new, vz)
         it = it + act.astype(np.int64)
         act = active()
 
@@ -390,8 +411,16 @@ def grid_fastpath(scca_kwargs, *extra):
     allowed = GRID_COMPAT_KWARGS | _GRID_RESOLVED_KWARGS
     for names in extra:
         allowed = allowed | frozenset(names)
-    ok = (scca_kwargs.get("engine", "auto") in ("auto", "device")
-          and set(scca_kwargs) <= allowed)
+    eng = scca_kwargs.get("engine", "auto")
+    ok = eng in ("auto", "device") and set(scca_kwargs) <= allowed
+    if (eng == "device"
+            and (scca_kwargs.get("streaming") is True
+                 or scca_kwargs.get("memory_mb") is not None)):
+        # solo scca() raises on engine='device' + a streaming operator;
+        # falling back to the sequential path surfaces that SAME error
+        # instead of silently downgrading the explicit engine request
+        # to the host-driven grid
+        ok = False
     gkw = {kk: vv for kk, vv in scca_kwargs.items()
            if kk not in _GRID_RESOLVED_KWARGS}
     return ok, gkw
@@ -426,7 +455,9 @@ def _xside_operator(X, n, k, ndim, stand_x, *, streaming, memory_mb,
         # standardization is baked into it; conflicting explicit
         # kwargs raise instead of being dropped silently
         check_operator_conflicts(X, dtype=dtype_arg, mesh=mesh,
-                                 streaming=streaming)
+                                 streaming=streaming,
+                                 memory_mb=memory_mb,
+                                 block_size=block_size)
         if X.n_samples != n:
             raise ValueError("Y rows must equal the number of samples")
         return X, X.dtype
@@ -448,6 +479,13 @@ def _xside_operator(X, n, k, ndim, stand_x, *, streaming, memory_mb,
             "PLINK fileset (or a StreamingPackedOperator) for bounded "
             "device memory"
         )
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        # same precedent as the dense (batch) PCA path: no sharded
+        # dense implementation exists, and a default all-devices mesh
+        # is a legitimate CLI artifact -- say so instead of silently
+        # running unsharded (review r4)
+        log("note: the dense-matrix SCCA path runs unsharded; mesh= is "
+            "ignored (use the packed PLINK path for SNP sharding)")
     Xm = np.asarray(X, dtype=np.float64)
     if Xm.shape[0] != n:
         raise ValueError("Y rows must equal the number of samples")
@@ -551,7 +589,6 @@ def scca(
     V = V0.copy()
     U = np.zeros((p, ndim), dtype=np.float64)
     d = np.zeros(ndim, dtype=np.float64)
-    converged = False
 
     start_dim = 0
     if state_in is not None:
@@ -567,6 +604,17 @@ def scca(
                 f"(lambda1={float(st['lambda1']):g}, "
                 f"lambda2={float(st['lambda2']):g}); resuming under new "
                 "ones would mix deflation sequences")
+        # the rest of the problem identity (review r4): dimensions
+        # already deflated under a different divisor/standardization
+        # cannot be composed with new ones (keys absent in states
+        # written before 0.4.1 -- skip, do not reject old checkpoints)
+        for key, cur in (("divisor", divisor), ("stand_x", stand_x),
+                         ("stand_y", stand_y)):
+            if key in st and str(st[key]) != str(cur):
+                raise ValueError(
+                    f"SCCA state was written under {key}="
+                    f"{str(st[key])!r}; resuming under {str(cur)!r} "
+                    "would mix deflation sequences")
         if v0_explicit and not np.array_equal(st["V0"], V0):
             # a DIFFERENT explicit V0 contradicts the state; a default
             # (seed-generated) V0 simply yields to the checkpoint's
@@ -649,7 +697,8 @@ def scca(
             log(f"d[{j}]: {d[j]}", verbose=verbose)
             if state_out is not None:
                 save_scca_state(state_out, U, V, d, j + 1, V0,
-                                lambda1, lambda2)
+                                lambda1, lambda2, divisor=divisor,
+                                stand_x=stand_x, stand_y=stand_y)
         return result(True)
 
     for j in range(start_dim, ndim):
@@ -698,7 +747,8 @@ def scca(
         log(f"d[{j}]: {d[j]}", verbose=verbose)
         if state_out is not None:
             save_scca_state(state_out, U, V, d, j + 1, V0,
-                            lambda1, lambda2)
+                            lambda1, lambda2, divisor=divisor,
+                            stand_x=stand_x, stand_y=stand_y)
 
     return result(True)
 
@@ -1021,25 +1071,49 @@ def cv_scca(
     # anything outside the grid engine's kwargs (or an explicit host
     # engine / streaming request) falls back to the sequential per-cell
     # loop -- visibly, since that costs ~C times more genotype passes
+    # the CV seed also seeds the inner runs' V0 (init=False path) --
+    # without this every inner call fell back to make_gaussian(seed=1)
+    # regardless of the user's seed (split_scca's pattern, review r4)
+    scca_kwargs.setdefault("seed", seed)
     grid_ok, gkw = grid_fastpath(scca_kwargs, ("stand_x", "stand_y"))
     if not grid_ok:
         log("cv_scca: sequential per-cell fallback (host engine or "
             "kwargs outside GRID_COMPAT_KWARGS)", verbose=verbose)
 
+    # ONE standardize + DenseOperator per fold, shared by the init run,
+    # the batched grid, and every sequential cell (the dense twin of
+    # the PLINK path's op_tr; the inner calls previously re-standardized
+    # and re-uploaded X[train] each time, review r4).  stand_x is
+    # consumed here; stand_y still applies inside scca().
+    cv_stand_x = scca_kwargs.pop("stand_x", "binom2")
+    gkw.pop("stand_x", None)
+    if scca_kwargs.get("mesh") is not None:
+        # match solo scca()'s dense-path behavior: note and ignore (no
+        # sharded dense implementation; prebuilt-op conflict checking
+        # would otherwise turn the solo note into a CV-only raise)
+        log("note: the dense-matrix SCCA path runs unsharded; mesh= is "
+            "ignored (use the packed PLINK path for SNP sharding)")
+        scca_kwargs.pop("mesh")
+        gkw.pop("mesh", None)
+    op_dtype = scca_kwargs.get("dtype") or default_dtype()
+
     for fold in range(nfolds):
         train = folds != fold
         test = ~train
         log(f"-> fold {fold + 1}/{nfolds}", verbose=verbose)
+        X_tr_std, _, _ = standardize(
+            np.asarray(X[train], dtype=np.float64), cv_stand_x)
+        op_tr = DenseOperator(X_tr_std, dtype=op_dtype)
         V0 = None
         if init:
             V0g = rng.standard_normal((Y.shape[1], ndim))
-            s0 = scca(X[train], Y[train], 1e-12, 1e-12, ndim=ndim,
+            s0 = scca(op_tr, Y[train], 1e-12, 1e-12, ndim=ndim,
                       V0=V0g, verbose=verbose, **scca_kwargs)
             V0 = s0.V
         if grid_ok:
             # whole penalty grid in one batched run: every cell rides
             # the same X-side panel pass per iteration (scca_grid)
-            g = scca_grid(X[train], Y[train], lambda1, lambda2,
+            g = scca_grid(op_tr, Y[train], lambda1, lambda2,
                           ndim=ndim, V0=V0, verbose=verbose, **gkw)
             for c in range(len(g.lambda1)):
                 i, j = divmod(c, n2)
@@ -1054,7 +1128,7 @@ def cv_scca(
             continue
         for i, l1 in enumerate(lambda1):
             for j, l2 in enumerate(lambda2):
-                res = scca(X[train], Y[train], float(l1), float(l2),
+                res = scca(op_tr, Y[train], float(l1), float(l2),
                            ndim=ndim, V0=V0, verbose=verbose,
                            **scca_kwargs)
                 conv[fold, i, j] = res.converged
@@ -1175,6 +1249,19 @@ def _cv_scca_plink(
         dtype=scca_kwargs.get("dtype") or default_dtype(),
         mesh=scca_kwargs.get("mesh"),
     )
+    # an explicit device engine cannot serve a streaming request --
+    # raise like solo scca() does, BEFORE the kwargs are consumed below
+    if (scca_kwargs.get("engine") == "device"
+            and (scca_kwargs.get("streaming") is True
+                 or scca_kwargs.get("memory_mb") is not None)):
+        raise ValueError(
+            "engine='device' needs a resident operator; use "
+            "engine='host' or engine='auto' with streaming/memory_mb")
+    # the residency/blocking requests are CONSUMED by the per-fold
+    # operator build above; the inner scca()/scca_grid() calls receive
+    # prebuilt operators, whose conflict check rejects these kwargs
+    for consumed in ("streaming", "memory_mb", "block_size"):
+        scca_kwargs.pop(consumed, None)
 
     n1, n2 = len(lambda1), len(lambda2)
     xpred = np.full((n, ndim, n1, n2), np.nan)
@@ -1183,6 +1270,10 @@ def _cv_scca_plink(
     nzy = np.zeros((ndim, n1, n2))
     conv = np.zeros((nfolds, n1, n2), dtype=bool)
 
+    # the CV seed also seeds the inner runs' V0 (init=False path) --
+    # without this every inner call fell back to make_gaussian(seed=1)
+    # regardless of the user's seed (split_scca's pattern, review r4)
+    scca_kwargs.setdefault("seed", seed)
     grid_ok, gkw = grid_fastpath(scca_kwargs, ("stand_x", "stand_y"))
 
     for fold in range(nfolds):

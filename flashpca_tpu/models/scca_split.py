@@ -148,6 +148,19 @@ def split_scca(
         dtype=op_dtype,
         mesh=scca_kwargs.get("mesh"),
     )
+    # an explicit device engine cannot serve a streaming request --
+    # raise like solo scca() does, BEFORE the kwargs are consumed below
+    if (scca_kwargs.get("engine") == "device"
+            and (scca_kwargs.get("streaming") is True
+                 or scca_kwargs.get("memory_mb") is not None)):
+        raise ValueError(
+            "engine='device' needs a resident operator; use "
+            "engine='host' or engine='auto' with streaming/memory_mb")
+    # the residency/blocking requests are CONSUMED by the operator
+    # builds below; the inner scca()/scca_grid() calls receive prebuilt
+    # operators, whose conflict check rejects these kwargs
+    for consumed in ("streaming", "memory_mb", "block_size"):
+        scca_kwargs.pop(consumed, None)
     op_test = build_packed_operator(ds_test, x_mean, x_sd, **op_opts)
     # ONE train operator for the whole grid: every (l1, l2) cell reuses
     # the stats pass, the device upload, and (via the operator's stable

@@ -103,7 +103,9 @@ def ucca(
     if isinstance(data, (PackedOperator, StreamingPackedOperator,
                          DenseOperator)):
         check_operator_conflicts(data, dtype=dtype, mesh=mesh,
-                                 streaming=streaming)
+                                 streaming=streaming,
+                                 memory_mb=memory_mb,
+                                 block_size=block_size)
         op = data
         dtype = op.dtype
     elif isinstance(data, PlinkDataset):

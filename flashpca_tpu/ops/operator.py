@@ -1945,15 +1945,30 @@ def resolve_streaming(streaming, ds, mesh) -> bool:
 
 
 def check_operator_conflicts(op, *, dtype=None, mesh=None,
-                             streaming="auto"):
+                             streaming="auto", memory_mb=None,
+                             block_size=None):
     """Reject keyword requests that a PREBUILT operator cannot honor.
 
-    Prebuilt operators carry their own dtype, sharding and residency;
-    the analysis modes (pca/scca/ucca/check/project) previously dropped
-    a caller's explicit ``dtype=``/``mesh=``/``streaming=`` silently
-    when an operator was passed as the data argument (review r2) -- a
-    caller writing ``ucca(op_f32, Y, dtype=jnp.float64)`` believed the
-    accuracy knob took effect.  Conflicts raise instead."""
+    Prebuilt operators carry their own dtype, sharding, residency, and
+    block geometry; the analysis modes (pca/scca/ucca/check/project)
+    previously dropped a caller's explicit ``dtype=``/``mesh=``/
+    ``streaming=`` (review r2) -- and later ``memory_mb=``/
+    ``block_size=`` (review r4) -- silently when an operator was
+    passed as the data argument; a caller writing
+    ``ucca(op_f32, Y, dtype=jnp.float64)`` believed the accuracy knob
+    took effect.  Conflicts raise instead."""
+    if memory_mb is not None:
+        raise ValueError(
+            "memory_mb= was passed with a prebuilt operator, whose "
+            "residency and block geometry are fixed at construction; "
+            "rebuild the operator with the desired memory_mb"
+        )
+    if block_size is not None:
+        raise ValueError(
+            "block_size= was passed with a prebuilt operator, whose "
+            "block geometry is fixed at construction; rebuild the "
+            "operator with the desired blocking"
+        )
     if dtype is not None and np.dtype(dtype) != np.dtype(op.dtype):
         raise ValueError(
             f"dtype={np.dtype(dtype).name} conflicts with the prebuilt "

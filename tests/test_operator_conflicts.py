@@ -120,3 +120,15 @@ def test_scca_matrix_rejects_streaming(rng):
         cv_scca(X, Y, nfolds=2, ndim=2, stand_x="sd", streaming=True)
     with pytest.raises(ValueError, match="streaming"):
         cv_scca(X, Y, nfolds=2, ndim=2, stand_x="sd", memory_mb=64)
+
+
+def test_prebuilt_rejects_memory_mb_and_block_size(ops):
+    """memory_mb/block_size with a prebuilt operator previously vanished
+    silently (review r4) -- residency and block geometry are fixed at
+    construction, so the request must raise like dtype/mesh/streaming."""
+    resident, streaming = ops
+    for op in (resident, streaming):
+        with pytest.raises(ValueError, match="memory_mb"):
+            pca(op, 2, memory_mb=64)
+        with pytest.raises(ValueError, match="block_size"):
+            pca(op, 2, block_size=8)

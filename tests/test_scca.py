@@ -268,11 +268,11 @@ def test_scca_dim_checkpoint_resume(xy, rng, tmp_path, engine):
     snaps = []
     orig = save_scca_state
 
-    def spy(path, U, V, d, next_dim, V0_, l1, l2):
+    def spy(path, U, V, d, next_dim, V0_, l1, l2, **ident):
         snaps.append(int(next_dim))
         orig(str(tmp_path / f"snap{next_dim}_{engine}.npz"),
-             U, V, d, next_dim, V0_, l1, l2)
-        return orig(path, U, V, d, next_dim, V0_, l1, l2)
+             U, V, d, next_dim, V0_, l1, l2, **ident)
+        return orig(path, U, V, d, next_dim, V0_, l1, l2, **ident)
 
     scca_mod.save_scca_state, saved = spy, scca_mod.save_scca_state
     try:
@@ -302,6 +302,22 @@ def test_scca_dim_checkpoint_resume(xy, rng, tmp_path, engine):
     kw_bad = dict(kw, V0=rng.normal(size=(Y.shape[1], 3)))
     with pytest.raises(ValueError, match="V0 differs"):
         scca(X, Y, 2e-3, 1e-3, state_in=state, **kw_bad)
+    # ...and so does the rest of the problem identity (review r4):
+    # dims already deflated under another divisor/standardization
+    # cannot be composed with new ones
+    with pytest.raises(ValueError, match="divisor"):
+        scca(X, Y, 2e-3, 1e-3, state_in=state, divisor="none", **kw)
+    with pytest.raises(ValueError, match="stand_y"):
+        scca(X, Y, 2e-3, 1e-3, state_in=state, stand_y="center", **kw)
+    # a pre-0.4.1 state (no identity keys) still resumes
+    import numpy as _np
+    with _np.load(state) as z:
+        legacy = {kk: z[kk] for kk in z.files
+                  if kk not in ("divisor", "stand_x", "stand_y")}
+    legacy_path = str(tmp_path / f"legacy_{engine}.npz")
+    _np.savez(legacy_path, **legacy)
+    legacy_done = scca(X, Y, 2e-3, 1e-3, state_in=legacy_path, **kw)
+    np.testing.assert_allclose(legacy_done.d, full.d, rtol=1e-12)
 
 
 def test_cli_scca_state_flags(small_plink, tmp_path, monkeypatch, rng):

@@ -390,3 +390,28 @@ def test_split_scca_sharded_matches_unsharded(small_plink, tmp_path, rng):
     np.testing.assert_allclose(r1.corr_train, r2.corr_train, atol=1e-8)
     np.testing.assert_allclose(r1.corr_test, r2.corr_test, atol=1e-8)
     assert r1.best_lambda1 == r2.best_lambda1
+
+
+def test_zero_abort_keeps_v_at_init_all_engines(xy):
+    """A dim-0 u-zero abort keeps V[:, 0] at its INIT value: the
+    reference aborts before the v step (randompca.cpp:280-287).  The
+    solo host engine always did this; the device and host-grid engines
+    ran one extra v step and stored zeros (review r4).  All three must
+    agree."""
+    from flashpca_tpu.models.scca import scca
+
+    X, Y = xy
+    ndim = 1
+    V0 = make_gaussian(Y.shape[1], ndim, 3)
+    kw = dict(ndim=ndim, maxiter=500, tol=1e-8, V0=V0)
+    host = scca(X, Y, 0.9, 1e-6, engine="host", **kw)
+    dev = scca(X, Y, 0.9, 1e-6, engine="device", **kw)
+    g = scca_grid(X, Y, [0.9], [1e-6], **kw)
+    assert not host.converged and not dev.converged
+    assert not g.converged[0]
+    # u zeroed everywhere; v frozen at the shared V0 column
+    for U_got in (host.U, dev.U, g.U[:, :, 0]):
+        np.testing.assert_allclose(np.abs(U_got).max(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(host.V[:, 0], V0[:, 0], atol=1e-7)
+    np.testing.assert_allclose(dev.V[:, 0], V0[:, 0], atol=1e-7)
+    np.testing.assert_allclose(g.V[:, 0, 0], V0[:, 0], atol=1e-7)
