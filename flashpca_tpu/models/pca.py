@@ -30,7 +30,6 @@ from ..ops.operator import (DenseOperator, PackedOperator,
                             default_dtype as _default_dtype)
 from ..ops.standardize import standardize
 from ..solvers.block_lanczos import eigsh_block, polish_subspace
-from ..solvers.lanczos import eigsh
 from ._common import fetch_global as _fetch
 from ._common import resolve_divisor as _resolve_divisor
 
@@ -139,6 +138,8 @@ def pca(
     if polish not in ("contract", "fast"):
         raise ValueError(
             f"polish must be 'contract' or 'fast', got {polish!r}")
+    if operator_mode not in ("auto", "wide", "tall"):
+        raise ValueError(f"unknown operator_mode: {operator_mode}")
     if checkpoint_every:
         if checkpoint_every < 0:
             raise ValueError(
@@ -167,6 +168,15 @@ def pca(
         if batch:
             raise ValueError(
                 "batch=True has no effect on a prebuilt operator"
+            )
+        # the decomposition shape is fixed by the operator class too
+        is_tall_op = isinstance(data, (TallPackedOperator,
+                                       TallStreamingOperator))
+        if operator_mode != "auto" and (operator_mode == "tall") != is_tall_op:
+            raise ValueError(
+                f"operator_mode={operator_mode!r} conflicts with the "
+                f"prebuilt {type(data).__name__}; build the matching "
+                "operator class instead"
             )
     if isinstance(data, (TallPackedOperator, TallStreamingOperator)):
         _check_ndim(ndim, data.n_samples, data.n_snps)
@@ -199,10 +209,31 @@ def pca(
         n, p = data.n_samples, data.n_snps
         _check_ndim(ndim, n, p)
         if batch:
+            # reference semantics: --batch forces the in-RAM path and
+            # ignores the memory budget (flashpca.cpp:230-235) -- keep
+            # that flag-compatible behavior, but say so when the caller
+            # explicitly asked for bounded memory
+            if streaming is True or memory_mb is not None:
+                from ..utils.logging import log
+
+                log("note: batch=True loads the whole matrix; the "
+                    "streaming/memory_mb request is ignored (reference "
+                    "--batch semantics)")
+            if operator_mode == "tall":
+                raise ValueError(
+                    "operator_mode='tall' has no batch (dense) "
+                    "implementation; drop batch=True for the tall path"
+                )
+            if device_results:
+                raise ValueError(
+                    "device_results=True is not supported on the batch "
+                    "(dense) path; use the packed path or a prebuilt "
+                    "operator"
+                )
             X = data.read_matrix()
             return _pca_matrix(
                 X, ndim, stand, divisor, maxiter, tol, seed,
-                do_loadings, dtype, ncv, check_geno=False, panel=panel,
+                do_loadings, dtype, ncv, panel=panel,
                 verbose=verbose, mesh=mesh,
                 state_in=state_in, state_out=state_out,
                 checkpoint_every=checkpoint_every, polish=polish,
@@ -212,8 +243,6 @@ def pca(
         # pass (the reference accumulates trace during its first
         # operator pass instead, svdwide.cpp:44-45)
         mean, sd, sumsq = data.snp_stats(stand, with_sumsq=True)
-        if operator_mode not in ("auto", "wide", "tall"):
-            raise ValueError(f"unknown operator_mode: {operator_mode}")
         # tall regime (n >> p): decompose the p x p Gram X^T X instead
         # of the n x n X X^T -- the path the reference stubbed
         # (svdtall.cpp; see SURVEY.md 2.1).  Since r4 tall COMPOSES
@@ -283,6 +312,25 @@ def pca(
             polish=polish,
         )
 
+    # dense-matrix input: packed-path and device-residency requests
+    # cannot be honored -- raise instead of dropping them silently
+    # (the prebuilt-operator conflict rule; review r4)
+    if streaming is True or memory_mb is not None:
+        raise ValueError(
+            "streaming=True / memory_mb apply to packed (PLINK) data; "
+            "a dense matrix X is held in device memory whole"
+        )
+    if operator_mode == "tall":
+        raise ValueError(
+            "operator_mode='tall' is a packed-path option; the dense "
+            "matrix path has no tall operator"
+        )
+    if device_results:
+        raise ValueError(
+            "device_results=True is not supported on the dense matrix "
+            "path; standardize and build a DenseOperator, then call "
+            "pca(op, ...) for device-resident results"
+        )
     X = np.asarray(data, dtype=np.float64)
     if X.ndim != 2:
         raise ValueError("X must be a 2-D matrix")
@@ -298,13 +346,13 @@ def pca(
     _check_ndim(ndim, X.shape[0], X.shape[1])
     return _pca_matrix(
         X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
-        dtype, ncv, check_geno=False, panel=panel, verbose=verbose,
+        dtype, ncv, panel=panel, verbose=verbose,
         mesh=mesh, state_in=state_in, state_out=state_out,
         checkpoint_every=checkpoint_every, polish=polish,
     )
 
 
-def _solver_v0(op, native_len, dtype, seed, state_in):
+def _solver_v0(op, native_len, seed, state_in):
     """Initial vector/panel in the operator's padded device space:
     a warm-start Ritz panel from a checkpoint, else seeded random."""
     if state_in is not None:
@@ -373,6 +421,20 @@ def _clamp_buffer(extra, ndim, ncv, panel):
     return max(0, min(extra, ncv_eff - panel - int(ndim)))
 
 
+def _clamp_auto_ncv(ncv, ndim, extra, panel, op_dim):
+    """Keep the AUTO ff basis inside the block solver's viability guard
+    (``ncv + 2*panel <= op_dim`` in whole panels): a small problem must
+    not be kicked to scalar Lanczos (1-column matvecs, ~16x the data
+    passes) by the internal basis inflation alone.  Shrinks the buffer
+    with the basis; returns (ncv, extra, nev_solve).  ``_clamp_buffer``
+    gives USER-pinned bases the same protection (review r4)."""
+    ncv_max = panel * ((op_dim - 2 * panel) // panel)
+    if ncv > ncv_max >= ndim + panel:
+        ncv = ncv_max
+        extra = _clamp_buffer(extra, ndim, ncv, panel)
+    return ncv, extra, ndim + extra
+
+
 def _gate_convergence(res, ndim, tol):
     """Requested pairs govern success; buffer pairs are best-effort.
 
@@ -419,19 +481,34 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     n, p = op.n_samples, op.n_snps
     div = _resolve_divisor(divisor, n, p)
 
-    v0 = _solver_v0(op, p, dtype, seed, state_in)
+    v0 = _solver_v0(op, p, seed, state_in)
 
     # same buffered-solve + compensated-polish pattern as the wide path
     # (see _pca_operator); the tall ff gram rides the Pallas kernels
     use_ff = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
               and getattr(op, "supports_ff", False)
               and polish == "contract")
+    if (polish == "contract" and not use_ff
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)):
+        # contract-grade accuracy needs the compensated (ff) Pallas
+        # kernels, which this tall operator lacks (non-TPU backend or
+        # use_pallas=False) -- say so instead of silently returning a
+        # plain-f32-floor result under the 'contract' label (review r4)
+        from ..utils.logging import log
+
+        log("note: this tall operator has no compensated (ff) kernel "
+            "support; the f32 result floors at plain precision "
+            "(check mse ~2e-8 at biobank scale, above the mse < 1e-8 "
+            "contract) -- build the operator with Pallas enabled for "
+            "contract-grade accuracy")
     max_dim = int((min(n, p) - 1) / 2.0)
     extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
     extra = _clamp_buffer(extra, ndim, ncv, panel)
     nev_solve = ndim + extra
     if use_ff and ncv is None:
         ncv = nev_solve + max(72, (3 * nev_solve) // 2)
+        ncv, extra, nev_solve = _clamp_auto_ncv(
+            ncv, ndim, extra, panel, op.op_dim)
     solver_tol = max(tol, 1e-4) if use_ff else tol
 
     if fused:
@@ -461,18 +538,23 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     trace = op.trace / div
     pve = d / trace
 
+    Vs_dev = op.unpermute(V_dev)
     if device_results:
-        Vs = op.unpermute(V_dev)
-        U = op.prod(Vs) * jnp.asarray(1.0 / np.sqrt(lam), dtype)[None, :]
+        Vs = Vs_dev
+        U = op.prod(Vs_dev) * jnp.asarray(
+            1.0 / np.sqrt(lam), dtype)[None, :]
         Px = U * jnp.asarray(np.sqrt(d), U.dtype)[None, :]
     else:
-        Vs = np.asarray(op.unpermute(V_dev), dtype=np.float64)
-        # tall-path U = X v is SAMPLE-sharded: gather under
-        # multi-controller execution
-        U = _fetch(op.prod(jnp.asarray(Vs, dtype=dtype)),
-                   dtype=np.float64)
+        # feed prod the DEVICE panel (an f32->f64->f32 host round trip
+        # is value-identical and costs a (p, k) download + upload per
+        # run over a thin device link, review r4); fetch the loadings
+        # only when asked.  tall-path U = X v is SAMPLE-sharded: gather
+        # under multi-controller execution
+        U = _fetch(op.prod(Vs_dev), dtype=np.float64)
         U = U / np.sqrt(lam)[None, :]
         Px = U * np.sqrt(d)[None, :]
+        Vs = (np.asarray(Vs_dev, dtype=np.float64)
+              if do_loadings else None)
 
     return PCAResult(
         values=d,
@@ -491,7 +573,7 @@ def _pca_tall(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 
 
 def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
-                dtype, ncv, check_geno, panel=16, verbose=False,
+                dtype, ncv, panel=16, verbose=False,
                 mesh=None, state_in=None, state_out=None,
                 checkpoint_every=0, polish="contract"):
     if mesh is not None and mesh.size > 1:
@@ -514,7 +596,7 @@ def _pca_matrix(X, ndim, stand, divisor, maxiter, tol, seed, do_loadings,
 
 
 def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
-                  dtype, ncv, mean, sd, solver="block", panel=16,
+                  dtype, ncv, mean, sd, panel=16,
                   fused=True, device_results=False, state_in=None,
                   state_out=None, checkpoint_every=0,
                   verbose=False, polish="contract") -> PCAResult:
@@ -522,7 +604,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     div = _resolve_divisor(divisor, n, p)
 
     # v0 built in sample space so byte-padding coordinates start at zero
-    v0 = _solver_v0(op, n, dtype, seed, state_in)
+    v0 = _solver_v0(op, n, seed, state_in)
 
     use_ff = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
               and hasattr(op, "gram_ff_permuted")
@@ -547,6 +629,8 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         # 4*nev rule costs ~1.7x the passes at k=100 for the same
         # final accuracy
         ncv = nev_solve + max(72, (3 * nev_solve) // 2)
+        ncv, extra, nev_solve = _clamp_auto_ncv(
+            ncv, ndim, extra, panel, op.op_dim)
     # With the ff polish running, the solver's job is SPAN-building:
     # the polish refines the returned pairs to ~1e-8 * theta_max
     # residual (f64-grade, verified by the compensated check)
@@ -560,26 +644,19 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         mv, ops_ = op.gram_pure()
     else:
         mv, ops_ = op.gram_permuted, ()
-    if solver == "block" or not fused:
-        # panel matvecs amortize the packed-decode pass over a 16-column
-        # panel: the fused decode kernels are VPU-decode-bound, so panel
-        # columns are nearly free to ~32, and the measured end-to-end
-        # sweep (b in {8,16,32} at 500k x 50k, k=20) picked 16 (35%
-        # faster than 8; 32 over-restarts on clustered spectra)
-        res = eigsh_block(
-            mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
-            maxiter=maxiter, tol=solver_tol, dtype=dtype, seed=seed,
-            v0=v0, operands=ops_, fused=fused, verbose=verbose,
-            checkpoint_every=checkpoint_every,
-            checkpoint_fn=_mid_run_checkpointer(op, state_out,
-                                                checkpoint_every),
-        )
-    else:
-        res = eigsh(
-            mv, op.op_dim, ndim, ncv=ncv,
-            maxiter=maxiter, tol=tol, dtype=dtype, seed=seed, v0=v0,
-            operands=ops_,
-        )
+    # panel matvecs amortize the packed-decode pass over a 16-column
+    # panel: the fused decode kernels are VPU-decode-bound, so panel
+    # columns are nearly free to ~32, and the measured end-to-end
+    # sweep (b in {8,16,32} at 500k x 50k, k=20) picked 16 (35%
+    # faster than 8; 32 over-restarts on clustered spectra)
+    res = eigsh_block(
+        mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
+        maxiter=maxiter, tol=solver_tol, dtype=dtype, seed=seed,
+        v0=v0, operands=ops_, fused=fused, verbose=verbose,
+        checkpoint_every=checkpoint_every,
+        checkpoint_fn=_mid_run_checkpointer(op, state_out,
+                                            checkpoint_every),
+    )
     _save_solver_state(op, res, state_out)
     converged = _gate_convergence(res, ndim, tol)
 
@@ -613,13 +690,15 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
             loadings = Vt * jnp.asarray(
                 1.0 / np.sqrt(d) / np.sqrt(div), Vt.dtype)[None, :]
     else:
-        U = np.asarray(op.unpermute(U_dev), dtype=np.float64)
+        U_unperm = op.unpermute(U_dev)
+        U = np.asarray(U_unperm, dtype=np.float64)
         loadings = None
         if do_loadings:
-            # crossprod output is SNP-sharded: gather under
-            # multi-controller execution (models/_common.fetch_global)
-            Vt = _fetch(op.crossprod(jnp.asarray(U, dtype=dtype)),
-                        dtype=np.float64)
+            # crossprod consumes the DEVICE panel (re-uploading the
+            # just-fetched host copy is value-identical and wastes an
+            # (n, k) transfer, review r4); its output is SNP-sharded:
+            # gather under multi-controller execution (fetch_global)
+            Vt = _fetch(op.crossprod(U_unperm), dtype=np.float64)
             loadings = Vt * (1.0 / np.sqrt(d) / np.sqrt(div))[None, :]
         Px = U * np.sqrt(d)[None, :]
 
@@ -643,9 +722,17 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
 def flashpca(X, ndim=10, stand="binom2", divisor="p", maxiter=100,
              tol=1e-4, seed=1, block_size=1000, verbose=False,
              do_loadings=False, check_geno=True, **kw) -> PCAResult:
-    """Alias with the R package's defaults (flashpcaR/R/flashpca.R:99-103)."""
+    """Alias with the R package's defaults (flashpcaR/R/flashpca.R:99-103).
+
+    ``block_size`` keeps the R default (1000) for signature parity but
+    only reaches ``pca()`` for PLINK inputs, where it means SNPs per
+    scan block: a dense matrix has no blocking, and a prebuilt
+    operator's block geometry is fixed at construction (forwarding the
+    R default would trip the conflict check, review r4)."""
+    if isinstance(X, (str, PlinkDataset)):
+        kw.setdefault("block_size", block_size)
     return pca(
         X, ndim, stand=stand, divisor=divisor, maxiter=maxiter, tol=tol,
-        seed=seed, block_size=block_size, do_loadings=do_loadings,
+        seed=seed, do_loadings=do_loadings,
         check_geno=check_geno, verbose=verbose, **kw,
     )

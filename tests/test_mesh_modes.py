@@ -129,11 +129,11 @@ def test_scca_mesh_resume_from_unsharded_state(small_plink, pheno, mesh4,
     snaps = []
     orig = save_scca_state
 
-    def spy(path, U, V, d, next_dim, V0_, l1, l2):
+    def spy(path, U, V, d, next_dim, V0_, l1, l2, **ident):
         snaps.append(int(next_dim))
         orig(str(tmp_path / f"snap{next_dim}.npz"),
-             U, V, d, next_dim, V0_, l1, l2)
-        return orig(path, U, V, d, next_dim, V0_, l1, l2)
+             U, V, d, next_dim, V0_, l1, l2, **ident)
+        return orig(path, U, V, d, next_dim, V0_, l1, l2, **ident)
 
     scca_mod.save_scca_state, saved = spy, scca_mod.save_scca_state
     try:

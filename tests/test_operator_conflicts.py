@@ -132,3 +132,48 @@ def test_prebuilt_rejects_memory_mb_and_block_size(ops):
             pca(op, 2, memory_mb=64)
         with pytest.raises(ValueError, match="block_size"):
             pca(op, 2, block_size=8)
+
+
+def test_flashpca_alias_accepts_prebuilt_operator(ops):
+    """The alias's R-default block_size=1000 must not reach the
+    prebuilt-operator conflict check (review r4)."""
+    from flashpca_tpu.models.pca import flashpca
+
+    resident, _ = ops
+    res = flashpca(resident, 2, tol=1e-6)
+    assert res.values.shape == (2,)
+
+
+def test_pca_matrix_rejects_packed_only_kwargs(rng):
+    """The dense-matrix path raises on explicit packed-path /
+    device-residency requests instead of dropping them (review r4)."""
+    X = rng.binomial(2, 0.3, size=(30, 20)).astype(float)
+    with pytest.raises(ValueError, match="streaming"):
+        pca(X, 2, streaming=True)
+    with pytest.raises(ValueError, match="memory_mb|streaming"):
+        pca(X, 2, memory_mb=64)
+    with pytest.raises(ValueError, match="tall"):
+        pca(X, 2, operator_mode="tall")
+    with pytest.raises(ValueError, match="device_results"):
+        pca(X, 2, device_results=True)
+
+
+def test_pca_rejects_operator_mode_conflict(ops, small_plink):
+    """operator_mode must match the prebuilt operator's class."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops.operator import TallPackedOperator
+
+    resident, _ = ops
+    with pytest.raises(ValueError, match="operator_mode"):
+        pca(resident, 2, operator_mode="tall")
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    tall = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                              dtype=jnp.float64)
+    with pytest.raises(ValueError, match="operator_mode"):
+        pca(tall, 2, operator_mode="wide")
+    # matching modes pass through
+    assert pca(resident, 2, operator_mode="wide").values.shape == (2,)

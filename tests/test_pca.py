@@ -215,3 +215,18 @@ def test_gate_convergence_reports_buffers():
     r = mk([True], [1e-9])
     r.converged = True
     assert _gate_convergence(r, ndim=1, tol=1e-6)
+
+
+def test_clamp_auto_ncv_keeps_block_solver_viable():
+    """The ff basis inflation must not kick a small operator to scalar
+    Lanczos: the auto ncv clamps to whole panels inside the viability
+    guard and the buffer shrinks with it (review r4)."""
+    from flashpca_tpu.models.pca import _clamp_auto_ncv
+
+    # op_dim=64, panel=16: viable max basis is 32 columns
+    ncv, extra, nev = _clamp_auto_ncv(100, 10, 8, 16, 64)
+    assert ncv == 32 and extra == 6 and nev == 16
+    assert nev + 16 <= ncv and ncv + 32 <= 64
+    # big problem: rule untouched
+    ncv, extra, nev = _clamp_auto_ncv(100, 20, 8, 16, 501_760)
+    assert (ncv, extra, nev) == (100, 8, 28)
