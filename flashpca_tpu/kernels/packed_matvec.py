@@ -157,6 +157,17 @@ def _tile_nb(nbytes_pad: int) -> int:
     raise ValueError(f"nbytes_pad={nbytes_pad} not a multiple of 128")
 
 
+def _check_tile_p(p_pad: int, tp: int) -> int:
+    """grid = p_pad // tp silently DROPS the remainder SNP rows --
+    garbage/omitted tiles with no error -- so the divisibility must be
+    loud here, like _tile_nb is for the byte axis (review r4)."""
+    if p_pad % tp:
+        raise ValueError(
+            f"p_pad={p_pad} is not a multiple of tile_p={tp}; pad the "
+            "SNP axis to whole tiles (the operators do this)")
+    return tp
+
+
 def _pad_k(x2, k8):
     k = x2.shape[1]
     return x2 if k == k8 else jnp.pad(x2, ((0, 0), (0, k8 - k)))
@@ -185,7 +196,7 @@ def crossprod_planes(packed, coeffs, xt, *, interpret=False,
     """
     p_pad, nbp = packed.shape
     k8 = xt.shape[1]
-    tp = tile_p or TILE_P
+    tp = _check_tile_p(p_pad, tile_p or TILE_P)
     tile_nb = _tile_nb(nbp)
     grid = (p_pad // tp, nbp // tile_nb)
     row_spec = pl.BlockSpec((1, tp), lambda i, j: (0, i),
@@ -212,7 +223,7 @@ def matvec_planes(packed, coeffs, vt, *, interpret=False, tile_p=None):
     """yt = W^T v in plane layout: (k8, p_pad) -> (4, k8, nbytes_pad)."""
     p_pad, nbp = packed.shape
     k8 = vt.shape[0]
-    tp = tile_p or TILE_P
+    tp = _check_tile_p(p_pad, tile_p or TILE_P)
     tile_nb = _tile_nb(nbp)
     grid = (nbp // tile_nb, p_pad // tp)
     row_spec = pl.BlockSpec((1, tp), lambda j, i: (0, i),
@@ -295,7 +306,12 @@ def gram_matvec_p(packed, mean, invsd, xp, *, interpret=False, tile_p=None):
 
 
 def _twosum(a, b):
-    """Knuth branch-free TwoSum on tiles (exact: a + b == s + e)."""
+    """Knuth branch-free TwoSum on tiles (exact: a + b == s + e).
+
+    MUST stay identical to ops/compensated.twosum (the jnp fallback
+    these kernels are exactness-twins of); a direct import would cycle
+    through ops/__init__ -> operator -> kernels, so the twin is named
+    here instead."""
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
@@ -350,37 +366,53 @@ def _crossprod_ff_kernel(packed_ref, h0, h2, h3, g0, g2, g3,
     ze_ref[:] = ze_ref[:] + e_ + c
 
 
-def _matvec_ff_kernel(packed_ref, h0, h2, h3, g0, g2, g3,
-                      vh_ref, vl_ref, yt_ref, ye_ref):
-    """(y_hi, y_err) of W^T (v_hi + v_lo), TwoSum across SNP tiles."""
-    i = pl.program_id(1)
+def _matvec_ff_kernel_for(has_vl):
+    """(y_hi, y_err) of W^T (v_hi [+ v_lo]), TwoSum across SNP tiles.
 
-    @pl.when(i == 0)
-    def _():
-        yt_ref[:] = jnp.zeros_like(yt_ref)
-        ye_ref[:] = jnp.zeros_like(ye_ref)
+    ``has_vl=False`` builds the variant without the v_lo operand and
+    its ``dot(vl, wh)`` term: the tall gram's stage 1 feeds an
+    all-zero v_lo, and the compiler cannot eliminate a runtime-zero
+    MXU dot (review r4 -- one of the three HIGHEST dots per plane)."""
 
-    packed = packed_ref[:].astype(jnp.int32)
-    lh = _lut_cols((h0, h2, h3))
-    ll = _lut_cols((g0, g2, g3))
-    hp = jax.lax.Precision.HIGHEST
-    vh = vh_ref[:]                                        # (k8, TILE_P)
-    vl = vl_ref[:]
-    for s in range(4):
-        wh = _decode_plane_lut(packed, s, *lh)            # (TP, TNB)
-        wl = _decode_plane_lut(packed, s, *ll)
-        t = jax.lax.dot_general(
-            vh, wh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hp)
-        c = jax.lax.dot_general(
-            vh, wl, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hp)
-        c = c + jax.lax.dot_general(
-            vl, wh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hp)
-        s_, e_ = _twosum(yt_ref[s], t)
-        yt_ref[s] = s_
-        ye_ref[s] = ye_ref[s] + e_ + c
+    def kernel(packed_ref, h0, h2, h3, g0, g2, g3, *rest):
+        if has_vl:
+            vh_ref, vl_ref, yt_ref, ye_ref = rest
+        else:
+            vh_ref, yt_ref, ye_ref = rest
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            yt_ref[:] = jnp.zeros_like(yt_ref)
+            ye_ref[:] = jnp.zeros_like(ye_ref)
+
+        packed = packed_ref[:].astype(jnp.int32)
+        lh = _lut_cols((h0, h2, h3))
+        ll = _lut_cols((g0, g2, g3))
+        hp = jax.lax.Precision.HIGHEST
+        vh = vh_ref[:]                                    # (k8, TILE_P)
+        for s in range(4):
+            wh = _decode_plane_lut(packed, s, *lh)        # (TP, TNB)
+            wl = _decode_plane_lut(packed, s, *ll)
+            t = jax.lax.dot_general(
+                vh, wh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hp)
+            c = jax.lax.dot_general(
+                vh, wl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hp)
+            if has_vl:
+                c = c + jax.lax.dot_general(
+                    vl_ref[:], wh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hp)
+            s_, e_ = _twosum(yt_ref[s], t)
+            yt_ref[s] = s_
+            ye_ref[s] = ye_ref[s] + e_ + c
+
+    return kernel
+
+
+_matvec_ff_kernel = _matvec_ff_kernel_for(True)
+_matvec_ff_kernel_novl = _matvec_ff_kernel_for(False)
 
 
 def _lut_rows(lut_hi, lut_lo):
@@ -393,7 +425,7 @@ def _lut_rows(lut_hi, lut_lo):
 def crossprod_ff_planes(packed, lut6, xt, *, interpret=False, tile_p=None):
     p_pad, nbp = packed.shape
     k8 = xt.shape[1]
-    tp = tile_p or TILE_P
+    tp = _check_tile_p(p_pad, tile_p or TILE_P)
     tile_nb = _tile_nb(nbp)
     grid = (p_pad // tp, nbp // tile_nb)
     row_spec = pl.BlockSpec((1, tp), lambda i, j: (0, i),
@@ -416,10 +448,13 @@ def crossprod_ff_planes(packed, lut6, xt, *, interpret=False, tile_p=None):
     )(packed, *lut6, xt)
 
 
-def matvec_ff_planes(packed, lut6, vh, vl, *, interpret=False, tile_p=None):
+def matvec_ff_planes(packed, lut6, vh, vl=None, *, interpret=False,
+                     tile_p=None):
+    """``vl=None`` selects the no-v_lo kernel variant (skips one MXU
+    dot per plane per tile -- the tall gram's stage-1 caller)."""
     p_pad, nbp = packed.shape
     k8 = vh.shape[0]
-    tp = tile_p or TILE_P
+    tp = _check_tile_p(p_pad, tile_p or TILE_P)
     tile_nb = _tile_nb(nbp)
     grid = (nbp // tile_nb, p_pad // tp)
     row_spec = pl.BlockSpec((1, tp), lambda j, i: (0, i),
@@ -428,19 +463,21 @@ def matvec_ff_planes(packed, lut6, vh, vl, *, interpret=False, tile_p=None):
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((4, k8, tile_nb), lambda j, i: (0, 0, j),
                             memory_space=pltpu.VMEM)
+    v_specs = [v_spec] if vl is None else [v_spec, v_spec]
+    v_args = (vh,) if vl is None else (vh, vl)
     return pl.pallas_call(
-        _matvec_ff_kernel,
+        _matvec_ff_kernel_novl if vl is None else _matvec_ff_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tp, tile_nb), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
             *([row_spec] * 6),
-            v_spec, v_spec,
+            *v_specs,
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((4, k8, nbp), jnp.float32)] * 2,
         interpret=interpret,
-    )(packed, *lut6, vh, vl)
+    )(packed, *lut6, *v_args)
 
 
 # Widest panel the ff kernels compile at (Mosaic VMEM: the compensated
@@ -470,9 +507,11 @@ def _column_chunked(fn, xp, width):
 
 
 def gram_ff_p(packed, lut_hi, lut_lo, xp, *, interpret=False, tile_p=None):
-    """(y_hi, y_lo) of W W^T xp with W the EXACT two-float standardized
-    matrix -- fused Pallas twin of ops/compensated.gram_ff_p (same
-    contract; caller masks byte-padding positions)."""
+    """(y_hi, y_lo) of the sample-space gram ``W^T (W xp)`` under THIS
+    file's W = (p_pad, n4) layout (ops/compensated.py writes the same
+    product as ``X X^T x`` in its opposite X-orientation) -- fused
+    Pallas twin of ops/compensated.gram_ff_p (same contract; caller
+    masks byte-padding positions)."""
     p_pad, nbp = packed.shape
 
     def one(xpc):
@@ -505,8 +544,9 @@ def gram_tall_ff_p(packed, lut_hi, lut_lo, mean, invsd, v2, valid2d, *,
         k8 = _round_k_ff(k)
         lut6 = _lut_rows(lut_hi, lut_lo)
         vh = _pad_k(v2c.astype(jnp.float32), k8).T       # (k8, p_pad)
-        vl = jnp.zeros_like(vh)
-        yh, yl = matvec_ff_planes(packed, lut6, vh, vl,
+        # vl=None: the no-v_lo kernel variant (v is plain f32 here;
+        # a zero vl operand costs a full MXU dot per plane, review r4)
+        yh, yl = matvec_ff_planes(packed, lut6, vh,
                                   interpret=interpret, tile_p=tile_p)
         m = valid2d.reshape(4, 1, nbp)
         yh = yh * m

@@ -55,7 +55,10 @@ _SPLIT32 = np.float32(4097.0)
 # ---------------------------------------------------------------------------
 
 def twosum(a, b):
-    """Knuth TwoSum: s = fl(a+b), e exact with a + b == s + e."""
+    """Knuth TwoSum: s = fl(a+b), e exact with a + b == s + e.
+
+    kernels/packed_matvec._twosum is the in-kernel copy and MUST stay
+    identical (import would cycle; see the note there)."""
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
