@@ -129,7 +129,10 @@ class PlinkDataset:
     fam_ids: list = field(default_factory=list)
     indiv_ids: list = field(default_factory=list)
 
-    _mmap: np.ndarray | None = None
+    # compare=False: the dataclass __eq__ would otherwise compare two
+    # memmaps elementwise and bool() of that raises (review r4)
+    _mmap: np.ndarray | None = field(default=None, compare=False,
+                                     repr=False)
 
     @classmethod
     def open(cls, root_or_bed: str, bim: str | None = None, fam: str | None = None):
@@ -163,10 +166,14 @@ class PlinkDataset:
         (reference: data.cpp:639-672 and read_pheno data.cpp:408-413)."""
         fam_ids, indiv_ids = [], []
         with open(self.fam_path, "r") as fh:
-            for line in fh:
+            for ln, line in enumerate(fh, 1):
                 tokens = line.split()
                 if not tokens:
                     continue
+                if len(tokens) < 2:
+                    raise ValueError(
+                        f"{self.fam_path}:{ln}: expected at least "
+                        f"FID IID, got {len(tokens)} column(s)")
                 fam_ids.append(tokens[0])
                 indiv_ids.append(tokens[1])
         self.fam_ids = fam_ids
@@ -178,10 +185,14 @@ class PlinkDataset:
         (reference: data.cpp:589-637)."""
         snp_ids, ref_a, alt_a, bp = [], [], [], []
         with open(self.bim_path, "r") as fh:
-            for line in fh:
+            for ln, line in enumerate(fh, 1):
                 tokens = line.split()
                 if not tokens:
                     continue
+                if len(tokens) < 6:
+                    raise ValueError(
+                        f"{self.bim_path}:{ln}: expected 6 columns "
+                        f"(chr id cM bp A1 A2), got {len(tokens)}")
                 snp_ids.append(tokens[1])
                 bp.append(int(tokens[3]))
                 ref_a.append(tokens[4])
@@ -197,7 +208,12 @@ class PlinkDataset:
             raise RuntimeError(
                 "no samples (.fam is empty, or read_fam() did not run "
                 "before get_size())")
-        length = os.path.getsize(self.bed_path) - 3
+        size = os.path.getsize(self.bed_path)
+        if size < 3:
+            raise ValueError(
+                f"{self.bed_path}: file holds {size} bytes -- not even "
+                "the 3-byte .bed header (empty or truncated file)")
+        length = size - 3
         nb = bytes_per_snp(self.n_samples)
         self.n_snps = length // nb
         if length % nb:
@@ -209,6 +225,13 @@ class PlinkDataset:
         with open(self.bed_path, "rb") as fh:
             magic = fh.read(3)
         if magic != BED_MAGIC:
+            if magic[:2] == BED_MAGIC[:2] and magic[2:3] == b"\x00":
+                # the mode byte IS checkable: individual-major data
+                # decoded with the SNP-major stride is silent garbage
+                raise ValueError(
+                    f"{self.bed_path} is an individual-major .bed "
+                    "(mode byte 0); convert it to SNP-major "
+                    "(plink --make-bed) first")
             warnings.warn(
                 f"{self.bed_path}: unexpected .bed magic bytes {magic!r}; "
                 "proceeding (the reference does not validate them either)"
@@ -370,6 +393,15 @@ def write_bed(path_root: str, genotypes: np.ndarray,
     """
     geno = np.asarray(genotypes, dtype=np.float64)
     n, p = geno.shape
+    # 2-bit codes can hold EXACTLY {0, 1, 2, NaN}: anything else (e.g.
+    # a mean-imputed fractional dosage) would silently encode as
+    # dosage 0 -- refuse instead of corrupting the fileset (review r4)
+    bad = ~(np.isnan(geno) | np.isin(geno, (0.0, 1.0, 2.0)))
+    if bad.any():
+        i, j = np.argwhere(bad)[0]
+        raise ValueError(
+            f"genotypes[{i}, {j}] = {geno[i, j]!r} is not in "
+            "{0, 1, 2, NaN}; .bed holds 2-bit hard calls only")
     # dosage -> 2-bit code: 2->0, 1->2, 0->3, NaN->1
     codes = np.full((p, n), 3, dtype=np.uint8)
     gt = geno.T
@@ -380,8 +412,15 @@ def write_bed(path_root: str, genotypes: np.ndarray,
     with open(path_root + ".bed", "wb") as fh:
         fh.write(BED_MAGIC)
         fh.write(packed.tobytes())
-    snp_ids = snp_ids or [f"snp{j+1}" for j in range(p)]
-    fam_ids = fam_ids or [f"id{i+1}" for i in range(n)]
+    if snp_ids is None:
+        snp_ids = [f"snp{j+1}" for j in range(p)]
+    elif len(snp_ids) != p:
+        raise ValueError(f"snp_ids has {len(snp_ids)} entries for {p} SNPs")
+    if fam_ids is None:
+        fam_ids = [f"id{i+1}" for i in range(n)]
+    elif len(fam_ids) != n:
+        raise ValueError(
+            f"fam_ids has {len(fam_ids)} entries for {n} samples")
     with open(path_root + ".bim", "w") as fh:
         for j, sid in enumerate(snp_ids):
             fh.write(f"1\t{sid}\t0\t{j+1}\tA\tC\n")
@@ -402,10 +441,23 @@ def subset_samples(ds: PlinkDataset, sample_idx, out_root: str,
     """
     idx = np.asarray(sample_idx)
     if idx.dtype == bool:
+        if idx.shape != (ds.n_samples,):
+            raise ValueError(
+                f"boolean mask has {idx.size} entries for "
+                f"{ds.n_samples} samples")
         idx = np.flatnonzero(idx)
+    elif idx.size and (idx.min() < 0 or idx.max() >= ds.n_samples):
+        raise ValueError(
+            f"sample indices span [{idx.min()}, {idx.max()}] but the "
+            f"dataset holds {ds.n_samples} samples")
     n_out = int(idx.size)
     if n_out < 1:
         raise ValueError("sample subset is empty")
+    if os.path.abspath(out_root + ".bed") == os.path.abspath(ds.bed_path):
+        # open(..., 'wb') would TRUNCATE the source .bed mid-read
+        raise ValueError(
+            f"out_root {out_root!r} collides with the source fileset; "
+            "write the subset somewhere else")
     with open(out_root + ".bed", "wb") as fh:
         fh.write(BED_MAGIC)
         for start in range(0, ds.n_snps, block_size):

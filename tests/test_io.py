@@ -250,3 +250,63 @@ def test_open_rejects_empty_bim(small_plink, tmp_path):
     open(bad + ".bim", "w").close()
     with pytest.raises(ValueError, match="lists 0 SNPs but"):
         PlinkDataset.open(bad)
+
+
+def test_io_guards(tmp_path):
+    """Malformed-input guards (review r4): non-hard-call dosages,
+    id-length mismatches, self-overwriting subsets, truncated .bed,
+    individual-major mode byte, short .fam/.bim lines."""
+    import pytest
+
+    from flashpca_tpu.io.plink import (BED_MAGIC, PlinkDataset,
+                                       subset_samples, write_bed)
+
+    rng = np.random.default_rng(0)
+    geno = rng.binomial(2, 0.4, size=(9, 5)).astype(np.float64)
+    root = str(tmp_path / "ok")
+    write_bed(root, geno)
+    ds = PlinkDataset.open(root)
+
+    with pytest.raises(ValueError, match="hard calls"):
+        write_bed(str(tmp_path / "f"), geno * 0.5)
+    with pytest.raises(ValueError, match="snp_ids"):
+        write_bed(str(tmp_path / "f"), geno, snp_ids=["a"])
+    with pytest.raises(ValueError, match="fam_ids"):
+        write_bed(str(tmp_path / "f"), geno, fam_ids=["a"])
+    with pytest.raises(ValueError, match="collides"):
+        subset_samples(ds, np.arange(4), root)
+    with pytest.raises(ValueError, match="boolean mask"):
+        subset_samples(ds, np.ones(4, dtype=bool), str(tmp_path / "s"))
+    with pytest.raises(ValueError, match="holds 9 samples"):
+        subset_samples(ds, np.array([0, 12]), str(tmp_path / "s"))
+    # ds1 == ds2 must not raise on mapped datasets
+    ds2 = PlinkDataset.open(root)
+    ds.read_packed(); ds2.read_packed()
+    assert ds == ds2
+
+    # truncated .bed
+    empty = tmp_path / "e.bed"
+    empty.write_bytes(b"")
+    for ext, content in (("bim", "1\tsnp1\t0\t1\tA\tC\n"),
+                         ("fam", "f1\tf1\t0\t0\t0\t-9\n")):
+        (tmp_path / f"e.{ext}").write_text(content)
+    with pytest.raises(ValueError, match="3-byte"):
+        PlinkDataset.open(str(tmp_path / "e"))
+
+    # individual-major mode byte
+    im = tmp_path / "im.bed"
+    im.write_bytes(BED_MAGIC[:2] + b"\x00" + b"\x00" * 4)
+    for ext in ("bim", "fam"):
+        import shutil
+        shutil.copyfile(tmp_path / f"e.{ext}", tmp_path / f"im.{ext}")
+    with pytest.raises(ValueError, match="individual-major"):
+        PlinkDataset.open(str(tmp_path / "im"))
+
+    # short metadata lines
+    bad = tmp_path / "b"
+    import shutil
+    shutil.copyfile(root + ".bed", str(bad) + ".bed")
+    (tmp_path / "b.bim").write_text("1\tsnp1\t0\t1\tA\n")  # 5 cols
+    (tmp_path / "b.fam").write_text("onlyfid\n")
+    with pytest.raises(ValueError, match=r"\.fam:1"):
+        PlinkDataset.open(str(bad))
