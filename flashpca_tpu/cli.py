@@ -143,6 +143,12 @@ def _block_size_from_memory(memory_mb, n, p, ndim, do_loadings, verbose):
         + 2 * 1024 * 1024 + n * 8
     )
     remain = mem - mem_req
+    if verbose:
+        # the reference's verbose budget diagnostics
+        # (flashpca.cpp:662-665, 675-677)
+        print(timestamp() + f"mem: {mem}")
+        print(timestamp() + f"mem_req: {mem_req}")
+        print(timestamp() + f"mem remaining: {remain}")
     if remain <= 0:
         raise ValueError(
             "The memory specified using --memory is not sufficient, try "
@@ -183,7 +189,7 @@ def main(argv=None) -> int:
         set_num_threads(args.numthreads)
 
     if args.version:
-        print(f"flashpca-tpu {__version__}", file=sys.stderr)
+        print(f"flashpca-tpu {__version__}")
         return 0
 
     print(timestamp() + "arguments: flashpca-tpu "
@@ -241,6 +247,17 @@ def main(argv=None) -> int:
                         "--outstate)")
         if not args.outstate:
             return _die("--checkpoint-every requires --outstate")
+    # same no-silent-drop rule for the other mode-specific extensions:
+    # accepting them in a mode that never reads them would quietly lose
+    # the fault tolerance / solver setting the user asked for
+    if (args.outstate or args.instate) and mode not in ("pca", "scca"):
+        return _die("--outstate/--instate apply to PCA and SCCA modes "
+                    "only (this mode has no restart state)")
+    if args.opmode != "auto" and mode != "pca":
+        return _die("--opmode applies to PCA mode only (the other modes "
+                    "run the wide operator)")
+    if args.polish != "contract" and mode != "pca":
+        return _die("--polish applies to PCA mode only")
 
     if args.bfile:
         bed, bim, fam = (args.bfile + ext for ext in (".bed", ".bim", ".fam"))
@@ -301,13 +318,18 @@ def main(argv=None) -> int:
             f"{ds.n_snps} SNPs", verbose=args.verbose)
 
         Y = None
-        if args.pheno:
+        if args.pheno and mode in ("scca", "ucca"):
+            # the reference reads --pheno only for (S)CCA/UCCA and the
+            # .fam phenotype otherwise (flashpca.cpp:585-588): a stale
+            # --pheno on a PCA command line must not kill the run
             Y = read_text(args.pheno, firstcol=3)
             if Y.shape[0] != ds.n_samples:
                 return _die("phenotype file rows must match .fam rows")
 
+        # the reference validates ndim before the mode switch
+        # (flashpca.cpp:623-634), i.e. for EVERY mode
         max_dim = int((min(ds.n_samples, ds.n_snps) - 1) / 2.0)
-        if mode in ("pca",) and args.ndim > max_dim:
+        if args.ndim > max_dim:
             return _die(f"You asked for {args.ndim} dimensions, but only "
                         f"{max_dim} allowed")
 
@@ -321,13 +343,29 @@ def main(argv=None) -> int:
                 # same error channel as every other CLI failure (the
                 # reference prints the message + "Use --help" hint)
                 return _die(str(e))
+        if block_size is not None:
+            # clamp + log for BOTH the --memory and --blocksize paths,
+            # like the reference (flashpca.cpp:686-690)
             block_size = min(block_size, ds.n_snps)
             print(timestamp() + f"blocksize: {block_size}")
 
         stream = {"auto": "auto", "on": True, "off": False}[args.stream]
 
-        fam_rownames = [f + TXT_SEP + i for f, i in zip(ds.fam_ids, ds.indiv_ids)]
-        snp_rownames = [s + TXT_SEP + a for s, a in zip(ds.snp_ids, ds.ref_alleles)]
+        # built lazily: a 10M-row id+allele string list costs real time
+        # and memory, and only some modes/flags consume each
+        _rn_cache = {}
+
+        def fam_rownames():
+            if "fam" not in _rn_cache:
+                _rn_cache["fam"] = [f + TXT_SEP + i for f, i in
+                                    zip(ds.fam_ids, ds.indiv_ids)]
+            return _rn_cache["fam"]
+
+        def snp_rownames():
+            if "snp" not in _rn_cache:
+                _rn_cache["snp"] = [s + TXT_SEP + a for s, a in
+                                    zip(ds.snp_ids, ds.ref_alleles)]
+            return _rn_cache["snp"]
 
         meansd_out = None
 
@@ -349,17 +387,17 @@ def main(argv=None) -> int:
             ucol = ["FID" + TXT_SEP + "IID"] + [
                 f"U{i+1}" for i in range(res.vectors.shape[1])]
             save_text(res.vectors, out["vec"], colnames=ucol,
-                      rownames=fam_rownames, precision=prec)
+                      rownames=fam_rownames(), precision=prec)
             pccol = ["FID" + TXT_SEP + "IID"] + [
                 f"PC{i+1}" for i in range(res.projection.shape[1])]
             save_text(res.projection, out["pc"], colnames=pccol,
-                      rownames=fam_rownames, precision=prec)
+                      rownames=fam_rownames(), precision=prec)
             save_text(res.pve.reshape(-1, 1), out["pve"], precision=prec)
             if args.outload:
                 vcol = ["SNP" + TXT_SEP + "RefAllele"] + [
                     f"V{i+1}" for i in range(res.loadings.shape[1])]
                 save_text(res.loadings, out["load"], colnames=vcol,
-                          rownames=snp_rownames, precision=prec)
+                          rownames=snp_rownames(), precision=prec)
             meansd_out = np.column_stack([res.center, res.scale])
 
         elif mode == "scca":
@@ -428,7 +466,7 @@ def main(argv=None) -> int:
             pccol = ["FID" + TXT_SEP + "IID"] + [
                 f"PC{i+1}" for i in range(res.projection.shape[1])]
             save_text(res.projection, out["proj"], colnames=pccol,
-                      rownames=fam_rownames, precision=prec)
+                      rownames=fam_rownames(), precision=prec)
 
         if args.outmeansd and meansd_out is None:
             # the reference writes X_meansd after EVERY mode
@@ -447,7 +485,7 @@ def main(argv=None) -> int:
             save_text(
                 meansd_out, out["meansd"],
                 colnames=["SNP" + TXT_SEP + "RefAllele", "Mean", "SD"],
-                rownames=snp_rownames, precision=prec)
+                rownames=snp_rownames(), precision=prec)
 
         print(timestamp() + "Goodbye!")
         return 0

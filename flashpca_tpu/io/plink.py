@@ -133,6 +133,11 @@ class PlinkDataset:
     # memmaps elementwise and bool() of that raises (review r4)
     _mmap: np.ndarray | None = field(default=None, compare=False,
                                      repr=False)
+    # full-file moments memo: every snp_stats()/snp_moments() caller
+    # (each analysis mode + the CLI's --outmeansd writer) re-scanned
+    # the whole .bed for the identical exact-f64 counts (review r4)
+    _moments: tuple | None = field(default=None, compare=False,
+                                   repr=False)
 
     @classmethod
     def open(cls, root_or_bed: str, bim: str | None = None, fam: str | None = None):
@@ -308,19 +313,26 @@ class PlinkDataset:
         :func:`snp_moments_from_codes`)."""
         from . import cbed
 
-        lo, hi = (0, self.n_snps) if snp_range is None else snp_range
+        full = snp_range is None
+        if full and self._moments is not None:
+            return self._moments
+        lo, hi = (0, self.n_snps) if full else snp_range
         if cbed.moments_available():
-            return cbed.moments(self.read_packed(lo, hi), self.n_samples)
-        m = hi - lo
-        ngood = np.empty(m, dtype=np.float64)
-        dsum = np.empty(m, dtype=np.float64)
-        d2sum = np.empty(m, dtype=np.float64)
-        for start in range(lo, hi, block_size):
-            stop = min(start + block_size, hi)
-            codes = self.read_codes(start, stop)
-            s = slice(start - lo, stop - lo)
-            ngood[s], dsum[s], d2sum[s] = snp_moments_from_codes(codes)
-        return ngood, dsum, d2sum
+            out = cbed.moments(self.read_packed(lo, hi), self.n_samples)
+        else:
+            m = hi - lo
+            ngood = np.empty(m, dtype=np.float64)
+            dsum = np.empty(m, dtype=np.float64)
+            d2sum = np.empty(m, dtype=np.float64)
+            for start in range(lo, hi, block_size):
+                stop = min(start + block_size, hi)
+                codes = self.read_codes(start, stop)
+                s = slice(start - lo, stop - lo)
+                ngood[s], dsum[s], d2sum[s] = snp_moments_from_codes(codes)
+            out = ngood, dsum, d2sum
+        if full:
+            self._moments = out
+        return out
 
     def snp_stats(self, method: str = "binom2",
                   block_size: int = 8192,
@@ -352,6 +364,16 @@ class PlinkDataset:
             mean, sd = stats_from_moments(ngood, dsum, method)
             return mean, sd, sumsq_from_moments(ngood, dsum, d2sum,
                                                 mean, sd)
+        if snp_range is None and (self._moments is not None
+                                  or cbed.moments_available()
+                                  or not cbed.available()):
+            # full-file stats ride the (cached) moments pass: a later
+            # call for ANY method -- e.g. the CLI's --outmeansd writer
+            # after the analysis already scanned the file -- costs no
+            # IO, and (mean, sd) from exact-f64 integer moments are
+            # bit-identical to the direct computation
+            ngood, dsum, _ = self.snp_moments(block_size=block_size)
+            return stats_from_moments(ngood, dsum, method)
         lo, hi = (0, self.n_snps) if snp_range is None else snp_range
         if cbed.available():
             return cbed.stats(self.read_packed(lo, hi), self.n_samples,

@@ -195,3 +195,33 @@ def test_cli_polish_fast(small_plink, workdir):
     ef = read_text("eigenvectors.fast.txt", firstcol=3, skip=1)
     ec = read_text("eigenvectors.contract.txt", firstcol=3, skip=1)
     np.testing.assert_allclose(np.abs(ef), np.abs(ec), atol=1e-6)
+
+
+def test_cli_mode_specific_flag_guards(small_plink, workdir, tmp_path):
+    """Mode-specific extension flags refuse modes that never read them
+    (the --checkpoint-every no-silent-drop rule, review r4); --pheno is
+    ignored outside (S)CCA/UCCA like the reference; ndim validates in
+    every mode (flashpca.cpp:623-634)."""
+    root, geno = small_plink
+    # state flags outside pca/scca
+    assert main(["--ucca", "--bfile", root, "--pheno", "nope.txt",
+                 "--outstate", "s.npz", "--notime"]) == 1
+    # opmode outside pca
+    assert main(["--check", "--bfile", root, "--opmode", "tall",
+                 "--notime"]) == 1
+    # polish outside pca
+    assert main(["--scca", "--bfile", root, "--pheno", "nope.txt",
+                 "--polish", "fast", "--notime"]) == 1
+    # a stale --pheno on a PCA command line is ignored (reference
+    # flashpca.cpp:585-588 reads it only for CCA modes)
+    stale = tmp_path / "stale.txt"
+    stale.write_text("f1 i1 0.5\n")       # 1 row != n
+    assert main(["--bfile", root, "--ndim", "2", "--pheno", str(stale),
+                 "--notime", "--shards", "1"]) == 0
+    # ndim cap applies to scca too
+    n, p = geno.shape
+    too_many = str((min(n, p) - 1) // 2 + 1)
+    pheno = tmp_path / "y.txt"
+    pheno.write_text("".join(f"f{i} i{i} 0.1 0.2\n" for i in range(n)))
+    assert main(["--scca", "--bfile", root, "--pheno", str(pheno),
+                 "--ndim", too_many, "--notime"]) == 1
