@@ -7,8 +7,13 @@ TPU-native replacement for the reference's Spectra
 * ``nev`` (= ndim) largest-algebraic eigenpairs of a symmetric operator,
 * Krylov subspace of ``ncv = 2*nev + 1`` vectors,
 * ``maxiter`` restart cycles, convergence when the Ritz residual
-  ``|beta_m * s_mi|`` drops below ``max(eps^(2/3), tol) * |theta_i|``
-  (Spectra's criterion).
+  ``|beta_m * s_mi|`` drops below
+  ``max(eps^(2/3) * theta_max, tol * |theta_i|)`` -- Spectra's
+  criterion with the roundoff floor scaled by ||A|| (theta_max)
+  instead of each pair's own |theta_i|: f32 residuals of SMALL
+  eigenvalues bottom out at eps * ||A||, so Spectra's literal
+  per-pair floor is unreachable below theta_max * eps^(2/3) (the
+  deliberate deviation; see the inline comment at the test).
 
 Implementation is TPU-first rather than a Spectra port:
 
@@ -100,7 +105,7 @@ def _expand_jit_for(mv, ncv, deflate_tol):
     )
 
 
-def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
+def _expand_cycle(matvec, V, key, consts, scale0, l, ncv, deflate_tol):
     """Run Lanczos steps j = l .. ncv-1 on device.
 
     ``matvec(v, *consts)`` applies the operator (array closures hoisted
@@ -109,6 +114,12 @@ def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
     norm, orthogonal to the previous columns).  Returns
     (V, alphas, betas) where alphas[j] = <v_j, A v_j> and betas[j] =
     ||residual after step j|| (0 where deflation occurred).
+
+    ``scale0`` seeds the running ||A|| estimate the deflation floor is
+    RELATIVE to (theta_max from the previous cycle; 0 on the first).
+    An absolute floor (the old max(1.0, |alpha|)) spuriously deflated
+    every step of operators with norm below the tolerance, returning
+    converged random directions (review r4).
     """
     dtype = V.dtype
     n = V.shape[0]
@@ -122,13 +133,17 @@ def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
         return w, h1 + h2
 
     def body(j, carry):
-        V, alphas, betas = carry
+        V, alphas, betas, anorm = carry
         vj = lax.dynamic_slice(V, (0, j), (n, 1))[:, 0]
         w = matvec(vj, *consts)
         w, h = orth(V, w)
         alpha = h[j]
         beta = jnp.linalg.norm(w)
-        deflated = beta <= deflate_tol * jnp.maximum(1.0, jnp.abs(alpha))
+        # running operator-scale estimate: every |alpha|/beta seen is
+        # <= ||A|| (unit vj), and a true invariant subspace leaves
+        # beta ~ eps * ||A|| -- scale-free for tiny-norm operators
+        anorm = jnp.maximum(anorm, jnp.maximum(jnp.abs(alpha), beta))
+        deflated = beta <= deflate_tol * anorm
 
         def fresh(_):
             r = jax.random.normal(jax.random.fold_in(key, j), (n,), dtype)
@@ -141,11 +156,13 @@ def _expand_cycle(matvec, V, key, consts, l, ncv, deflate_tol):
         V = lax.dynamic_update_slice(V, vnext[:, None], (0, j + 1))
         alphas = alphas.at[j].set(alpha)
         betas = betas.at[j].set(beta_out)
-        return V, alphas, betas
+        return V, alphas, betas, anorm
 
     alphas = jnp.zeros(ncv, dtype)
     betas = jnp.zeros(ncv, dtype)
-    V, alphas, betas = lax.fori_loop(l, ncv, body, (V, alphas, betas))
+    V, alphas, betas, _ = lax.fori_loop(
+        l, ncv, body,
+        (V, alphas, betas, jnp.asarray(scale0, dtype)))
     # ONE stacked (2, ncv) output so the restart loop pays a single
     # device->host transfer per cycle (see block_lanczos: separate
     # fetches each pay a slow link's per-transfer floor)
@@ -183,6 +200,10 @@ def eigsh(
     if ncv is None:
         ncv = 2 * nev + 1
     ncv = min(ncv, n)
+    if nev < 1:
+        raise ValueError("nev must be >= 1")
+    if maxiter < 1:
+        raise ValueError("maxiter must be >= 1")
     if not (nev < ncv <= n):
         raise ValueError(f"need nev < ncv <= n (nev={nev}, ncv={ncv}, n={n})")
 
@@ -216,8 +237,8 @@ def eigsh(
 
     expand_jit = _expand_jit_for(mv_pure, ncv, 10.0 * eps)
 
-    def expand(V, key, consts, l):
-        return expand_jit(V, key, consts, l=l)
+    def expand(V, key, consts, l, scale0):
+        return expand_jit(V, key, consts, scale0, l=l)
 
     nops = 0
     l = 0  # number of kept Ritz vectors after restart (0 on first cycle)
@@ -235,7 +256,9 @@ def eigsh(
     for restart in range(maxiter):
         # -- device: Lanczos expansion from column l to ncv-1 ---------------
         key, sub = jax.random.split(key)
-        V, ab_d = expand(V, sub, consts, l=l)
+        V, ab_d = expand(V, sub, consts, l=l,
+                         scale0=(float(np.max(np.abs(theta_kept)))
+                                 if theta_kept.size else 0.0))
         nops += ncv - l
         ab = np.asarray(ab_d, dtype=np.float64)  # one fetch: [alphas; betas]
         alphas, betas = ab[0], ab[1]

@@ -167,3 +167,26 @@ def test_eigsh_block_rejects_nonpositive_maxiter():
 
     with pytest.raises(ValueError, match="maxiter"):
         eigsh_block(lambda Q: Q, 40, 3, maxiter=0)
+
+
+def test_eigsh_tiny_norm_operator():
+    """A small-norm operator must not be spuriously deflated into
+    converged random directions: the deflation floor is relative to a
+    running ||A|| estimate, not an absolute 1.0 (review r4)."""
+    rng = np.random.default_rng(5)
+    n, scale = 60, 1e-8
+    A = scale * _make_psd(rng, n, 50)
+    Ad = jnp.asarray(A)
+    res = eigsh(lambda v: Ad @ v, n, nev=3, tol=1e-9, dtype=jnp.float64)
+    w = np.linalg.eigvalsh(A)[::-1][:3]
+    np.testing.assert_allclose(res.eigenvalues, w, rtol=1e-7)
+    R = A @ np.asarray(res.eigenvectors) - np.asarray(
+        res.eigenvectors) * res.eigenvalues[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6 * w[0]
+
+
+def test_eigsh_invalid_nev_maxiter():
+    with pytest.raises(ValueError, match="nev"):
+        eigsh(lambda v: v, 10, nev=0)
+    with pytest.raises(ValueError, match="maxiter"):
+        eigsh(lambda v: v, 10, nev=2, maxiter=0)
