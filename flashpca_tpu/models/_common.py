@@ -16,20 +16,7 @@ def resolve_divisor(divisor: str, n: int, p: int) -> float:
     raise ValueError(f"unknown divisor: {divisor}")
 
 
-def fetch_global(x, dtype=None):
-    """Host numpy view of a possibly process-spanning device array.
-
-    Under multi-controller execution (jax.distributed) the SNP- or
-    sample-sharded outputs (loadings, tall-path U) span devices of
-    OTHER processes; ``np.asarray`` on such an array raises.  Gather
-    the global value first -- every process returns the same full
-    array, keeping the controllers in lockstep.  Replicated arrays and
-    plain numpy pass straight through."""
-    import jax
-    import numpy as np
-
-    if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        from jax.experimental import multihost_utils
-
-        x = multihost_utils.process_allgather(x, tiled=True)
-    return np.asarray(x) if dtype is None else np.asarray(x, dtype=dtype)
+# fetch_global moved to utils/fetch.py (the operators' lazy reductions
+# need it too, and ops cannot import models); re-exported here for the
+# existing model-side imports
+from ..utils.fetch import fetch_global  # noqa: F401,E402

@@ -43,7 +43,7 @@ def check(
     evec,
     eval_,
     *,
-    stand: str = "binom2",
+    stand: str | None = None,
     divisor: str = "p",
     block_size: int | None = None,
     dtype=None,
@@ -75,9 +75,27 @@ def check(
     eval_np = np.asarray(eval_, dtype=np.float64).reshape(-1)
     if not isinstance(evec, jax.Array):
         evec = np.asarray(evec, dtype=np.float64)
+    if evec.ndim == 1:
+        evec = evec[:, None]            # a single component is a column
 
     if isinstance(data, str):
         data = PlinkDataset.open(data)
+    from ..ops.operator import TallPackedOperator, TallStreamingOperator
+
+    if isinstance(data, (TallPackedOperator, TallStreamingOperator)):
+        raise ValueError(
+            "check() verifies the WIDE decomposition X X^T U = U d "
+            "(randompca.cpp:663-703); a tall operator exposes X^T X -- "
+            "pass the PLINK data (or a wide operator) instead"
+        )
+    if stand is not None and isinstance(
+            data, (PackedOperator, StreamingPackedOperator, DenseOperator)):
+        raise ValueError(
+            "stand= was passed with a prebuilt operator, whose "
+            "standardization is baked in; rebuild the operator with "
+            "the desired stats"
+        )
+    stand = stand or "binom2"
 
     # one validation for dataset and prebuilt-operator inputs alike --
     # BEFORE the full-file stats pass / operator build, so a shape
@@ -96,6 +114,7 @@ def check(
             raise ValueError(
                 "Eigenvector dimension doesn't match the number of eigenvalues"
             )
+        _div(divisor, n_expected, data.n_snps)  # typo fails fast too
 
     op = None
     if isinstance(data, (PackedOperator, StreamingPackedOperator,

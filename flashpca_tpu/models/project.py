@@ -79,6 +79,10 @@ def project(
                 f"loadings rows ({V.shape[0]}) != number of SNPs ({data.n_snps})"
             )
         if ref_alleles is not None:
+            if len(ref_alleles) != data.n_snps:
+                raise ValueError(
+                    f"ref_alleles has {len(ref_alleles)} entries for "
+                    f"{data.n_snps} SNPs")
             mism = [
                 i for i, a in enumerate(data.ref_alleles) if a != ref_alleles[i]
             ]
@@ -90,22 +94,47 @@ def project(
         if snp_ids is not None and list(data.snp_ids) != list(snp_ids):
             raise ValueError("SNP ids do not match the loadings' SNP ids")
 
+        if (orig_mean is None) != (orig_sd is None):
+            raise ValueError("give orig_mean and orig_sd together")
+        if orig_mean is not None and (meansd is not None or maf is not None):
+            raise ValueError(
+                "give only one of orig_mean/orig_sd, meansd, or maf")
         if maf is not None:
-            ms = maf2meansd(np.asarray(maf))
+            maf = np.asarray(maf, dtype=np.float64)
+            if maf.shape != (data.n_snps,):
+                raise ValueError(
+                    f"maf has shape {maf.shape}; expected "
+                    f"({data.n_snps},)")
+            ms = maf2meansd(maf)
             mean, sd = ms[:, 0], ms[:, 1]
         elif meansd is not None:
             ms = np.asarray(meansd, dtype=np.float64)
+            if ms.ndim != 2 or ms.shape != (data.n_snps, 2):
+                raise ValueError(
+                    f"meansd has shape {ms.shape}; expected "
+                    f"({data.n_snps}, 2) [mean, sd]")
             mean, sd = ms[:, 0], ms[:, 1]
+        elif orig_mean is not None:
+            # the stored training stats, flashpcaR's PLINK-path
+            # orig_mean/orig_sd arguments (project.R:99-152) -- these
+            # were previously ignored silently on this path (review r4)
+            mean = np.asarray(orig_mean, dtype=np.float64)
+            sd = np.asarray(orig_sd, dtype=np.float64)
+            if mean.shape != (data.n_snps,) or sd.shape != (data.n_snps,):
+                raise ValueError(
+                    "orig_mean/orig_sd must each have one entry per SNP")
         else:
             mean, sd = data.snp_stats(stand)
 
+        # resolve BEFORE the operator build: a divisor typo must fail
+        # in milliseconds, not after a biobank-scale stats scan
+        div = _resolve_div(divisor, data.n_samples, V.shape[0])
         dtype = dtype or default_dtype()
         # streaming = the reference's online projection (randompca.cpp:790-820)
         op = build_packed_operator(
             data, mean, sd, streaming=streaming, memory_mb=memory_mb,
             block_size=block_size, dtype=dtype, mesh=mesh,
         )
-        div = _resolve_div(divisor, data.n_samples, V.shape[0])
         Px = np.asarray(op.prod(jnp.asarray(V, dtype=dtype)), dtype=np.float64)
         return ProjectResult(projection=Px / np.sqrt(div))
 
@@ -120,5 +149,10 @@ def project(
     inv = _inv_sd(orig_sd)   # same column-zeroing rule as the kernels
     Xs = (X - orig_mean[None, :]) * inv[None, :]
     Xs[np.isnan(Xs)] = 0.0
+    # divisor='n1' maps to n-1 (the C++ reference, flashpca.cpp:484-500,
+    # used uniformly across this framework).  NOTE the R numeric path's
+    # own table maps "n1" to n (project.R:137-142) -- the two references
+    # disagree with each other; parity tests against flashpcaR's
+    # numeric path at divisor='n1' differ by sqrt((n-1)/n).
     div = _resolve_div(divisor, X.shape[0], V.shape[0])
     return ProjectResult(projection=Xs @ V / np.sqrt(div))

@@ -72,7 +72,7 @@ def ucca(
     data,
     Y: np.ndarray,
     *,
-    stand_x: str = "binom2",
+    stand_x: str | None = None,
     stand_y: str = "sd",
     block_size: int | None = None,
     dtype=None,
@@ -98,10 +98,26 @@ def ucca(
 
     if isinstance(data, str):
         data = PlinkDataset.open(data)
+    from ..ops.operator import TallPackedOperator, TallStreamingOperator
 
+    if isinstance(data, (TallPackedOperator, TallStreamingOperator)):
+        raise ValueError(
+            "ucca() needs the wide product layout (X^T Y crossprod); "
+            "pass the PLINK data (or a wide operator) instead of a "
+            "tall operator"
+        )
+
+    prebuilt = isinstance(data, (PackedOperator, StreamingPackedOperator,
+                                 DenseOperator))
+    if prebuilt and stand_x is not None:
+        raise ValueError(
+            "stand_x= was passed with a prebuilt operator, whose "
+            "standardization is baked in; rebuild the operator with "
+            "the desired stats"
+        )
+    stand_x = stand_x or "binom2"
     op = None
-    if isinstance(data, (PackedOperator, StreamingPackedOperator,
-                         DenseOperator)):
+    if prebuilt:
         check_operator_conflicts(data, dtype=dtype, mesh=mesh,
                                  streaming=streaming,
                                  memory_mb=memory_mb,
@@ -146,9 +162,12 @@ def ucca(
         if X.shape[0] != n:
             raise ValueError("Y rows must equal the number of samples")
         X_std, _, _ = standardize(X, stand_x)
-        Xc = X_std - X_std.mean(axis=0, keepdims=True)
         Yc = Y_std - Y_std.mean(axis=0, keepdims=True)
-        covXY = Xc.T @ Yc / (n - 1.0)
+        # Yc columns sum to zero, so the x-mean correction in
+        # cov(x, Y) vanishes -- X_std.T @ Yc is exact without
+        # materializing a centered (N, p) copy (the identity the
+        # packed path rides, above)
+        covXY = X_std.T @ Yc / (n - 1.0)
         varx = (X_std ** 2).sum(axis=0) - X_std.sum(axis=0) ** 2 / n
         varx = varx / (n - 1.0)
 

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..io.plink import PACK_DENSITY, bytes_per_snp
 from ..kernels.packed_matvec import TILE_P as _TILE_P
+from ..utils.fetch import fetch_global
 from .genotypes import (
     decode_standardized,
     permute_samples,
@@ -553,7 +554,10 @@ class PackedOperator(LinearOperatorBase):
         """Per-SNP sum of squared standardized genotypes (float64 host)."""
         if self._sumsq is None:
             sq = self._sumsq_fn(self.packed, self.mean, self.invsd, self._valid)
-            self._sumsq = np.asarray(sq, dtype=np.float64)[: self.n_snps]
+            # the lazy reduction's output is SNP-sharded under a mesh:
+            # gather process-safely (np.asarray raises on an array
+            # spanning other controllers' devices, review r4)
+            self._sumsq = fetch_global(sq, dtype=np.float64)[: self.n_snps]
         return self._sumsq
 
     @property
@@ -1467,7 +1471,7 @@ class StreamingPackedOperator(LinearOperatorBase):
         if self._sumsq is None:
             outs = []
             for pb, mb, ib, _, _ in self._blocks():
-                outs.append(np.asarray(
+                outs.append(fetch_global(
                     self._sumsq_blk(pb, mb, ib, self._valid),
                     dtype=np.float64))
             self._sumsq = np.concatenate(outs)[: self.n_snps]

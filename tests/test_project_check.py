@@ -116,3 +116,59 @@ def test_check_accepts_list_evec(small_plink):
     res = pca(root, 2, tol=1e-9)
     chk = check(root, [list(r) for r in res.vectors], list(res.values))
     assert chk.mse < 1e-10
+
+
+def test_check_ucca_project_guards(small_plink, rng):
+    """Review-r4 guards: tall operators rejected with clear errors,
+    stand with prebuilt operators raises, 1-D evec accepted, stored
+    orig_mean/orig_sd honored on the PLINK path, stats-shape errors."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.models.check import check
+    from flashpca_tpu.models.pca import pca
+    from flashpca_tpu.models.project import project
+    from flashpca_tpu.models.ucca import ucca
+    from flashpca_tpu.ops.operator import PackedOperator, TallPackedOperator
+
+    root, geno = small_plink
+    ds = PlinkDataset.open(root)
+    mean, sd = ds.snp_stats("binom2")
+    res = pca(root, 2, tol=1e-10)
+    tall = TallPackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                              dtype=jnp.float64)
+    wide = PackedOperator(ds.read_packed(), mean, sd, ds.n_samples,
+                          dtype=jnp.float64)
+    Y = rng.normal(size=(ds.n_samples, 2))
+
+    with pytest.raises(ValueError, match="WIDE"):
+        check(tall, res.vectors, res.values)
+    with pytest.raises(ValueError, match="wide"):
+        ucca(tall, Y)
+    with pytest.raises(ValueError, match="stand"):
+        check(wide, res.vectors, res.values, stand="binom")
+    with pytest.raises(ValueError, match="stand_x"):
+        ucca(wide, Y, stand_x="binom")
+
+    # 1-D evec = one component
+    c1 = check(root, res.vectors[:, 0], [res.values[0]])
+    c2 = check(root, res.vectors[:, :1], res.values[:1])
+    np.testing.assert_allclose(c1.mse, c2.mse)
+
+    # PLINK projection with STORED stats must use them (previously
+    # silently recomputed from the new cohort)
+    pr_stored = project(root, res.loadings if res.loadings is not None
+                        else pca(root, 2, tol=1e-10,
+                                 do_loadings=True).loadings,
+                        orig_mean=mean, orig_sd=sd)
+    V = pca(root, 2, tol=1e-10, do_loadings=True).loadings
+    pr_meansd = project(root, V, meansd=np.column_stack([mean, sd]))
+    np.testing.assert_allclose(pr_stored.projection, pr_meansd.projection,
+                               rtol=1e-12)
+    with pytest.raises(ValueError, match="together"):
+        project(root, V, orig_mean=mean)
+    with pytest.raises(ValueError, match="meansd has shape"):
+        project(root, V, meansd=np.column_stack([mean, sd])[:-1])
+    with pytest.raises(ValueError, match="ref_alleles has"):
+        project(root, V, ref_alleles=["A"])
+    with pytest.raises(ValueError, match="unknown divisor"):
+        check(root, res.vectors, res.values, divisor="n-1")
