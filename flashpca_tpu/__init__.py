@@ -8,7 +8,7 @@ samples, decomposition checking, sparse CCA, and per-SNP multivariate
 ANOVA (UCCA).
 """
 
-__version__ = "0.4.1"
+__version__ = "0.4.2"
 
 from .io import PlinkDataset
 from .ops import standardize, scale2, PackedOperator, DenseOperator
