@@ -72,6 +72,14 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# the stdout contract is ONE JSON line: route every library notice
+# (models' log() notes) to stderr before anything imports them
+def _quiet_stdout():
+    from flashpca_tpu.utils.logging import set_default_stream
+
+    set_default_stream(sys.stderr)
+
+
 def budget_left() -> float:
     return _BUDGET - (time.time() - _START)
 
@@ -410,6 +418,7 @@ def main():
         f"budget={_BUDGET:.0f}s compile-cache={cache_dir} "
         f"({_cache_entries(cache_dir)} entries)")
 
+    _quiet_stdout()
     from flashpca_tpu.models.pca import pca
     from flashpca_tpu.ops.operator import PackedOperator, TallPackedOperator
     from flashpca_tpu.solvers.block_lanczos import eigsh_block, polish_subspace

@@ -29,8 +29,11 @@ def init_distributed(**kwargs) -> None:
     """Initialize the JAX multi-host runtime (idempotent wrapper)."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except RuntimeError as e:
+        # jax has spelled re-initialization both "already initialized"
+        # and "should only be called once" across versions (review r4)
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 
@@ -38,6 +41,29 @@ def snp_mesh(devices=None, axis_name: str = "snps") -> Mesh:
     """1-D mesh over all (global) devices for SNP sharding."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     return Mesh(devices, (axis_name,))
+
+
+def _require_1d(mesh: Mesh, fn: str) -> None:
+    """The shard loaders zip mesh.devices.reshape(-1) against 1-D range
+    plans; a multi-axis mesh would silently mispair devices and ranges
+    (review r4)."""
+    if len(mesh.shape) != 1:
+        raise ValueError(
+            f"{fn} needs a 1-D mesh (got axes {tuple(mesh.shape)}); "
+            "build it with parallel.snp_mesh()")
+
+
+def _allgather_f64_sum(arr: np.ndarray) -> np.ndarray:
+    """Bit-exact f64 allgather-and-sum: with x64 off (the real-TPU
+    default) JAX canonicalizes f64 -> f32, silently rounding (review
+    r2), so ship the f64 BIT PATTERNS as int32 lanes and reinterpret
+    after the gather; sum only in host f64.  ONE implementation for
+    both stats paths (review r4)."""
+    from jax.experimental import multihost_utils
+
+    bits = np.ascontiguousarray(arr).view(np.int32)
+    g = np.asarray(multihost_utils.process_allgather(bits))
+    return np.ascontiguousarray(g).view(np.float64).sum(axis=0)
 
 
 def plan_row_shards(p_pad: int, n_shards: int) -> list[tuple[int, int]]:
@@ -71,6 +97,7 @@ def load_sharded_packed(
     over ``mesh``, with each addressable device's shard read directly
     from the local .bed byte range -- per-host IO only.
     """
+    _require_1d(mesh, "load_sharded_packed")
     n_shards = mesh.shape[axis_name]
     rows = plan_row_shards(p_pad, n_shards)
     sharding = NamedSharding(mesh, P(axis_name, None))
@@ -111,6 +138,7 @@ def sharded_snp_stats(
     PlinkDataset.snp_stats)."""
     if jax.process_count() == 1:
         return ds.snp_stats(stand, with_sumsq=with_sumsq)
+    _require_1d(mesh, "sharded_snp_stats")
     rows = plan_row_shards(p_pad, mesh.shape[axis_name])
     n_out = 3 if with_sumsq else 2
     local = np.zeros((n_out, ds.n_snps), dtype=np.float64)
@@ -124,20 +152,9 @@ def sharded_snp_stats(
             # of every other range, so per-host slices assemble exactly
             local[:, lo:hi] = ds.snp_stats(
                 stand, snp_range=(lo, hi), with_sumsq=with_sumsq)
-    from jax.experimental import multihost_utils
-
     # shard ranges are disjoint and zero elsewhere: summing the
-    # allgathered copies reassembles the global vectors.  The gather
-    # goes through device arrays, and with x64 off (the real-TPU
-    # default) JAX canonicalizes f64 -> f32, silently rounding the
-    # stats (review r2) -- so ship the f64 BIT PATTERNS as int32 lanes
-    # and reinterpret after the gather; sum only in host f64.
-    def _allgather_f64(arr):
-        bits = np.ascontiguousarray(arr).view(np.int32)      # (2n,)
-        g = np.asarray(multihost_utils.process_allgather(bits))
-        return np.ascontiguousarray(g).view(np.float64).sum(axis=0)
-
-    out = _allgather_f64(local.reshape(-1)).reshape(n_out, ds.n_snps)
+    # bit-exact allgathered copies reassembles the global vectors
+    out = _allgather_f64_sum(local.reshape(-1)).reshape(n_out, ds.n_snps)
     return tuple(out)
 
 
@@ -206,6 +223,7 @@ def load_sample_sharded_packed(
     the BYTE (sample) axis, each addressable device's byte-column window
     read from the local .bed only -- the sample-shard twin of
     :func:`load_sharded_packed`."""
+    _require_1d(mesh, "load_sample_sharded_packed")
     cols = plan_byte_shards(nbytes_pad, mesh.shape[axis_name])
     sharding = NamedSharding(mesh, P(None, axis_name))
     nb = ds.nbytes_per_snp
@@ -234,13 +252,16 @@ def sample_sharded_moments(
     sample windows, partial moments sum exactly across disjoint sample
     ranges, and the f64 vectors are allgathered bit-exactly (the same
     int32-lane trick as :func:`sharded_snp_stats`)."""
+    from ..io import cbed
     from ..io.plink import snp_moments_from_codes, unpack_codes
 
     if jax.process_count() == 1:
         return ds.snp_moments()
+    _require_1d(mesh, "sample_sharded_moments")
     nb = ds.nbytes_per_snp
     local = np.zeros((3, ds.n_snps), dtype=np.float64)
     me = jax.process_index()
+    blk = 8192       # SNP blocking bounds the decode intermediates
     for dev, (lo, hi) in zip(mesh.devices.reshape(-1),
                              plan_byte_shards(nbytes_pad,
                                               mesh.shape[axis_name])):
@@ -249,21 +270,26 @@ def sample_sharded_moments(
         lo_r, hi_r = min(lo, nb), min(hi, nb)
         if hi_r <= lo_r:
             continue
-        sub = np.asarray(ds._map()[:, lo_r:hi_r])
+        # packing is position-independent per byte, so a byte WINDOW is
+        # itself a valid packed block of ns samples: the native LUT
+        # kernel and the blockwise decode both apply (an unblocked
+        # whole-file decode materialized O(n_snps x window x 8B) host
+        # intermediates -- tens of GB at the tall path's scale,
+        # review r4)
         ns = min(ds.n_samples - lo_r * 4, (hi_r - lo_r) * 4)
-        codes = unpack_codes(sub, ns)
-        ng, dsum, d2 = snp_moments_from_codes(codes)
-        local[0] += ng
-        local[1] += dsum
-        local[2] += d2
-    from jax.experimental import multihost_utils
-
-    def _allgather_f64(arr):
-        bits = np.ascontiguousarray(arr).view(np.int32)
-        g = np.asarray(multihost_utils.process_allgather(bits))
-        return np.ascontiguousarray(g).view(np.float64).sum(axis=0)
-
-    out = _allgather_f64(local.reshape(-1)).reshape(3, ds.n_snps)
+        native = cbed.moments_available()
+        for start in range(0, ds.n_snps, blk):
+            stop = min(start + blk, ds.n_snps)
+            sub = np.ascontiguousarray(ds._map()[start:stop, lo_r:hi_r])
+            if native:
+                ng, dsum, d2 = cbed.moments(sub, ns)
+            else:
+                ng, dsum, d2 = snp_moments_from_codes(
+                    unpack_codes(sub, ns))
+            local[0, start:stop] += ng
+            local[1, start:stop] += dsum
+            local[2, start:stop] += d2
+    out = _allgather_f64_sum(local.reshape(-1)).reshape(3, ds.n_snps)
     return tuple(out)
 
 
@@ -284,9 +310,13 @@ def tall_sharded_operator(
     from ..ops.operator import TallPackedOperator
     from ..ops.standardize import sumsq_from_moments
 
+    if stand not in ("binom", "binom2"):
+        # fail BEFORE the per-host decode + allgather pass
+        raise ValueError(f"unknown standardisation method: {stand}")
     ds = PlinkDataset.open(data) if isinstance(data, str) else data
     if mesh is None:
         mesh = snp_mesh(axis_name=axis_name)
+    _require_1d(mesh, "tall_sharded_operator")
 
     plan = TallPackedOperator.plan_layout(
         ds.n_snps, ds.nbytes_per_snp, block_size=block_size, dtype=dtype,

@@ -12,11 +12,22 @@ import sys
 import time
 
 _show_timestamp = True
+_default_stream = None          # None -> sys.stdout at call time
 
 
 def set_show_timestamp(show: bool) -> None:
     global _show_timestamp
     _show_timestamp = bool(show)
+
+
+def set_default_stream(stream) -> None:
+    """Route every log()/note without an explicit ``file=`` to
+    ``stream``.  bench.py points this at stderr so library notices can
+    never break its one-JSON-line stdout contract (a tall-mode note on
+    stdout cost a smoke test, review r4); the CLI keeps the reference's
+    stdout convention.  Pass None to restore the default."""
+    global _default_stream
+    _default_stream = stream
 
 
 def timestamp() -> str:
@@ -30,5 +41,7 @@ def log(*args, verbose: bool = True, file=None) -> None:
     reference's unitbuf stream)."""
     if not verbose:
         return
-    out = file if file is not None else sys.stdout
+    out = (file if file is not None
+           else (_default_stream if _default_stream is not None
+                 else sys.stdout))
     print(timestamp() + " ".join(str(a) for a in args), file=out, flush=True)
