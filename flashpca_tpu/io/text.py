@@ -20,6 +20,15 @@ from ..utils.formats import format_g
 TXT_SEP = "\t"
 
 
+def _strict_float(token: str) -> float:
+    """strtod-like parse: Python's float() accepts underscore
+    separators ('1_5' -> 15.0) that the reference rejects -- a typo'd
+    number must error, not silently corrupt the table (review r4)."""
+    if "_" in token:
+        raise ValueError(f"'{token}' cannot be parsed as a number")
+    return float(token)
+
+
 def read_text(
     filename: str,
     firstcol: int = 1,
@@ -45,6 +54,11 @@ def read_text(
             if not tokens and line.strip() == "":
                 continue
             numfields = len(tokens) - firstcol + 1
+            if numfields < 1:
+                raise ValueError(
+                    f"Error reading file '{filename}', line "
+                    f"{line_num + 1}: {len(tokens)} column(s), but "
+                    f"firstcol={firstcol}")
             if numfields_first is None:
                 numfields_first = numfields
             elif numfields != numfields_first:
@@ -52,7 +66,7 @@ def read_text(
                     f"Error reading file '{filename}': inconsistent number of columns"
                 )
             try:
-                vals = [float(t) for t in tokens[firstcol - 1 :]]
+                vals = [_strict_float(t) for t in tokens[firstcol - 1 :]]
             except ValueError as e:
                 raise ValueError(
                     f"Error reading file '{filename}', line {line_num + 1}: {e}"
@@ -81,6 +95,11 @@ def read_text_with_rownames(
             if not tokens and line.strip() == "":
                 continue
             numfields = len(tokens) - firstcol + 1
+            if numfields < 1:
+                raise ValueError(
+                    f"Error reading file '{filename}', line "
+                    f"{line_num + 1}: {len(tokens)} column(s), but "
+                    f"firstcol={firstcol}")
             if numfields_first is None:
                 numfields_first = numfields
             elif numfields != numfields_first:
@@ -88,7 +107,13 @@ def read_text_with_rownames(
                     f"Error reading file '{filename}': inconsistent number of columns"
                 )
             ids.append(tokens[: firstcol - 1])
-            rows.append([float(t) for t in tokens[firstcol - 1 :]])
+            try:
+                rows.append([_strict_float(t)
+                             for t in tokens[firstcol - 1 :]])
+            except ValueError as e:
+                raise ValueError(
+                    f"Error reading file '{filename}', line {line_num + 1}: {e}"
+                ) from None
     if not rows:
         return np.zeros((0, 0), dtype=np.float64), []
     return np.asarray(rows, dtype=np.float64), ids
@@ -119,7 +144,14 @@ def read_maf(filename: str, snp_ids: list[str]) -> np.ndarray:
             raise ValueError(
                 f"Error reading file '{filename}': inconsistent SNP id at row: {i}"
             )
-        mafs.append(float(tokens[4]))
+        try:
+            mafs.append(_strict_float(tokens[4]))
+        except ValueError:
+            # PLINK writes 'NA' for zero-observation SNPs
+            raise ValueError(
+                f"Error reading file '{filename}', row {i}: MAF "
+                f"{tokens[4]!r} cannot be parsed as a number"
+            ) from None
     return np.asarray(mafs, dtype=np.float64)
 
 
@@ -148,6 +180,10 @@ def save_text(
     m = np.asarray(matrix, dtype=np.float64)
     # a vector writes as ONE VALUE PER ROW (eigenvalues/pve files)
     m = m.reshape(-1, 1) if m.ndim == 1 else np.atleast_2d(m)
+    if rownames and len(rownames) != m.shape[0]:
+        raise ValueError(
+            f"rownames has {len(rownames)} entries for {m.shape[0]} "
+            "rows")      # a mid-loop IndexError leaves a truncated file
     with open(filename, "w") as out:
         if colnames:
             out.write(TXT_SEP.join(colnames) + "\n")

@@ -108,7 +108,9 @@ def dense_standardized_np(
 ) -> np.ndarray:
     """(p, N) standardized matrix from 2-bit codes, streaming-path
     semantics (sd <= VAR_TOL zeroes the column; NA -> 0)."""
-    inv = np.where(sd > VAR_TOL, 1.0 / np.where(sd > VAR_TOL, sd, 1.0), 0.0)
+    from .standardize import _inv_sd
+
+    inv = _inv_sd(sd)      # THE shared zeroing rule -- never a copy
     dosage = CODE_TO_DOSAGE[codes]
     W = (dosage - mean[:, None]) * inv[:, None]
     W[CODE_IS_NA[codes]] = 0.0

@@ -101,11 +101,33 @@ def standardize_transpose(
     return np.ascontiguousarray(Xs.T), mean, sd
 
 
-def scale2(X: np.ndarray, type: str = "2") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """R-package ``scale2`` equivalent (flashpcaR/R/scale2.R:21-41):
-    type "1" = binom, type "2" = binom2. Returns (scaled, center, scale)."""
-    method = STAND_BINOM if str(type) == "1" else STAND_BINOM2
-    return standardize(X, method)
+def scale2(X: np.ndarray, type: str = "2",
+           impute: bool = True) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """R-package ``scale2`` equivalent, implemented FAITHFULLY to the R
+    oracle (flashpcaR/R/scale2.R:21-41): type "1" = binom, type "2" =
+    binom2; returns (scaled, center, scale).
+
+    Deliberately NOT a delegate to :func:`standardize`: the R oracle
+    has no VAR_TOL -- a zero-variance column divides 0/0 to NaN and
+    ``impute`` maps it to 0, where the C++ ``standardise`` (and so
+    ``standardize``) sets such columns to their MEAN (util.cpp's
+    ``else X(i,j) = mean(j)``).  The two references disagree on
+    monomorphic SNPs; each wrapper follows its own (review r4).  Away
+    from zero variance the outputs are bit-identical.  Invalid types
+    raise like R's ``match.arg``."""
+    if str(type) not in ("1", "2"):
+        raise ValueError(f"type must be '1' or '2', got {type!r}")
+    X = np.asarray(X, dtype=np.float64)
+    mult = 1.0 if str(type) == "1" else 2.0
+    na = np.isnan(X)
+    sum2 = X.shape[0] - na.sum(axis=0)
+    p = np.where(na, 0.0, X).sum(axis=0) / (2.0 * sum2)
+    xsd = np.sqrt(mult * p * (1.0 - p))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = (X - 2.0 * p[None, :]) / xsd[None, :]
+    if impute:
+        s[np.isnan(s)] = 0.0
+    return s, 2.0 * p, xsd
 
 
 def _inv_sd(sd: np.ndarray) -> np.ndarray:

@@ -310,3 +310,27 @@ def test_io_guards(tmp_path):
     (tmp_path / "b.fam").write_text("onlyfid\n")
     with pytest.raises(ValueError, match=r"\.fam:1"):
         PlinkDataset.open(str(bad))
+
+
+def test_text_reader_guards(tmp_path):
+    """read_text strictness (review r4): underscore 'numbers' rejected
+    like strtod, firstcol beyond the line width errors with context,
+    read_maf wraps NA MAFs, save_text validates rownames length."""
+    import pytest
+
+    from flashpca_tpu.io.text import read_maf, read_text, save_text
+
+    f = tmp_path / "t.txt"
+    f.write_text("a b 1_5\n")
+    with pytest.raises(ValueError, match="parsed as a number"):
+        read_text(str(f), firstcol=3)
+    f.write_text("a b\n")
+    with pytest.raises(ValueError, match="firstcol=3"):
+        read_text(str(f), firstcol=3)
+    frq = tmp_path / "x.frq"
+    frq.write_text("CHR SNP A1 A2 MAF NCHROBS\n1 snp1 A C NA 0\n")
+    with pytest.raises(ValueError, match="MAF 'NA'"):
+        read_maf(str(frq), ["snp1"])
+    with pytest.raises(ValueError, match="rownames has"):
+        save_text(np.ones((3, 2)), str(tmp_path / "o.txt"),
+                  rownames=["r1"])

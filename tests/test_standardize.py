@@ -101,3 +101,21 @@ def test_standardize_transpose_matches(rng):
         np.testing.assert_array_equal(Wt, Xs.T)
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_array_equal(s1, s2)
+
+
+def test_scale2_matches_r_on_monomorphic(rng):
+    """The R oracle (scale2.R) has no VAR_TOL: a constant column
+    divides 0/0 -> NaN -> imputed 0, where the C++ standardise sets it
+    to its mean.  scale2 follows R; standardize follows C++ (the two
+    references disagree, review r4)."""
+    X = rng.binomial(2, 0.4, size=(20, 3)).astype(float)
+    X[:, 1] = 2.0                         # monomorphic
+    S_r, c, s = scale2(X, "2")
+    np.testing.assert_allclose(S_r[:, 1], 0.0)          # R semantics
+    S_c, _, _ = standardize(X, "binom2")
+    np.testing.assert_allclose(S_c[:, 1], 2.0)          # C++ semantics
+    # non-degenerate columns stay bit-identical across the two
+    np.testing.assert_array_equal(S_r[:, [0, 2]], S_c[:, [0, 2]])
+    import pytest
+    with pytest.raises(ValueError, match="type"):
+        scale2(X, "binom")
