@@ -32,7 +32,7 @@ are passed as explicit arguments, never closures (CLAUDE.md rule 1).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+import os as _os
 
 import numpy as np
 
@@ -45,9 +45,12 @@ from .standardize import _inv_sd
 
 _HP = lax.Precision.HIGHEST
 
-# Dekker split constant for float32: 2^12 + 1 splits the 24-bit
-# significand into two 12-bit halves whose pairwise products are exact.
+# Dekker split constants: 2^ceil(t/2) + 1 splits a t-bit significand
+# into halves whose pairwise products are exact -- 2^12+1 for f32
+# (t=24), 2^27+1 for f64 (t=53).  Using the f32 constant on f64 inputs
+# would silently break the 'e exact' contract (review r4).
 _SPLIT32 = np.float32(4097.0)
+_SPLIT64 = np.float64(134217729.0)
 
 
 # ---------------------------------------------------------------------------
@@ -66,7 +69,9 @@ def twosum(a, b):
 
 
 def _split(a):
-    c = a * jnp.asarray(_SPLIT32, a.dtype)
+    const = _SPLIT64 if jnp.dtype(a.dtype) == jnp.dtype(jnp.float64) \
+        else _SPLIT32
+    c = a * jnp.asarray(const, a.dtype)
     hi = c - (c - a)
     return hi, a - hi
 
@@ -89,6 +94,8 @@ def sum_ff(parts):
     eps-sized relative to the partials, so their own rounding is
     ~eps^2 of the result)."""
     err = jnp.zeros(parts.shape[1:], parts.dtype)
+    if parts.shape[0] == 0:      # empty contraction sums to exact zero
+        return err, err
     while parts.shape[0] > 1:
         c = parts.shape[0]
         if c % 2:
@@ -109,14 +116,19 @@ def split_f64(x):
     return hi, lo
 
 
+# read ONCE at import: these feed jitted programs, which bind the value
+# at trace time anyway -- a mid-session env change would silently apply
+# to some call shapes and not others (review r4)
+_FF_CHUNK = int(_os.environ.get("FLASHPCA_FF_CHUNK", "2048"))
+
+
 def default_chunk() -> int:
     """Contraction chunk length for the compensated matmuls.  Within a
     chunk the f32 partial accumulates uncompensated, so the chunk sets
     the error floor (~a few eps at 2048); across chunks TwoSum is
-    exact.  Tunable via FLASHPCA_FF_CHUNK."""
-    import os
-
-    return int(os.environ.get("FLASHPCA_FF_CHUNK", "2048"))
+    exact.  FLASHPCA_FF_CHUNK is read once at import (set it before
+    importing flashpca_tpu)."""
+    return _FF_CHUNK
 
 
 def _pad_axis(A, axis: int, mult: int):
@@ -242,11 +254,13 @@ def gram_ff_p(packed, lut_hi, lut_lo, xp, *, block_size: int,
         ll = lax.dynamic_slice_in_dim(lut_lo, s, block_size, axis=0)
         return gram_ff_block(pb, lh, ll, xp, carry, chunk=chunk)
 
+    # twosum with a zero carry is exact, so the whole loop starts at
+    # 0 -- a manually unrolled first block would double the traced
+    # body (the heaviest part of this fallback) for no numeric gain
     carry = (jnp.zeros_like(xp), jnp.zeros_like(xp))
-    carry = at_block(0, carry)
-    if nb > 1:
-        carry = lax.fori_loop(1, nb, at_block, carry)
-    return carry
+    if nb == 1:
+        return at_block(0, carry)
+    return lax.fori_loop(0, nb, at_block, carry)
 
 
 # ---------------------------------------------------------------------------
@@ -257,16 +271,17 @@ def gram_ff_p(packed, lut_hi, lut_lo, xp, *, block_size: int,
 def _ritz_ff_jit(U, y_hi, y_lo):
     g_hi, g_lo = matdot_ff(U, y_hi)
     g_lo = g_lo + jnp.dot(U.T, y_lo, precision=_HP)
-    return g_hi, g_lo
+    # ONE stacked output: separate hi/lo fetches each pay the remote
+    # link's per-transfer floor (CLAUDE.md rule 2, review r4)
+    return jnp.stack([g_hi, g_lo])
 
 
 def ritz_ff(U, y_hi, y_lo):
     """float64 host Gram G = U^T (A U) from a two-float product pair,
     with the long reduction chunk-compensated (a plain f32 U^T y at
     N ~ 5e5 re-adds the very noise the ff product removed)."""
-    g_hi, g_lo = _ritz_ff_jit(U, y_hi, y_lo)
-    return (np.asarray(g_hi, dtype=np.float64)
-            + np.asarray(g_lo, dtype=np.float64))
+    g = np.asarray(_ritz_ff_jit(U, y_hi, y_lo), dtype=np.float64)
+    return g[0] + g[1]
 
 
 @jax.jit
@@ -296,16 +311,16 @@ def residual_sums_ff(y_hi, y_lo, U, dd):
 
 @jax.jit
 def _gram_small_ff_jit(B):
-    return matdot_ff(B, B)
+    # ONE stacked output (see _ritz_ff_jit)
+    return jnp.stack(matdot_ff(B, B))
 
 
 def gram_small_ff(B):
     """float64 host Gram M = B^T B with the long reduction
     chunk-compensated (the metric matrix for the generalized
     Rayleigh-Ritz in polish_subspace)."""
-    m_hi, m_lo = _gram_small_ff_jit(B)
-    M = (np.asarray(m_hi, dtype=np.float64)
-         + np.asarray(m_lo, dtype=np.float64))
+    m = np.asarray(_gram_small_ff_jit(B), dtype=np.float64)
+    M = m[0] + m[1]
     return 0.5 * (M + M.T)
 
 

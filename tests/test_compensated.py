@@ -326,3 +326,25 @@ def test_pca_polish_fast_tall(packed_problem):
     res = fp.pca(op, 4, tol=1e-6, polish="fast")
     lam = np.linalg.eigvalsh(X.T @ X / p)[::-1][:4]
     assert np.max(np.abs(res.values - lam) / lam) < 1e-4
+
+
+def test_twoprod_exact_in_f64_too():
+    """The Dekker split constant is dtype-selected: the f32 constant on
+    f64 inputs quietly broke the 'e exact' contract (review r4)."""
+    from flashpca_tpu.ops.compensated import twoprod, twosum
+
+    rng = np.random.default_rng(0)
+    for dt in (jnp.float32, jnp.float64):
+        a = jnp.asarray(rng.uniform(0.1, 1e3, 256), dt)
+        b = jnp.asarray(rng.uniform(0.1, 1e3, 256), dt)
+        p, e = twoprod(a, b)
+        exact = (np.asarray(a, np.float64).astype(np.longdouble)
+                 * np.asarray(b, np.float64).astype(np.longdouble))
+        got = (np.asarray(p, np.float64).astype(np.longdouble)
+               + np.asarray(e, np.float64).astype(np.longdouble))
+        np.testing.assert_array_equal(np.asarray(got, np.float64),
+                                      np.asarray(exact, np.float64))
+        s, se = twosum(a, b)
+        np.testing.assert_array_equal(
+            np.asarray(s, np.float64) + np.asarray(se, np.float64),
+            np.asarray(a, np.float64) + np.asarray(b, np.float64))
