@@ -76,6 +76,10 @@ def available() -> bool:
 
 def stats(packed: np.ndarray, n_samples: int, method: str):
     """Per-SNP (mean, sd); method 'binom' or 'binom2'."""
+    if method not in ("binom", "binom2"):
+        # the numpy twin raises here too -- a typo must not silently
+        # become binom2 (review r4)
+        raise ValueError(f"unknown standardisation method: {method}")
     lib = load()
     assert lib is not None
     packed = np.ascontiguousarray(packed, dtype=np.uint8)
@@ -109,7 +113,14 @@ def moments(packed: np.ndarray, n_samples: int):
 
 def standardize(packed: np.ndarray, n_samples: int, mean: np.ndarray,
                 sd: np.ndarray, var_tol: float) -> np.ndarray:
-    """Standardized (p, N) float64 matrix, streaming-path semantics."""
+    """Standardized (p, N) float64 matrix, streaming-path semantics.
+
+    NOTE: host-decode utility with KERNEL semantics -- columns at
+    sd <= var_tol are ZEROED (like the device decode), which
+    deliberately differs from ops/standardize.standardize's C++
+    set-to-mean rule.  No production caller today (the operators
+    standardize on device); kept as the tested native twin of
+    dense_standardized_np."""
     lib = load()
     assert lib is not None
     packed = np.ascontiguousarray(packed, dtype=np.uint8)

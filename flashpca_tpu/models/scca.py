@@ -1311,6 +1311,14 @@ def _cv_scca_plink(
                 op_te = None
             xm, xs = ds_tr.snp_stats(stand_x)
             op_tr = build_packed_operator(ds_tr, xm, xs, **op_opts)
+            if (scca_kwargs.get("engine") == "device"
+                    and isinstance(op_tr, StreamingPackedOperator)):
+                # AUTO-resolved streaming surfaces the same conflict an
+                # explicit request does (solo scca() raises, review r4)
+                raise ValueError(
+                    "engine='device' needs a resident operator, but "
+                    "this dataset auto-streams; use engine='host'/"
+                    "'auto'")
             # streaming train operators ride the batched grid too (the
             # host-driven engine shares each staged pass across cells)
             use_grid = grid_ok

@@ -27,7 +27,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..io.plink import PlinkDataset, subset_samples
-from ..ops.operator import build_packed_operator, default_dtype
+from ..ops.operator import (StreamingPackedOperator, build_packed_operator,
+                            default_dtype)
 from ..ops.standardize import VAR_TOL, standardize
 from ..utils.logging import log
 from .scca import grid_fastpath, scca, scca_grid
@@ -114,7 +115,8 @@ def split_scca(
     train_idx = np.flatnonzero(train)
     test_idx = np.flatnonzero(~train)
 
-    if workdir is None:
+    cleanup = workdir is None
+    if cleanup:
         workdir = tempfile.mkdtemp(prefix="scca_split_")
     else:
         os.makedirs(workdir, exist_ok=True)
@@ -133,6 +135,11 @@ def split_scca(
     y_inv = np.where(y_sd > VAR_TOL,
                      1.0 / np.where(y_sd > VAR_TOL, y_sd, 1.0), 0.0)
     Yte_std = (Y_test - y_mean[None, :]) * y_inv[None, :]
+    # missing TEST phenotypes impute to the (training) mean = 0 after
+    # standardization, like the training side's standardize(); a single
+    # propagated NaN otherwise poisons every corr_test cell into a
+    # spurious 'no model converged' (review r4)
+    Yte_std[np.isnan(Yte_std)] = 0.0
     # test genotypes stay 2-bit packed: an operator built over the TEST
     # fileset with the TRAIN standardization stats projects via prod()
     # (memory bounded like everything else -- never a dense (n, p) X)
@@ -162,6 +169,13 @@ def split_scca(
     for consumed in ("streaming", "memory_mb", "block_size"):
         scca_kwargs.pop(consumed, None)
     op_test = build_packed_operator(ds_test, x_mean, x_sd, **op_opts)
+    if (scca_kwargs.get("engine") == "device"
+            and isinstance(op_test, StreamingPackedOperator)):
+        # AUTO-resolved streaming must surface the same conflict an
+        # explicit request does (solo scca() raises it, review r4)
+        raise ValueError(
+            "engine='device' needs a resident operator, but this "
+            "dataset auto-streams; use engine='host'/'auto'")
     # ONE train operator for the whole grid: every (l1, l2) cell reuses
     # the stats pass, the device upload, and (via the operator's stable
     # product identities) the compiled SCCA dimension program
@@ -235,6 +249,16 @@ def split_scca(
     if np.all(np.isnan(sl)):
         raise RuntimeError("no model converged on any penalty pair")
     best = np.unravel_index(np.nanargmax(sl), sl.shape)
+    if cleanup:
+        # default-workdir scratch train/test filesets are dataset-scale;
+        # remove them on success like cv_scca's fold scratch (review
+        # r4; left in place on failure for debugging, and kept whenever
+        # the caller named a workdir)
+        import shutil
+
+        for dsx in (ds_train, ds_test):
+            dsx._mmap = None
+        shutil.rmtree(workdir, ignore_errors=True)
     return SplitSCCAResult(
         train_idx=train_idx, test_idx=test_idx,
         lambda1=lambda1, lambda2=lambda2, ndim=ndim,

@@ -82,7 +82,9 @@ def plot_split_scca(res, dim: int = 1, ax=None, **kwargs):
         ax.plot(res.lambda1, res.corr_train[d, :, j], marker=".",
                 linestyle="--", alpha=0.5,
                 label=f"train $\\lambda_2$={l2:g}", **kwargs)
-    ax.set_xscale("log")
+    if not np.any(np.asarray(res.lambda1) <= 0):
+        ax.set_xscale("log")        # lambda1=0 (the unpenalized
+        # baseline cell) would silently vanish off a log axis
     ax.set_xlabel("$\\lambda_1$")
     ax.set_ylabel(f"canonical correlation (dim {dim})")
     ax.legend(fontsize="small")
@@ -100,7 +102,9 @@ def plot_split_scca_sparsity(res, dim: int = 1, ax=None, **kwargs):
     for j, l2 in enumerate(res.lambda2):
         ax.plot(res.nzero_x[d, :, j], res.corr_test[d, :, j], marker="o",
                 label=f"$\\lambda_2$={l2:g}", **kwargs)
-    ax.set_xscale("log")
+    if np.all(np.asarray(res.nzero_x[d]) > 0):
+        ax.set_xscale("log")        # an all-zero U cell (over-penalized)
+        # would silently vanish off a log axis
     ax.set_xlabel("non-zero entries in U")
     ax.set_ylabel(f"test correlation (dim {dim})")
     ax.legend(fontsize="small")
