@@ -43,8 +43,6 @@ import os
 import sys
 import threading
 import time
-from functools import partial
-
 import numpy as np
 
 REF_SECONDS = 6 * 3600.0
@@ -84,7 +82,7 @@ def budget_left() -> float:
     return _BUDGET - (time.time() - _START)
 
 
-def emit_json(extra=None):
+def emit_json():
     """Print the one-line stdout contract exactly once: min wall over
     the completed timed solves, or an explicit incomplete marker if
     none finished inside the budget."""
@@ -93,12 +91,14 @@ def emit_json(extra=None):
         if _json_printed:
             return
         _json_printed = True
-    if _walls:
+    walls = list(_walls)    # snapshot: the main thread may append
+    if walls:
+        w = min(walls)
         result = {
             "metric": _metric_name,
-            "value": round(min(_walls), 2),
+            "value": round(w, 2),
             "unit": "s",
-            "vs_baseline": round(_ref_scaled / min(_walls), 2),
+            "vs_baseline": round(_ref_scaled / w, 2),
         }
     else:
         result = {
@@ -108,8 +108,6 @@ def emit_json(extra=None):
             "vs_baseline": 0.0,
             "incomplete": True,
         }
-    if extra:
-        result.update(extra)
     print(json.dumps(result), flush=True)
 
 
@@ -409,6 +407,10 @@ def main():
                 limit = (hbm or {}).get("bytes_limit", 16 << 30)
                 while p * ((n + 3) // 4) > 0.85 * limit:
                     p = (p // 2 // 512) * 512  # copy-free tile multiples
+                    if p < 512:
+                        raise RuntimeError(
+                            f"N={n} does not fit the device HBM at any "
+                            "tile-multiple p; lower FLASHPCA_BENCH_N")
         else:
             n, p = n or 20_000, p or 4_000  # CPU smoke size
     tag = "pca_tall" if mode == "tall" else "pca"
@@ -451,23 +453,25 @@ def main():
     # own cycle programs, warmed below.  The old warm cost 67 s of
     # cold compile for a program the timed path never ran.)
     mv, ops_ = op.gram_pure()
-    # warm the cycle program at pca()'s ACTUAL shapes: nev = k + 8
-    # buffer pairs, basis per the headroom rule (models/pca.py)
-    nev_w = k + 8
-    warm("solver cycle", lambda: eigsh_block(
-        mv, op.op_dim, nev_w, block=16, maxiter=1, tol=tol,
-        ncv=nev_w + max(72, (3 * nev_w) // 2),
-        dtype=op.dtype, seed=1, operands=ops_))
-    # an orthonormal warm panel (not zeros): the ff-refined polish
-    # solves a generalized eigenproblem whose metric must be full rank.
-    # Width k+8 matches the real pca() run (solver buffer pairs), so
-    # the refinement's compiled programs are warm at the right shapes.
-    warm_U = jnp.eye(op.op_dim, k + 8, dtype=op.dtype)
     # same ff gate as pca() itself: the tall operator exposes
     # gram_ff_permuted unconditionally but supports it only on the
     # Pallas path (supports_ff False on CPU-no-pallas -> plain polish)
     use_ff = (hasattr(op, "gram_ff_permuted")
               and getattr(op, "supports_ff", True))
+    # warm the cycle program at pca()'s ACTUAL shapes: on the ff path
+    # nev = k + 8 buffer pairs with the headroom-rule basis; the plain
+    # path solves nev = k at the solver-default basis (warming the ff
+    # shapes there would leave every timed compile cold, review r4)
+    nev_w = k + 8 if use_ff else k
+    warm("solver cycle", lambda: eigsh_block(
+        mv, op.op_dim, nev_w, block=16, maxiter=1, tol=tol,
+        ncv=(nev_w + max(72, (3 * nev_w) // 2)) if use_ff else None,
+        dtype=op.dtype, seed=1, operands=ops_))
+    # an orthonormal warm panel (not zeros): the ff-refined polish
+    # solves a generalized eigenproblem whose metric must be full rank.
+    # Width nev_w matches the real pca() run, so the refinement's
+    # compiled programs are warm at the right shapes.
+    warm_U = jnp.eye(op.op_dim, nev_w, dtype=op.dtype)
     warm("ff polish", lambda: polish_subspace(
         mv, warm_U, iters=1, operands=ops_,
         ff_gram=op.gram_ff_permuted if use_ff else None))
@@ -510,6 +514,10 @@ def main():
     except Exception as e:
         log(f"bench: timed solve raised: {e!r}")
         if not _walls:
+            # keep stdout parseable even on a hard failure: the daemon
+            # watchdog dies with the interpreter, so the incomplete
+            # marker must print HERE before the re-raise (review r4)
+            emit_json()
             raise
     emit_json()                      # <- the stdout contract, guaranteed
     if len(_walls) > 1:
@@ -541,8 +549,10 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
         # ||X^T X v - theta v|| / theta_max at acceptance
         rel = float(np.max(res.residuals)) / (
             float(np.max(res.values)) * p)   # values = lam/div, div=p
-        log(f"bench: tall solve max scaled residual {rel:.3e} "
-            f"(acceptance threshold ~eps_f32^(2/3))")
+        log(f"bench: tall solve max scaled PRE-polish solver residual "
+            f"{rel:.3e} (solver acceptance tol*|theta|, tol=1e-4 on "
+            "the ff path; the returned pairs are then polished -- "
+            "models/pca.py polish_subspace)")
     else:
         t1 = time.time()
         chk = check(op, res.vectors, res.values)   # compensated (f64-grade)
