@@ -69,18 +69,23 @@ def standardize(
         X[na] = 0.0
         return X, mean, sd
 
-    if method == STAND_SD:
-        # shifted-data variance with K=1 and (n-1) denominator over
-        # non-missing entries (reference: util.cpp:75-95)
-        shifted = np.where(na, 0.0, X - 1.0)
-        ssum = shifted.sum(axis=0)
-        ssum_sqr = (shifted * shifted).sum(axis=0)
-        var = (ssum_sqr - (ssum * ssum) / ngood) / (ngood - 1)
-        sd = np.sqrt(var)
-    else:  # binom / binom2
-        p_hat = mean / 2.0
-        mult = 1.0 if method == STAND_BINOM else 2.0
-        sd = np.sqrt(mult * p_hat * (1.0 - p_hat))
+    # degenerate columns (single observation, non-genotype values with
+    # p_hat outside [0, 1]) produce NaN/inf sd exactly like both
+    # references, which are SILENT about it -- suppress the numpy
+    # warnings so np.seterr(all='raise') callers match (review r4)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if method == STAND_SD:
+            # shifted-data variance with K=1 and (n-1) denominator over
+            # non-missing entries (reference: util.cpp:75-95)
+            shifted = np.where(na, 0.0, X - 1.0)
+            ssum = shifted.sum(axis=0)
+            ssum_sqr = (shifted * shifted).sum(axis=0)
+            var = (ssum_sqr - (ssum * ssum) / ngood) / (ngood - 1)
+            sd = np.sqrt(var)
+        else:  # binom / binom2
+            p_hat = mean / 2.0
+            mult = 1.0 if method == STAND_BINOM else 2.0
+            sd = np.sqrt(mult * p_hat * (1.0 - p_hat))
 
     scaled = np.where(sd > VAR_TOL, (X - mean) / np.where(sd > VAR_TOL, sd, 1.0),
                       np.broadcast_to(mean, X.shape))
@@ -93,9 +98,16 @@ def standardize_transpose(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Standardize the ROWS of a (p, N) variable-major matrix.
 
-    Equivalent of ``standardise_transpose`` (reference: util.cpp:195-268),
-    which the reference provides for data stored SNP-major.  Returns
-    ``(W_std, mean, sd)`` with per-row statistics.
+    The role of ``standardise_transpose`` (reference: util.cpp:195-268)
+    for data stored SNP-major -- implemented as the COLUMN standardizer
+    applied to W^T, which is deliberately MORE robust than the
+    reference's transpose variant: util.cpp:195-268 has no NaN handling
+    (one missing value poisons its whole row), leaves rows at
+    sd <= VAR_TOL as raw values (no set-to-mean fallback), and rejects
+    method 'none'; here every method behaves identically to
+    :func:`standardize` (review r4 -- a divergence, documented rather
+    than reproduced).  Returns ``(W_std, mean, sd)`` with per-row
+    statistics.
     """
     Xs, mean, sd = standardize(np.asarray(W).T, method)
     return np.ascontiguousarray(Xs.T), mean, sd
@@ -118,16 +130,29 @@ def scale2(X: np.ndarray, type: str = "2",
     if str(type) not in ("1", "2"):
         raise ValueError(f"type must be '1' or '2', got {type!r}")
     X = np.asarray(X, dtype=np.float64)
+    if X.ndim != 2:
+        raise ValueError("X must be 2-D")
     mult = 1.0 if str(type) == "1" else 2.0
     na = np.isnan(X)
     sum2 = X.shape[0] - na.sum(axis=0)
-    p = np.where(na, 0.0, X).sum(axis=0) / (2.0 * sum2)
-    xsd = np.sqrt(mult * p * (1.0 - p))
     with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(na, 0.0, X).sum(axis=0) / (2.0 * sum2)
+        xsd = np.sqrt(mult * p * (1.0 - p))
         s = (X - 2.0 * p[None, :]) / xsd[None, :]
     if impute:
         s[np.isnan(s)] = 0.0
     return s, 2.0 * p, xsd
+
+
+def _safe_mean_inv(mean: np.ndarray, sd: np.ndarray):
+    """(mean zeroed where the column is zeroed, 1/sd with the VAR_TOL
+    rule) -- the PAIRED decode constants.  One helper so the guard can
+    never desynchronize between lookup_tables (what the kernels decode)
+    and sumsq_from_moments (the analytic trace): an all-missing SNP has
+    NaN stats, and a NaN mean reaching the factored-cubic coefficients
+    poisons every product via 0 * NaN (reproduced; review r2/r4)."""
+    inv = _inv_sd(sd)
+    return np.where(inv > 0.0, mean, 0.0), inv
 
 
 def _inv_sd(sd: np.ndarray) -> np.ndarray:
@@ -151,15 +176,10 @@ def lookup_tables(
     """
     mean = np.asarray(mean, dtype=np.float64)
     sd = np.asarray(sd, dtype=np.float64)
-    inv = _inv_sd(sd)
-    # zero the mean wherever the column is zeroed (inv == 0): an
-    # ALL-MISSING SNP has NaN stats (ngood = 0; the reference divides
-    # by zero the same way, data.cpp:262-291), and a NaN mean reaches
-    # the Pallas factored-cubic coefficients where 0 * NaN = NaN
-    # poisons every product (reproduced; the jnp path's explicit
-    # missing-mask hid it).  With mean forced finite the coefficients
-    # are exactly 0 and the column decodes to exact zeros.
-    mean = np.where(inv > 0.0, mean, 0.0)
+    # the reference divides by zero the same way for all-missing SNPs
+    # (data.cpp:262-291); see _safe_mean_inv for why the mean must be
+    # forced finite here
+    mean, inv = _safe_mean_inv(mean, sd)
     return mean.astype(dtype), inv.astype(dtype)
 
 
@@ -195,8 +215,7 @@ def sumsq_from_moments(
     d2sum = np.asarray(d2sum, dtype=np.float64)
     mean = np.asarray(mean, dtype=np.float64)
     sd = np.asarray(sd, dtype=np.float64)
-    inv = _inv_sd(sd)
-    mean = np.where(inv > 0.0, mean, 0.0)
+    mean, inv = _safe_mean_inv(mean, sd)
     ss = d2sum - 2.0 * mean * dsum + ngood * mean * mean
     # ss is a sum of squares; cancellation can leave a tiny negative
     return inv * inv * np.maximum(ss, 0.0)

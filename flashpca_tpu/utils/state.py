@@ -24,5 +24,18 @@ def atomic_savez(path, **arrays) -> None:
     that path (it appends .npz otherwise).
     """
     tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.npz"
-    np.savez(tmp, **arrays)
-    os.replace(tmp, str(path))
+    try:
+        np.savez(tmp, **arrays)
+        # flush to stable storage BEFORE the rename: a crash after
+        # os.replace but before the page cache lands would otherwise
+        # swap the only good checkpoint for a truncated file
+        # (review r4)
+        with open(tmp, "rb+") as fh:
+            os.fsync(fh.fileno())
+        os.replace(tmp, str(path))
+    except BaseException:
+        try:
+            os.unlink(tmp)       # no orphaned tmp per failed attempt
+        except OSError:
+            pass
+        raise
