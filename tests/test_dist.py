@@ -117,3 +117,79 @@ def test_plan_byte_shards_even():
 
     cols = plan_byte_shards(512, 4)
     assert cols == [(0, 128), (128, 256), (256, 384), (384, 512)]
+
+
+# ---------------------------------------------------------------------------
+# Collective audit (VERDICT r4 item 6): the CLAUDE.md structural rules
+# -- one psum per sharded gram/prod pass, collective-free sharded-output
+# crossprod, and O(ncv^2)-scalars-in-one-transfer solver cycles -- as
+# enforced regressions rather than conventions.
+# ---------------------------------------------------------------------------
+
+def _psum_count(fn, *args):
+    """Count psum equations in the (nested) jaxpr of fn(*args)."""
+    import re
+
+    s = str(jax.make_jaxpr(fn)(*args))
+    return len(re.findall(r"\bpsum\b", s))
+
+
+def test_sharded_products_collective_audit(small_plink, rng):
+    """One gram pass = exactly ONE psum (payload: the (N, b) iterate);
+    crossprod is sharded-output with NO collective; prod = one psum
+    (SURVEY.md section 2.4's design table, svdwide.cpp:136-150)."""
+    root, _ = small_plink
+    ds = PlinkDataset.open(root)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("snps",))
+    op = sharded_operator(ds, mesh, dtype=jnp.float64)
+
+    xp = op.permute(jnp.asarray(rng.standard_normal((ds.n_samples, 3))))
+    gram, ops_ = op.gram_pure()
+    cross, mv, pops = op.products_pure()
+    v = jnp.zeros((op.p_pad, 3), op.dtype)
+
+    assert _psum_count(gram, xp, *ops_) == 1
+    assert _psum_count(cross, xp, *pops) == 0
+    assert _psum_count(mv, v, *pops) == 1
+
+
+def test_solver_cycle_fetch_is_one_small_transfer(monkeypatch):
+    """Each restart cycle fetches exactly ONE device array, of
+    O(ncv^2) scalars -- never an O(n) vector (CLAUDE.md rule 2: the
+    per-fetch floor over the remote tunnel is ~0.1 s, so per-cycle
+    traffic must stay tiny and single-shot)."""
+    import flashpca_tpu.solvers.block_lanczos as bl
+    from flashpca_tpu.ops.operator import PackedOperator
+    from flashpca_tpu.solvers.block_lanczos import eigsh_block
+
+    rng_ = np.random.default_rng(5)
+    n, p = 12_000, 200
+    nbytes = (n + 3) // 4
+    packed = rng_.integers(0, 256, size=(p, nbytes), dtype=np.uint8)
+    maf = rng_.uniform(0.1, 0.5, p)
+    op = PackedOperator(packed, 2 * maf, np.sqrt(2 * maf * (1 - maf)),
+                        n, dtype=jnp.float64)
+
+    fetched: list[int] = []
+    real_asarray = np.asarray
+
+    def spy(a, *args, **kw):
+        if isinstance(a, jax.Array):
+            fetched.append(int(a.size))
+        return real_asarray(a, *args, **kw)
+
+    monkeypatch.setattr(bl.np, "asarray", spy)
+    nev, b, ncv = 4, 4, 32
+    mv, ops_ = op.gram_pure()
+    res = eigsh_block(mv, op.op_dim, nev, block=b, ncv=ncv,
+                      maxiter=50, tol=1e-9, dtype=op.dtype, seed=1,
+                      operands=ops_)
+    monkeypatch.undo()
+
+    assert res.n_restarts >= 1
+    # one transfer per cycle, none larger than the stacked
+    # (nsteps, ncv+2b, b) panel -- and far smaller than any O(n) vector
+    assert len(fetched) == res.n_restarts
+    per_cycle_cap = (ncv // b) * (ncv + 2 * b) * b
+    assert max(fetched) <= per_cycle_cap
+    assert max(fetched) < n // 2

@@ -181,3 +181,83 @@ class TestBlockResidency:
         np.testing.assert_allclose(
             np.asarray(op.crossprod(x)), np.asarray(ref.crossprod(x)),
             rtol=1e-12, atol=1e-12)
+
+
+class TestStagingStats:
+    """stats()/reset_stats() observability + the prefetch thread
+    (VERDICT r4 items 2-3: per-phase staging timings must make a
+    collapsed streaming pass attributable)."""
+
+    def _op(self, small_plink, **kw):
+        from flashpca_tpu.io.plink import PlinkDataset
+        from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+        root, _ = small_plink
+        ds = PlinkDataset.open(root)
+        mean, sd = ds.snp_stats("binom2")
+        kw.setdefault("cache_mb", 0)
+        return StreamingPackedOperator(
+            ds, mean, sd, ds.n_samples, block_snps=16, **kw)
+
+    def test_stats_counts_staged_bytes(self, small_plink, rng):
+        op = self._op(small_plink)
+        x = rng.normal(size=(op.n_samples, 2))
+        op.perform_op(x)
+        s = op.stats()
+        assert s["nops"] == 1
+        assert s["staged_host_blocks"] == op.n_blocks
+        # one full pass stages exactly the packed matrix (no cache)
+        assert s["staged_bytes"] == s["packed_bytes"]
+        assert s["fill_s"] >= 0.0 and s["put_s"] >= 0.0
+        assert s["n_cached"] == 0
+        op.reset_stats()
+        s2 = op.stats()
+        assert s2["nops"] == 0 and s2["staged_bytes"] == 0
+        assert s2["fill_s"] == 0.0
+
+    def test_prefetch_matches_sync_staging(self, small_plink, rng):
+        op_p = self._op(small_plink, prefetch=True)
+        op_s = self._op(small_plink, prefetch=False)
+        assert op_p.n_blocks > 1
+        x = rng.normal(size=(op_p.n_samples, 3))
+        yp = np.asarray(op_p.perform_op(x))
+        ys = np.asarray(op_s.perform_op(x))
+        np.testing.assert_allclose(yp, ys, rtol=1e-12, atol=1e-12)
+        zp = np.asarray(op_p.crossprod(x))
+        zs = np.asarray(op_s.crossprod(x))
+        np.testing.assert_allclose(zp, zs, rtol=1e-12, atol=1e-12)
+        s = op_p.stats()
+        assert s["prefetch"] is True
+        assert s["staged_host_blocks"] == 2 * op_p.n_blocks
+        assert s["staged_bytes"] == 2 * s["packed_bytes"]
+
+    def test_prefetch_with_partial_cache(self, small_plink, rng):
+        op = self._op(small_plink, prefetch=True, cache_mb=1)
+        op._n_cached = 1  # pin exactly one block (toy blocks < 1 MB)
+        ref = self._op(small_plink)
+        x = rng.normal(size=(op.n_samples, 2))
+        y1 = np.asarray(op.perform_op(x))
+        y2 = np.asarray(op.perform_op(x))
+        yr = np.asarray(ref.perform_op(x))
+        np.testing.assert_allclose(y1, yr, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(y2, yr, rtol=1e-12, atol=1e-12)
+        # pass 2 stages only the non-pinned remainder
+        assert op.staged_host_blocks == 2 * op.n_blocks - 1
+
+    def test_tall_streaming_stats(self, small_plink, rng):
+        from flashpca_tpu.io.plink import PlinkDataset
+        from flashpca_tpu.ops.operator import TallStreamingOperator
+
+        root, _ = small_plink
+        ds = PlinkDataset.open(root)
+        mean, sd = ds.snp_stats("binom2")
+        op = TallStreamingOperator(ds, mean, sd, ds.n_samples,
+                                   block_bytes=4, cache_mb=0)
+        v = rng.normal(size=(op.n_snps, 2))
+        op.gram_permuted(op.permute(v))
+        s = op.stats()
+        assert s["nops"] == 1
+        assert s["staged_host_blocks"] == op.n_blocks
+        assert s["staged_bytes"] == s["packed_bytes"]
+        op.reset_stats()
+        assert op.stats()["staged_bytes"] == 0

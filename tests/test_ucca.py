@@ -18,7 +18,10 @@ def _lm_oracle(X, Y):
         fit = D @ beta
         sst = ((x - x.mean()) ** 2).sum()
         ssr = ((x - fit) ** 2).sum()
-        r2 = 1 - ssr / sst
+        # degenerate (constant) column: define r2 = 0 instead of 0/0
+        # (the framework standardizes such columns to all-zero, which
+        # yields r2 = 0 too) -- keeps the oracle warning-free
+        r2 = 1 - ssr / sst if sst > 0 else 0.0
         F = r2 / (1 - r2) * (n - k - 1) / k
         p = f_dist.sf(F, k, n - k - 1)
         out[j] = [np.sqrt(r2), F, p]
