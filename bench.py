@@ -58,12 +58,22 @@ N_POPS = 8
 
 # -- watchdog state (module globals so the timer thread can see them) ----
 _START = time.time()
-_BUDGET = float(os.environ.get("FLASHPCA_BENCH_BUDGET_S", "1080"))
+# the oversize (beyond-device-memory streaming) mode is upload-bound
+# over this remote tunnel; give it a longer default leash
+_BUDGET = float(os.environ.get(
+    "FLASHPCA_BENCH_BUDGET_S",
+    "2400" if os.environ.get("FLASHPCA_BENCH_MODE") == "oversize"
+    else "1080"))
 _json_printed = False
 _json_lock = threading.Lock()
 _metric_name = "pca_incomplete"
 _ref_scaled = 0.0
 _walls: list[float] = []
+# breadth metrics gathered by the tail stages; the ONE stdout JSON line
+# carries them under "submetrics" (VERDICT r4 item 4: the driver JSON
+# should evidence the k=100 / tall / fast / streaming breadth itself,
+# not just the builder's stderr)
+_SUB: dict = {}
 
 
 def log(msg):
@@ -108,6 +118,8 @@ def emit_json():
             "vs_baseline": 0.0,
             "incomplete": True,
         }
+    if _SUB:
+        result["submetrics"] = dict(_SUB)   # whatever the tail finished
     print(json.dumps(result), flush=True)
 
 
@@ -204,26 +216,65 @@ def generate_dataset(n, p, seed=7):
     return packed, mean, sd
 
 
+def measure_upload(log, mb=96):
+    """Raw host->device upload throughput: device_put + a forced sum
+    (block_until_ready can lie over remote tunnels; a computed scalar
+    cannot).  This is the speed-of-light for ALL host-streaming
+    numbers, measured so their GB/s is explainable (VERDICT r4 item
+    2: the r4 'collapse' was the tunnel itself dropping from ~300 to
+    ~10 MB/s between rounds)."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.random.default_rng(9).integers(
+        0, 256, size=(mb << 20,), dtype=np.uint8)
+    rates = []
+    for r in range(2):
+        t0 = time.time()
+        d = jax.device_put(buf)
+        float(jnp.sum(d))
+        dt = time.time() - t0
+        rates.append(buf.nbytes / dt / 1e9)
+        del d
+    up = max(rates)    # first rep may pay the jnp.sum compile
+    log(f"bench: raw upload {mb} MB x2 -> {up:.3f} GB/s (reps: "
+        f"{[round(r, 3) for r in rates]})")
+    _SUB["upload_gbps"] = round(up, 3)
+    return up
+
+
 def measure_streaming(log):
-    """Host->device streaming operator throughput: random host-resident
-    packed bytes (any codes decode), a few gram passes, packed GB/s.
-    Over a remote tunnel this is upload-bound; on a local host it
-    measures the DMA+decode pipeline with the reused staging buffers."""
+    """Host->device streaming operator throughput with the per-phase
+    staging stats (fill/put/sync), a prefetch run, and the
+    device-resident block cache -- each explained against the measured
+    raw upload rate.  The streamed volume adapts to that rate so a
+    degraded tunnel cannot eat the whole tail budget (r4: 508 s)."""
     import jax.numpy as jnp
 
     from flashpca_tpu.ops.operator import StreamingPackedOperator
 
+    up_gbps = measure_upload(log)
     n = int(os.environ.get("FLASHPCA_STREAM_N", 62_720))
-    p = int(os.environ.get("FLASHPCA_STREAM_P", 12_544))
-    rng = np.random.default_rng(3)
+    p_env = os.environ.get("FLASHPCA_STREAM_P")
     nbytes = (n + 3) // 4
+    if p_env:
+        p = int(p_env)
+    else:
+        # each config streams ~(npass+1) passes; size p so that costs
+        # ~40 s at the measured rate, within [1024, 12544] whole
+        # 512-SNP tiles (r4's fixed 12544 burned 508 s of tail when
+        # the tunnel dropped to ~3 MB/s)
+        p = int(10.0 * up_gbps * 1e9 / nbytes)
+        p = min(12_544, max(1024, (p // 512) * 512))
+    rng = np.random.default_rng(3)
     packed = rng.integers(0, 256, size=(p, nbytes), dtype=np.uint8)
     maf = rng.uniform(0.1, 0.5, p)
     mean, sd = 2 * maf, np.sqrt(2 * maf * (1 - maf))
     x = None
     npass = 3
+    res = {}
 
-    def run(tag, reuse, cache_mb):
+    def run(tag, cache_mb, reuse=False, prefetch=False):
         nonlocal x
         prev = os.environ.get("FLASHPCA_STAGE_REUSE")
         os.environ["FLASHPCA_STAGE_REUSE"] = "1" if reuse else "0"
@@ -231,21 +282,30 @@ def measure_streaming(log):
             op = StreamingPackedOperator(
                 packed, mean, sd, n, memory_mb=(None if cache_mb else 256),
                 block_snps=(p // 2 if cache_mb else None),
-                cache_mb=cache_mb)
+                cache_mb=cache_mb, prefetch=prefetch)
             if x is None:
                 x = jnp.asarray(rng.standard_normal((n, 8)),
                                 dtype=op.dtype)
             float(jnp.sum(op.perform_op(x)))        # warm compiles (+cache)
+            op.reset_stats()
             t0 = time.time()
             for _ in range(npass):
                 y = op.perform_op(x)
             float(jnp.sum(y))
             dt = time.time() - t0
-            gbps = npass * p * nbytes / dt / 1e9
+            st = op.stats()
+            gbps = st["staged_bytes"] / max(dt, 1e-9) / 1e9
+            eff = (f", {100 * gbps / up_gbps:.0f}% of raw upload"
+                   if st["staged_bytes"] else "")
             log(f"bench: streaming gram [{tag}] {npass}x ({p}x{nbytes} "
-                f"bytes, {op.n_blocks} blocks/pass) in {dt:.1f}s -> "
-                f"{gbps:.2f} GB/s packed host->device "
-                f"(host stagings: {op.staged_host_blocks})")
+                f"bytes, {op.n_blocks} blocks/pass, "
+                f"{st['staged_host_blocks']} stagings) in {dt:.1f}s -> "
+                f"{gbps:.2f} GB/s staged{eff} "
+                f"[fill {st['fill_s']:.1f}s put {st['put_s']:.1f}s "
+                f"wait {st['wait_s']:.1f}s]")
+            res[tag] = {"s": round(dt, 2), "gbps": round(gbps, 3),
+                        "fill_s": round(st["fill_s"], 2),
+                        "staged_gb": round(st["staged_bytes"] / 1e9, 3)}
             return gbps
         finally:
             if prev is None:
@@ -253,19 +313,23 @@ def measure_streaming(log):
             else:
                 os.environ["FLASHPCA_STAGE_REUSE"] = prev
 
-    gbps = run("fresh-buffers", reuse=False, cache_mb=0)
-    # VERDICT r2 weak #3: measure the double-buffered staging path and
-    # the device-resident block cache ON THE REAL CHIP, not just argue
-    run("stage-reuse", reuse=True, cache_mb=0)
-    run("block-cache", reuse=False, cache_mb="auto")
-    return gbps
+    run("fresh", cache_mb=0)
+    if budget_left() > 150:
+        run("prefetch", cache_mb=0, prefetch=True)
+    if budget_left() > 120:
+        # device-resident block cache: warm passes skip staging entirely
+        run("cache", cache_mb="auto")
+    _SUB["stream"] = res
+    return res
 
 
 def measure_scca_ucca(op, n, log):
-    """Warm SCCA s/iter and a full UCCA scan at the headline scale
-    (the reference's second and third modes, randompca.cpp:387-625) --
-    in the default tail since r4 so the driver captures them officially
-    (VERDICT r3 item 6)."""
+    """Warm SCCA s/iter, a CONVERGED sparse multi-dim SCCA, and a full
+    UCCA scan at the headline scale (the reference's second and third
+    modes, randompca.cpp:387-625) -- in the default tail so the driver
+    captures them officially (VERDICT r3 item 6, r4 item 5)."""
+    import jax.numpy as jnp
+
     from flashpca_tpu.models.scca import scca
     from flashpca_tpu.models.ucca import ucca
 
@@ -291,6 +355,41 @@ def measure_scca_ucca(op, n, log):
     log(f"bench: scca 1 dim x {iters} iters (warm) in {dt:.1f}s "
         f"-> {dt / iters:.2f} s/iter (d stays 0 for iteration-capped "
         f"dims, reference semantics randompca.cpp:502-518)")
+    _SUB["scca_s_per_iter"] = round(dt / iters, 3)
+
+    # -- converged sparse SCCA at the full scale (VERDICT r4 item 5):
+    # real penalties, ndim >= 3, d > 0, nonzeros << p.  Plant a sparse
+    # signal so penalized canonical directions exist: Y gains a
+    # component of X u* for three sparse u* (one prod pass builds all).
+    if budget_left() > 300:
+        p = op.n_snps
+        ndim_s = 3
+        nnz_plant = 200
+        Ustar = np.zeros((p, ndim_s), dtype=np.float64)
+        for j in range(ndim_s):
+            idx = rng.choice(p, size=nnz_plant, replace=False)
+            Ustar[idx, j] = rng.normal(size=nnz_plant)
+            Ustar[:, j] /= np.linalg.norm(Ustar[:, j])
+        Xu = np.asarray(op.prod(jnp.asarray(Ustar, dtype=op.dtype)),
+                        dtype=np.float64)          # (n, 3), one pass
+        Ys = rng.standard_normal((n, 10))
+        Ys[:, :ndim_s] += Xu * (3.0 / Xu.std(axis=0, keepdims=True))
+        lam1 = 1.0 / np.sqrt(p)    # normalized-u entries are ~1/sqrt(p)
+        lam2 = 0.02
+        t0 = time.time()
+        res = scca(op, Ys, lambda1=lam1, lambda2=lam2, ndim=ndim_s,
+                   maxiter=100, tol=1e-4, seed=7, verbose=True)
+        dt = time.time() - t0
+        nz = [int(np.sum(res.U[:, j] != 0)) for j in range(ndim_s)]
+        log(f"bench: sparse scca ndim={ndim_s} lambda1={lam1:.2e} "
+            f"lambda2={lam2} in {dt:.1f}s: d={np.round(res.d, 3)} "
+            f"nonzeros={nz} of {p} converged={res.converged}")
+        if not (res.converged and all(res.d > 0)):
+            log("bench: WARNING sparse scca did not converge to d > 0")
+        _SUB["scca_sparse"] = {
+            "s": round(dt, 1), "d": [round(float(x), 2) for x in res.d],
+            "nonzeros": nz, "converged": bool(res.converged),
+        }
 
     if budget_left() < 180:
         log("bench: skipping ucca scan (budget)")
@@ -303,6 +402,7 @@ def measure_scca_ucca(op, n, log):
     dt = time.time() - t0
     log(f"bench: ucca full scan ({op.n_snps} SNPs x {Y.shape[1]} phenos, "
         f"warm) in {dt:.1f}s; median R={np.median(uc.result[:, 0]):.4f}")
+    _SUB["ucca_scan_s"] = round(dt, 2)
 
 
 def measure_extra_modes(op, n, log):
@@ -340,6 +440,146 @@ def measure_extra_modes(op, n, log):
     dt = time.time() - t0
     log(f"bench: projection pass ({op.n_snps} SNPs x 10 PCs, warm) "
         f"in {dt:.2f}s")
+
+
+def _main_oversize(platform, n, p, k, tol):
+    """FLASHPCA_BENCH_MODE=oversize: end-to-end wide PCA where the
+    packed data does NOT reside on the device -- the reference's core
+    bounded-memory claim (README.md:11-12; svdwide.cpp:21-68) measured
+    at its design point on the chip (VERDICT r4 item 1).  Host-resident
+    packed bytes stream through ``StreamingPackedOperator``; two
+    configurations:
+
+    * **beyond-HBM** (chosen when the measured upload rate affords it):
+      packed > the device's HBM limit, a pinned-prefix block cache
+      (``cache_mb``, the generalized single-block optimization,
+      svdwide.cpp:32-40) holds the leading ~11 GB, and every pass
+      re-stages the beyond-HBM remainder over the host link.
+    * **bounded-memory** (fallback): device residency capped at two
+      256 MB staging buffers (``memory_mb=256``, cache off -- the
+      literal --memory semantics, flashpca.cpp:646-684) on a packed
+      size the link can afford; device memory stays bounded while the
+      data is many times larger.
+
+    Every staged byte rides the measured host->device link, so the
+    mode measures the raw upload rate FIRST and sizes the problem to
+    the watchdog budget unless FLASHPCA_BENCH_P is set (this tunnel
+    has measured anywhere between ~300 MB/s and ~5 MB/s across
+    rounds; GB/s is reported against that bound so it is explainable).
+    """
+    global _metric_name, _ref_scaled
+    import jax
+    import jax.numpy as jnp
+
+    from flashpca_tpu.io.plink import bytes_per_snp
+    from flashpca_tpu.models.check import check
+    from flashpca_tpu.models.pca import pca
+    from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+    on_tpu = platform == "tpu"
+    n = n or (501_760 if on_tpu else 4_096)
+    nbytes = bytes_per_snp(n)
+    k = k or 20
+    _metric_name = f"pca_oversize_n{n}_k{k}_stream_wall_s"
+
+    up = measure_upload(log, mb=96 if on_tpu else 8)
+    ms = jax.devices()[0].memory_stats() or {}
+    hbm_limit = ms.get("bytes_limit", 16 << 30) if on_tpu else (1 << 30)
+
+    # pass-count model for the sizing: contract solve ~30 passes at
+    # k=20 plus moments/cache-fill and the compensated check
+    n_passes = 34 if k >= 20 else 24
+    solve_budget = max(120.0, budget_left() - 240.0)
+    if p:
+        packed_gb = p * nbytes / 1e9
+        cache_mb = 11_264 if packed_gb * 1e9 > hbm_limit else 0
+        memory_mb = None if cache_mb else 256
+    else:
+        beyond_gb = 1.05 * hbm_limit / 1e9   # just past the HBM limit
+        cache_gb = min(11.0, 0.7 * hbm_limit / 1e9)
+        need_gb = beyond_gb + (n_passes - 1) * (beyond_gb - cache_gb)
+        if on_tpu and up * solve_budget >= need_gb:
+            packed_gb, cache_mb, memory_mb = beyond_gb, int(cache_gb * 1024), None
+        else:
+            # bounded-memory fallback: size packed to the link, bound
+            # the device at two 256 MB buffers (>= 4x data:memory)
+            packed_gb = max(2.0 if on_tpu else 0.008,
+                            up * solve_budget / n_passes)
+            packed_gb = min(packed_gb, 12.0)
+            cache_mb, memory_mb = 0, 256
+        p = int(packed_gb * 1e9 / nbytes)
+        p = max(1024, (p // 512) * 512)
+    packed_bytes = p * nbytes
+    beyond = packed_bytes > hbm_limit
+    log(f"bench: oversize config N={n} p={p} packed "
+        f"{packed_bytes / 1e9:.2f} GB vs HBM limit "
+        f"{hbm_limit / 1e9:.1f} GB ({'BEYOND-HBM' if beyond else 'bounded-memory demo'}) "
+        f"cache_mb={cache_mb} memory_mb={memory_mb} "
+        f"upload={up:.3f} GB/s budget left {budget_left():.0f}s")
+    _metric_name = f"pca_oversize_n{n}_p{p}_k{k}_stream_wall_s"
+    _ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
+
+    t0 = time.time()
+    rng = np.random.default_rng(13)
+    host_packed = rng.integers(0, 256, size=(p, nbytes), dtype=np.uint8)
+    maf = rng.uniform(0.1, 0.5, p)
+    mean, sd = 2 * maf, np.sqrt(2 * maf * (1 - maf))
+    log(f"bench: host-generated {packed_bytes / 1e9:.2f} GB packed in "
+        f"{time.time() - t0:.1f}s")
+
+    op = StreamingPackedOperator(
+        host_packed, mean, sd, n, memory_mb=memory_mb,
+        cache_mb=(cache_mb if cache_mb else 0), prefetch=True)
+    # warm pass 1: moments/trace (fills the pinned-prefix cache);
+    # warm pass 2: one gram pass (compiles the per-block programs)
+    t0 = time.time()
+    _ = op.trace
+    log(f"bench: trace/cache-fill pass in {time.time() - t0:.1f}s "
+        f"(cached blocks: {op._resolve_cache_blocks()}/{op.n_blocks})")
+    t0 = time.time()
+    xw = jnp.zeros((n, 16), dtype=op.dtype)
+    float(jnp.sum(op.perform_op(xw)))
+    log(f"bench: warm gram pass in {time.time() - t0:.1f}s")
+    op.reset_stats()
+
+    t0 = time.time()
+    res = pca(op, k, tol=tol, maxiter=500, device_results=True)
+    float(jnp.sum(res.projection))
+    wall = time.time() - t0
+    _walls.append(wall)
+    st = op.stats()
+    staged_gbps = st["staged_bytes"] / max(wall, 1e-9) / 1e9
+    peak = (jax.devices()[0].memory_stats() or {}).get("peak_bytes_in_use")
+    log(f"bench: oversize pca() k={k} in {wall:.1f}s n_ops={res.n_ops} "
+        f"converged={res.converged}; staged "
+        f"{st['staged_bytes'] / 1e9:.1f} GB over {st['staged_host_blocks']} "
+        f"blocks -> {staged_gbps:.3f} GB/s "
+        f"({100 * staged_gbps / max(up, 1e-9):.0f}% of raw upload) "
+        f"[fill {st['fill_s']:.1f}s put {st['put_s']:.1f}s]")
+    if peak:
+        log(f"bench: HBM high-water {peak / 1e9:.2f} GB "
+            f"(packed data {packed_bytes / 1e9:.2f} GB stayed on host)")
+    _SUB.update({
+        "mode": "beyond_hbm" if beyond else "bounded_memory",
+        "packed_gb": round(packed_bytes / 1e9, 3),
+        "hbm_limit_gb": round(hbm_limit / 1e9, 2),
+        "cache_mb": cache_mb, "memory_mb": memory_mb,
+        "n_ops": int(res.n_ops),
+        "staged_gb": round(st["staged_bytes"] / 1e9, 3),
+        "staged_gbps": round(staged_gbps, 3),
+        "upload_frac": round(staged_gbps / max(up, 1e-9), 2),
+    })
+    if peak:
+        _SUB["hbm_peak_gb"] = round(peak / 1e9, 2)
+
+    t0 = time.time()
+    chk = check(op, res.vectors, res.values)   # compensated, streamed
+    log(f"bench: oversize check in {time.time() - t0:.1f}s "
+        f"mse={chk.mse:.3e} (contract README.md:207: < 1e-8)")
+    if chk.mse > 1e-8:
+        log("bench: WARNING accuracy contract (mse < 1e-8) violated")
+    _SUB["check_mse"] = float(f"{chk.mse:.3e}")
+    _SUB["contract_met"] = bool(chk.mse < 1e-8)
 
 
 def _cache_entries(cache_dir):
@@ -385,6 +625,15 @@ def main():
     p = int(os.environ.get("FLASHPCA_BENCH_P", 0))
     k = int(os.environ.get("FLASHPCA_BENCH_K", 20))
     tol = float(os.environ.get("FLASHPCA_BENCH_TOL", 1e-6))
+
+    if mode == "oversize":
+        _quiet_stdout()
+        try:
+            _main_oversize(platform, n, p, k, tol)
+        finally:
+            emit_json()
+            wd.cancel()
+        return
 
     # independent overrides: a set FLASHPCA_BENCH_N or _P is honored
     # even when the other comes from defaults (review r2)
@@ -519,24 +768,123 @@ def main():
             # marker must print HERE before the re-raise (review r4)
             emit_json()
             raise
-    emit_json()                      # <- the stdout contract, guaranteed
     if len(_walls) > 1:
         log(f"bench: wall min over {len(_walls)} identical runs = "
             f"{min(_walls):.1f}s (all: {[round(w, 1) for w in _walls]})")
+    log(f"bench: headline wall {min(_walls):.1f}s (JSON prints at the "
+        "END with the tail submetrics; the watchdog emits it early on "
+        "a budget stall)")
     log(f"bench: top eigenvalues d=lam/p: {np.round(res.values, 4)[:5]}")
     log(f"bench: pve: {np.round(res.pve, 5)[:5]} trace={res.trace:.1f}")
 
-    # -- tail diagnostics (all post-JSON, budget-gated, best-effort) -----
+    # -- tail metrics (budget-gated, best-effort; each lands in _SUB) ----
     try:
         _run_tail(op, res, mode, platform, n, p, k, tol)
     except Exception as e:
         log(f"bench: tail diagnostics aborted: {e!r}")
+    # the stdout contract: ONE JSON line, now carrying the tail's
+    # submetrics.  The watchdog guarantees it prints (with whatever
+    # submetrics exist) even if a tail stage stalls the budget out.
+    emit_json()
     wd.cancel()
 
 
+def _stage(name, fn, min_budget=120):
+    """Run one tail stage best-effort: budget-gated, exception-proofed
+    (a failed stage logs and the rest of the tail still runs)."""
+    if budget_left() < min_budget:
+        log(f"bench: skipping {name} (budget left {budget_left():.0f}s)")
+        return
+    try:
+        fn()
+    except Exception as e:
+        log(f"bench: {name} failed: {e!r}")
+
+
+def measure_warm_pass(op, panel, log):
+    """Warm per-pass wall of one gram panel pass -- the unit cost the
+    headline wall is n_ops multiples of.  Dispatch-inclusive but warm,
+    so the headline's compile/tunnel variance is factored out
+    (device-busy floor measured separately: docs/PERFORMANCE.md
+    profile_gram, ~381 ms plain / ~855 ms ff per pass)."""
+    import jax.numpy as jnp
+
+    mv, ops_ = op.gram_pure()
+    import jax
+
+    f = jax.jit(mv)
+    xp = jnp.zeros((op.op_dim, panel), op.dtype)
+    float(jnp.sum(f(xp, *ops_)))          # warm
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        y = f(xp, *ops_)
+    float(jnp.sum(y))
+    per = (time.time() - t0) / reps
+    log(f"bench: warm gram panel pass ({panel} cols) {per:.2f} s/pass "
+        "(dispatch-inclusive; x n_ops approximates the solve's "
+        "device-side wall)")
+    _SUB["warm_s_per_pass"] = round(per, 3)
+
+
+def measure_k100(op, tol, log):
+    """k=100 contract solve + compensated check (VERDICT r4 item 3/4:
+    the k=100 number must reach the driver-captured JSON)."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.models.check import check
+    from flashpca_tpu.models.pca import pca
+
+    t0 = time.time()
+    r = pca(op, 100, tol=tol, maxiter=500, device_results=True)
+    float(jnp.sum(r.projection))
+    wall = time.time() - t0
+    chk = check(op, r.vectors, r.values)
+    log(f"bench: pca() k=100 end-to-end in {wall:.1f}s n_ops={r.n_ops} "
+        f"converged={r.converged}; check mse={chk.mse:.3e} "
+        "(cold-compile inclusive: k=100 shapes are not warmed)")
+    _SUB["k100"] = {"s": round(wall, 1), "n_ops": int(r.n_ops),
+                    "check_mse": float(f"{chk.mse:.3e}"),
+                    "converged": bool(r.converged)}
+
+
+def measure_tall_in_default(k, tol, log):
+    """The tall (n >> p) flagship shape inside the DEFAULT bench run:
+    1,003,520 x 50,176 (the same 12.59 GB packed) through
+    TallPackedOperator -- so BENCH_rNN.json itself evidences the
+    reference's '>= 1M individuals' claim (README.md:12).  Caller must
+    free the wide operator first (both cannot fit HBM together)."""
+    import jax.numpy as jnp
+
+    from flashpca_tpu.models.pca import pca
+    from flashpca_tpu.ops.operator import TallPackedOperator
+
+    n_t, p_t = 1_003_520, 50_176
+    t0 = time.time()
+    packed, mean, sd = generate_dataset(n_t, p_t)
+    log(f"bench: tall dataset {packed.nbytes / 1e9:.2f} GB generated "
+        f"in {time.time() - t0:.1f}s")
+    top = TallPackedOperator(packed, mean, sd, n_t, dtype=jnp.float32)
+    del packed
+    t0 = time.time()
+    r = pca(top, k, tol=tol, maxiter=500, device_results=True)
+    float(jnp.sum(r.projection))
+    wall = time.time() - t0
+    rel = float(np.max(r.residuals)) / (float(np.max(r.values)) * p_t)
+    log(f"bench: tall pca() {n_t}x{p_t} k={k} in {wall:.1f}s "
+        f"n_ops={r.n_ops} converged={r.converged} "
+        f"pre-polish scaled residual {rel:.1e} (cold compiles included "
+        "unless /tmp/jax_cache is warm)")
+    _SUB["tall_1m"] = {"s": round(wall, 1), "n_ops": int(r.n_ops),
+                       "n": n_t, "p": p_t,
+                       "converged": bool(r.converged)}
+
+
 def _run_tail(op, res, mode, platform, n, p, k, tol):
-    """Everything after the stdout JSON: the accuracy contract first
-    (the round's key evidence), then mode timings, streaming."""
+    """Everything after the timed solve: the accuracy contract first
+    (the round's key evidence), then per-pass cost, the other solver
+    modes, SCCA/UCCA, streaming -- each stage recording its submetric
+    so the final stdout JSON carries the breadth (VERDICT r4 item 4)."""
     import jax.numpy as jnp
 
     from flashpca_tpu.models.check import check
@@ -553,45 +901,54 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
             f"{rel:.3e} (solver acceptance tol*|theta|, tol=1e-4 on "
             "the ff path; the returned pairs are then polished -- "
             "models/pca.py polish_subspace)")
+        _SUB["pre_polish_scaled_residual"] = float(f"{rel:.3e}")
     else:
         t1 = time.time()
         chk = check(op, res.vectors, res.values)   # compensated (f64-grade)
+        dt = time.time() - t1
         d_max = float(np.max(res.values))
         rel_rmse = chk.rmse / d_max
-        log(f"bench: check in {time.time() - t1:.1f}s: mse={chk.mse:.3e} "
+        log(f"bench: check in {dt:.1f}s: mse={chk.mse:.3e} "
             f"rmse={chk.rmse:.3e} rmse/d_max={rel_rmse:.3e} "
             f"(reference contract README.md:207: mse < 1e-8 -- measured "
             f"with the compensated two-float residual, the f64-grade "
             f"measurement the reference's pipeline uses)")
         if chk.mse > 1e-8:
             log("bench: WARNING accuracy contract (mse < 1e-8) violated")
+        _SUB["check_mse"] = float(f"{chk.mse:.3e}")
+        _SUB["check_s"] = round(dt, 2)
+        _SUB["contract_met"] = bool(chk.mse < 1e-8)
+
+    _SUB["n_ops"] = int(res.n_ops)
+    _stage("warm-pass", lambda: measure_warm_pass(
+        op, 16, log), min_budget=90)
 
     # -- the fast-mode wall (polish="fast", VERDICT r3 item 2) ----------
-    if mode != "tall" and budget_left() > 300:
-        try:
-            t0 = time.time()
-            rf = pca(op, k, tol=tol, maxiter=500, device_results=True,
-                     polish="fast")
-            float(jnp.sum(rf.projection))
-            log(f"bench: pca(polish='fast') k={k} in {time.time() - t0:.1f}s"
-                f" n_ops={rf.n_ops} (cold plain-path compiles included; "
-                "residual floors at plain-f32, check mse ~2e-8 at this "
-                "scale)")
-        except Exception as e:
-            log(f"bench: fast-mode run failed: {e!r}")
+    def run_fast():
+        t0 = time.time()
+        rf = pca(op, k, tol=tol, maxiter=500, device_results=True,
+                 polish="fast")
+        float(jnp.sum(rf.projection))
+        wall = time.time() - t0
+        log(f"bench: pca(polish='fast') k={k} in {wall:.1f}s"
+            f" n_ops={rf.n_ops} (cold plain-path compiles included; "
+            "residual floors at plain-f32, check mse ~2e-8 at this "
+            "scale)")
+        _SUB["fast"] = {"s": round(wall, 1), "n_ops": int(rf.n_ops)}
 
-    # -- official SCCA/UCCA numbers (VERDICT r3 item 6) -----------------
-    if mode != "tall" and budget_left() > 240:
-        try:
-            measure_scca_ucca(op, n, log)
-        except Exception as e:
-            log(f"bench: scca/ucca measurement failed: {e!r}")
+    if mode != "tall":
+        _stage("fast-mode", run_fast, min_budget=300)
+        # k=100 before scca/streaming: it is the costlier headline
+        # breadth item (VERDICT r4 item 3)
+        if platform == "tpu" and k != 100:
+            _stage("k100", lambda: measure_k100(op, tol, log),
+                   min_budget=420)
+        _stage("scca/ucca", lambda: measure_scca_ucca(op, n, log),
+               min_budget=240)
 
-    if platform == "tpu" and mode != "tall" and budget_left() > 180:
-        try:
-            measure_streaming(log)
-        except Exception as e:  # keep the headline metric robust
-            log(f"bench: streaming measurement failed: {e!r}")
+    if platform == "tpu" and mode != "tall":
+        _stage("streaming", lambda: measure_streaming(log),
+               min_budget=180)
 
     if (os.environ.get("FLASHPCA_BENCH_EXTRA") == "1" and mode != "tall"
             and budget_left() > 120):
@@ -599,6 +956,22 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
             measure_extra_modes(op, n, log)
         except Exception as e:
             log(f"bench: extra-mode measurement failed: {e!r}")
+
+    # -- tall flagship inside the default run (frees the wide op first:
+    # 2 x 12.59 GB cannot co-reside in 16 GB HBM) ----------------------
+    if (platform == "tpu" and mode == "wide"
+            and os.environ.get("FLASHPCA_BENCH_NOTALL") != "1"):
+        def run_tall():
+            import gc
+
+            op._cache = {}
+            for attr in ("packed",):
+                if hasattr(op, attr):
+                    delattr(op, attr)
+            gc.collect()
+            measure_tall_in_default(k, tol, log)
+
+        _stage("tall-in-default", run_tall, min_budget=300)
 
 
 if __name__ == "__main__":

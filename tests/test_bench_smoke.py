@@ -72,3 +72,30 @@ def test_bench_watchdog_emits_json():
     rec = json.loads(lines[0])
     assert rec.get("incomplete") is True or rec["vs_baseline"] > 0
     assert "WATCHDOG" in out.stderr
+
+
+def test_bench_wide_submetrics():
+    """The single JSON line carries the tail's breadth (VERDICT r4
+    item 4): check mse + contract bit at minimum on the CPU smoke."""
+    rec, _ = _run_bench(_TINY)
+    sub = rec.get("submetrics")
+    assert sub and "check_mse" in sub and "contract_met" in sub
+    assert "n_ops" in sub
+
+
+def test_bench_oversize_smoke():
+    """FLASHPCA_BENCH_MODE=oversize: streaming solve with bounded
+    device memory; JSON must carry the mode/packed/staging evidence."""
+    rec, err = _run_bench({
+        "FLASHPCA_FORCE_CPU": "1",
+        "FLASHPCA_BENCH_MODE": "oversize",
+        "FLASHPCA_BENCH_N": "1024",
+        "FLASHPCA_BENCH_P": "512",
+        "FLASHPCA_BENCH_K": "3",
+    })
+    assert rec["metric"].startswith("pca_oversize_")
+    sub = rec["submetrics"]
+    for key in ("mode", "packed_gb", "staged_gb", "staged_gbps",
+                "upload_gbps", "check_mse", "n_ops"):
+        assert key in sub, key
+    assert sub["mode"] in ("beyond_hbm", "bounded_memory")
