@@ -193,3 +193,21 @@ def test_solver_cycle_fetch_is_one_small_transfer(monkeypatch):
     per_cycle_cap = (ncv // b) * (ncv + 2 * b) * b
     assert max(fetched) <= per_cycle_cap
     assert max(fetched) < n // 2
+
+
+def test_pca_shard_count_invariance(small_plink):
+    """End-to-end pca() must agree across 1/2/4/8-device meshes at f64
+    round-off (psum order differs per count, so the bar is amplified
+    round-off, not bit-equality; the dryrun holds the f32 twin)."""
+    from flashpca_tpu.models.pca import pca
+
+    root, _ = small_plink
+    results = []
+    for m in (1, 2, 4, 8):
+        mesh = Mesh(np.array(jax.devices("cpu")[:m]), ("snps",))
+        results.append(pca(root, 2, tol=1e-10, maxiter=200, mesh=mesh))
+    d0, U0 = results[0].values, results[0].vectors
+    for r in results[1:]:
+        np.testing.assert_allclose(r.values, d0, rtol=1e-9)
+        corr = np.abs(np.sum(r.vectors * U0, axis=0))
+        assert np.all(corr > 1 - 1e-9), corr
