@@ -374,7 +374,11 @@ def measure_scca_ucca(op, n, log):
                         dtype=np.float64)          # (n, 3), one pass
         Ys = rng.standard_normal((n, 10))
         Ys[:, :ndim_s] += Xu * (3.0 / Xu.std(axis=0, keepdims=True))
-        lam1 = 1.0 / np.sqrt(p)    # normalized-u entries are ~1/sqrt(p)
+        # normalized-u noise entries are ~N(0, 1/p); thresholding at
+        # 2.5 sigma keeps the planted support + ~1% of the noise
+        # (measured at 1/sqrt(p): 29k nonzeros -- sparse but not
+        # "<< p"; 2.5/sqrt(p) lands ~1-3k)
+        lam1 = 2.5 / np.sqrt(p)
         lam2 = 0.02
         t0 = time.time()
         res = scca(op, Ys, lambda1=lam1, lambda2=lam2, ndim=ndim_s,
@@ -403,6 +407,81 @@ def measure_scca_ucca(op, n, log):
     log(f"bench: ucca full scan ({op.n_snps} SNPs x {Y.shape[1]} phenos, "
         f"warm) in {dt:.1f}s; median R={np.median(uc.result[:, 0]):.4f}")
     _SUB["ucca_scan_s"] = round(dt, 2)
+
+
+def measure_bed_streaming(log):
+    """Disk -> host -> device pipeline from a REAL .bed file (VERDICT
+    r4 item 3): a PlinkDataset-backed StreamingPackedOperator with the
+    prefetch thread, one cold-cache pass (posix_fadvise(DONTNEED)
+    evicts the page cache so the read hits the disk) and one warm
+    pass, each reported as file-to-device GB/s with the read/stage
+    overlap ratio (fill happens on the prefetch thread while the
+    previous block uploads/computes)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from flashpca_tpu.io.plink import PlinkDataset
+    from flashpca_tpu.ops.operator import StreamingPackedOperator
+
+    up = _SUB.get("upload_gbps", 0.05)
+    n = 62_720
+    nbytes = (n + 3) // 4
+    # size the file to ~30 s of upload at the measured rate
+    p = int(30.0 * up * 1e9 / nbytes)
+    p = min(25_088, max(1024, (p // 512) * 512))
+    rng = np.random.default_rng(21)
+    root = tempfile.mkdtemp(prefix="flashpca_bed_") + "/stream"
+    t0 = time.time()
+    with open(root + ".bed", "wb") as f:
+        f.write(bytes([0x6C, 0x1B, 0x01]))
+        rng.integers(0, 256, size=(p, nbytes), dtype=np.uint8).tofile(f)
+    with open(root + ".fam", "w") as f:
+        f.writelines(f"F{i} I{i} 0 0 0 -9\n" for i in range(n))
+    with open(root + ".bim", "w") as f:
+        f.writelines(f"1 snp{j} 0 {j} A B\n" for j in range(p))
+    gb = p * nbytes / 1e9
+    log(f"bench: wrote {gb:.2f} GB .bed fileset in {time.time() - t0:.1f}s")
+
+    maf = rng.uniform(0.1, 0.5, p)
+    mean, sd = 2 * maf, np.sqrt(2 * maf * (1 - maf))
+    ds = PlinkDataset.open(root)
+    op = StreamingPackedOperator(ds, mean, sd, n, memory_mb=256,
+                                 cache_mb=0, prefetch=True)
+    x = jnp.asarray(rng.standard_normal((n, 8)), dtype=op.dtype)
+    float(jnp.sum(op.perform_op(x)))      # warm compiles
+    res = {}
+    for tag in ("cold", "warm"):
+        if tag == "cold":
+            # evict the just-written pages: the cold pass must read
+            # the platters/SSD, not the page cache
+            with open(root + ".bed", "rb") as f:
+                os.posix_fadvise(f.fileno(), 0, 0,
+                                 os.POSIX_FADV_DONTNEED)
+        op.reset_stats()
+        t0 = time.time()
+        y = op.perform_op(x)
+        float(jnp.sum(y))
+        dt = time.time() - t0
+        st = op.stats()
+        gbps = st["staged_bytes"] / max(dt, 1e-9) / 1e9
+        # overlap: serial lower bound = disk fill + upload; ratio ~1
+        # means the prefetch thread fully hid the disk read
+        serial = st["fill_s"] + st["staged_bytes"] / max(up, 1e-9) / 1e9
+        overlap = serial / max(dt, 1e-9)
+        log(f"bench: .bed streaming [{tag}-cache] pass {gb:.2f} GB in "
+            f"{dt:.1f}s -> {gbps:.3f} GB/s file->device "
+            f"(disk fill {st['fill_s']:.1f}s on the prefetch thread; "
+            f"serial-bound/wall = {overlap:.2f}, 1.0 = full overlap)")
+        res[tag] = {"s": round(dt, 1), "gbps": round(gbps, 3),
+                    "fill_s": round(st["fill_s"], 2),
+                    "overlap": round(overlap, 2)}
+    _SUB["bed_stream"] = res
+    for ext in (".bed", ".bim", ".fam"):
+        try:
+            os.remove(root + ext)
+        except OSError:
+            pass
 
 
 def measure_extra_modes(op, n, log):
@@ -734,6 +813,11 @@ def main():
     if mode == "tall":
         warm("prod tail", lambda: float(jnp.sum(op.prod(
             jnp.ones((p, k), op.dtype)))))                   # U = X V tail
+    # the warm locals hold references into the multi-GB packed operand
+    # tuple; the tall-in-default tail stage frees the operator to make
+    # HBM room, which only works if no frame still pins these (r5: the
+    # first tall-in-default attempt OOM'd through exactly this)
+    del mv, ops_, warm_U
     log(f"bench: operator built + programs warmed in "
         f"{time.time() - t_op:.1f}s "
         f"(compile cache now {_cache_entries(cache_dir)} entries)")
@@ -936,7 +1020,22 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
             "scale)")
         _SUB["fast"] = {"s": round(wall, 1), "n_ops": int(rf.n_ops)}
 
+    def run_projection():
+        # the --project hot path is one prod pass over the loadings
+        # (randompca.cpp:813-819)
+        rng = np.random.default_rng(11)
+        V = jnp.asarray(rng.standard_normal((op.n_snps, 10)),
+                        dtype=op.dtype)
+        float(jnp.sum(op.prod(V)))       # warm
+        t0 = time.time()
+        float(jnp.sum(op.prod(V)))
+        dt = time.time() - t0
+        log(f"bench: projection pass ({op.n_snps} SNPs x 10 PCs, warm) "
+            f"in {dt:.2f}s")
+        _SUB["projection_s"] = round(dt, 2)
+
     if mode != "tall":
+        _stage("projection", run_projection, min_budget=90)
         _stage("fast-mode", run_fast, min_budget=300)
         # k=100 before scca/streaming: it is the costlier headline
         # breadth item (VERDICT r4 item 3)
@@ -945,17 +1044,6 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
                    min_budget=420)
         _stage("scca/ucca", lambda: measure_scca_ucca(op, n, log),
                min_budget=240)
-
-    if platform == "tpu" and mode != "tall":
-        _stage("streaming", lambda: measure_streaming(log),
-               min_budget=180)
-
-    if (os.environ.get("FLASHPCA_BENCH_EXTRA") == "1" and mode != "tall"
-            and budget_left() > 120):
-        try:
-            measure_extra_modes(op, n, log)
-        except Exception as e:
-            log(f"bench: extra-mode measurement failed: {e!r}")
 
     # -- tall flagship inside the default run (frees the wide op first:
     # 2 x 12.59 GB cannot co-reside in 16 GB HBM) ----------------------
@@ -972,6 +1060,19 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
             measure_tall_in_default(k, tol, log)
 
         _stage("tall-in-default", run_tall, min_budget=300)
+
+    if platform == "tpu" and mode != "tall":
+        _stage("streaming", lambda: measure_streaming(log),
+               min_budget=180)
+        _stage("bed-streaming", lambda: measure_bed_streaming(log),
+               min_budget=150)
+
+    if (os.environ.get("FLASHPCA_BENCH_EXTRA") == "1" and mode != "tall"
+            and budget_left() > 120):
+        try:
+            measure_extra_modes(op, n, log)
+        except Exception as e:
+            log(f"bench: extra-mode measurement failed: {e!r}")
 
 
 if __name__ == "__main__":
