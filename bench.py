@@ -567,8 +567,9 @@ def _main_oversize(platform, n, p, k, tol):
 
     # pass-count model for the sizing: contract solve ~30 passes at
     # k=20 plus moments/cache-fill and the compensated check
-    n_passes = 34 if k >= 20 else 24
+    n_passes = 36 if k >= 20 else 26
     solve_budget = max(120.0, budget_left() - 240.0)
+    p_user = bool(p)
     if p:
         packed_gb = p * nbytes / 1e9
         cache_mb = 11_264 if packed_gb * 1e9 > hbm_limit else 0
@@ -595,8 +596,6 @@ def _main_oversize(platform, n, p, k, tol):
         f"{hbm_limit / 1e9:.1f} GB ({'BEYOND-HBM' if beyond else 'bounded-memory demo'}) "
         f"cache_mb={cache_mb} memory_mb={memory_mb} "
         f"upload={up:.3f} GB/s budget left {budget_left():.0f}s")
-    _metric_name = f"pca_oversize_n{n}_p{p}_k{k}_stream_wall_s"
-    _ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
 
     t0 = time.time()
     rng = np.random.default_rng(13)
@@ -606,11 +605,62 @@ def _main_oversize(platform, n, p, k, tol):
     log(f"bench: host-generated {packed_bytes / 1e9:.2f} GB packed in "
         f"{time.time() - t0:.1f}s")
 
-    op = StreamingPackedOperator(
-        host_packed, mean, sd, n, memory_mb=memory_mb,
-        cache_mb=(cache_mb if cache_mb else 0), prefetch=True)
+    def build_op(hp, m, s):
+        return StreamingPackedOperator(
+            hp, m, s, n, memory_mb=memory_mb,
+            cache_mb=(cache_mb if cache_mb else 0), prefetch=True)
+
+    # EFFECTIVE-rate calibration on a 2-block slice before committing
+    # to the full size: the raw probe above is a single transfer, but
+    # the realized streaming rate over this tunnel can sit 30-50%
+    # lower and drift by the minute (r5: probe 28 MB/s, realized 19
+    # -> the first oversize attempt would have overrun its watchdog).
+    # The slice shares the full-size block shape, so its compiles warm
+    # the real run's programs too.
+    if on_tpu and not p_user:
+        cal_op = build_op(host_packed, mean, sd)
+        cal_rows = min(p, 2 * cal_op.block_snps)
+        cal_op = build_op(host_packed[:cal_rows], mean[:cal_rows],
+                          sd[:cal_rows])
+        xw = jnp.zeros((n, 16), dtype=cal_op.dtype)
+        float(jnp.sum(cal_op.perform_op(xw)))      # compile + 1st pass
+        cal_op.reset_stats()
+        t0 = time.time()
+        float(jnp.sum(cal_op.perform_op(xw)))
+        cal_dt = time.time() - t0
+        eff = cal_op.stats()["staged_bytes"] / max(cal_dt, 1e-9) / 1e9
+        log(f"bench: calibration pass {cal_rows} SNPs in {cal_dt:.1f}s "
+            f"-> effective {eff:.3f} GB/s ({100 * eff / max(up, 1e-9):.0f}% "
+            "of raw probe)")
+        del cal_op
+        # re-size to 60% of the remaining budget at the EFFECTIVE rate
+        afford = 0.6 * max(60.0, budget_left() - 120.0) * eff
+        p_fit = int(afford * 1e9 / nbytes / n_passes)
+        if cache_mb:
+            # beyond-HBM: only the un-cached remainder re-stages
+            rem = afford * 1e9 / (n_passes - 1) + cache_mb * (1 << 20)
+            p_fit = int(rem / nbytes)
+        p_fit = max(1024, (p_fit // 512) * 512)
+        if p_fit < p:
+            if cache_mb and p_fit * nbytes <= hbm_limit:
+                # the link cannot afford beyond-HBM anymore: drop to
+                # the bounded-memory demo rather than a fake config
+                cache_mb, memory_mb = 0, 256
+                beyond = False
+            p = p_fit
+            host_packed = host_packed[:p]
+            mean, sd = mean[:p], sd[:p]
+            packed_bytes = p * nbytes
+            beyond = packed_bytes > hbm_limit
+            log(f"bench: re-sized to p={p} ({packed_bytes / 1e9:.2f} GB) "
+                f"for the effective link rate")
+    _metric_name = f"pca_oversize_n{n}_p{p}_k{k}_stream_wall_s"
+    _ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
+
+    op = build_op(host_packed, mean, sd)
     # warm pass 1: moments/trace (fills the pinned-prefix cache);
-    # warm pass 2: one gram pass (compiles the per-block programs)
+    # warm pass 2: one gram pass (per-block programs already warm from
+    # the calibration slice at identical block shapes)
     t0 = time.time()
     _ = op.trace
     log(f"bench: trace/cache-fill pass in {time.time() - t0:.1f}s "
