@@ -665,14 +665,50 @@ def _main_oversize(platform, n, p, k, tol):
     _ = op.trace
     log(f"bench: trace/cache-fill pass in {time.time() - t0:.1f}s "
         f"(cached blocks: {op._resolve_cache_blocks()}/{op.n_blocks})")
+    op.reset_stats()
     t0 = time.time()
     xw = jnp.zeros((n, 16), dtype=op.dtype)
     float(jnp.sum(op.perform_op(xw)))
-    log(f"bench: warm gram pass in {time.time() - t0:.1f}s")
+    warm_dt = time.time() - t0
+    log(f"bench: warm gram pass in {warm_dt:.1f}s")
+    # SECOND re-size on the warm pass's realized full-size rate: the
+    # remote link here swings 10x within minutes (r5: calibrated
+    # 41 MB/s, then 3.6 MB/s on the very next pass), and a mid-solve
+    # collapse cannot be survived -- only under-committed to.  If the
+    # honest data:residency ratio (>= 4x) no longer fits the shrunk
+    # size, the memory bound shrinks with it (64 MB floor).
+    eff2 = op.stats()["staged_bytes"] / max(warm_dt, 1e-9) / 1e9
+    est_solve = (n_passes - 4) * packed_bytes / 1e9 / max(eff2, 1e-9)
+    room = 0.6 * max(60.0, budget_left() - 120.0)
+    if on_tpu and not p_user and est_solve > room:
+        p2 = int(room * eff2 * 1e9 / nbytes / (n_passes - 4))
+        p2 = max(1024, (p2 // 512) * 512)
+        if p2 < p:
+            p = p2
+            host_packed = host_packed[:p]
+            mean, sd = mean[:p], sd[:p]
+            packed_bytes = p * nbytes
+            beyond = packed_bytes > hbm_limit
+            if not beyond and memory_mb is None:
+                cache_mb, memory_mb = 0, 256
+            while (memory_mb and memory_mb > 64
+                   and packed_bytes < 4 * (memory_mb << 20)):
+                memory_mb //= 2
+            log(f"bench: warm-pass rate {eff2:.3f} GB/s -> re-sized to "
+                f"p={p} ({packed_bytes / 1e9:.2f} GB), memory_mb="
+                f"{memory_mb}")
+            _metric_name = f"pca_oversize_n{n}_p{p}_k{k}_stream_wall_s"
+            _ref_scaled = REF_SECONDS * (n / REF_N) * (p / REF_P)
+            op = build_op(host_packed, mean, sd)
+            t0 = time.time()
+            _ = op.trace
+            float(jnp.sum(op.perform_op(xw)))
+            log(f"bench: re-sized trace+warm in {time.time() - t0:.1f}s")
     op.reset_stats()
 
     t0 = time.time()
-    res = pca(op, k, tol=tol, maxiter=500, device_results=True)
+    res = pca(op, k, tol=tol, maxiter=500, device_results=True,
+              verbose=True)
     float(jnp.sum(res.projection))
     wall = time.time() - t0
     _walls.append(wall)
