@@ -410,6 +410,20 @@ def measure_scca_ucca(op, n, log):
 
 
 def measure_bed_streaming(log):
+    """Wrapper: runs the .bed streaming drive and always removes the
+    multi-hundred-MB scratch fileset (review r5: a mid-stage exception
+    leaked it)."""
+    import shutil
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="flashpca_bed_")
+    try:
+        _measure_bed_streaming(log, tmpdir)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _measure_bed_streaming(log, tmpdir):
     """Disk -> host -> device pipeline from a REAL .bed file (VERDICT
     r4 item 3): a PlinkDataset-backed StreamingPackedOperator with the
     prefetch thread, one cold-cache pass (posix_fadvise(DONTNEED)
@@ -417,8 +431,6 @@ def measure_bed_streaming(log):
     pass, each reported as file-to-device GB/s with the read/stage
     overlap ratio (fill happens on the prefetch thread while the
     previous block uploads/computes)."""
-    import tempfile
-
     import jax.numpy as jnp
 
     from flashpca_tpu.io.plink import PlinkDataset
@@ -431,11 +443,16 @@ def measure_bed_streaming(log):
     p = int(30.0 * up * 1e9 / nbytes)
     p = min(25_088, max(1024, (p // 512) * 512))
     rng = np.random.default_rng(21)
-    root = tempfile.mkdtemp(prefix="flashpca_bed_") + "/stream"
+    root = tmpdir + "/stream"
     t0 = time.time()
     with open(root + ".bed", "wb") as f:
         f.write(bytes([0x6C, 0x1B, 0x01]))
         rng.integers(0, 256, size=(p, nbytes), dtype=np.uint8).tofile(f)
+        # flush dirty pages NOW: POSIX_FADV_DONTNEED only drops CLEAN
+        # pages, so without the fsync the "cold" pass would silently
+        # read the page cache (review r5)
+        f.flush()
+        os.fsync(f.fileno())
     with open(root + ".fam", "w") as f:
         f.writelines(f"F{i} I{i} 0 0 0 -9\n" for i in range(n))
     with open(root + ".bim", "w") as f:
@@ -477,11 +494,6 @@ def measure_bed_streaming(log):
                     "fill_s": round(st["fill_s"], 2),
                     "overlap": round(overlap, 2)}
     _SUB["bed_stream"] = res
-    for ext in (".bed", ".bim", ".fam"):
-        try:
-            os.remove(root + ext)
-        except OSError:
-            pass
 
 
 def measure_extra_modes(op, n, log):
@@ -508,17 +520,7 @@ def measure_extra_modes(op, n, log):
         f"{dt_g:.1f}s -> {dt_g / iters:.2f} s/iter for the whole grid "
         f"(sequential grid would be ~{C}x one cell)")
 
-    # projection (the --project hot path is one prod pass over the
-    # loadings, randompca.cpp:813-819)
-    import jax.numpy as jnp
-
-    V = jnp.asarray(rng.standard_normal((op.n_snps, 10)), dtype=op.dtype)
-    float(jnp.sum(op.prod(V)))       # warm
-    t0 = time.time()
-    float(jnp.sum(op.prod(V)))
-    dt = time.time() - t0
-    log(f"bench: projection pass ({op.n_snps} SNPs x 10 PCs, warm) "
-        f"in {dt:.2f}s")
+    # (projection timing lives in the default tail's run_projection)
 
 
 def _main_oversize(platform, n, p, k, tol):
@@ -605,10 +607,12 @@ def _main_oversize(platform, n, p, k, tol):
     log(f"bench: host-generated {packed_bytes / 1e9:.2f} GB packed in "
         f"{time.time() - t0:.1f}s")
 
-    def build_op(hp, m, s):
+    def build_op(hp, m, s, cmb=None):
         return StreamingPackedOperator(
             hp, m, s, n, memory_mb=memory_mb,
-            cache_mb=(cache_mb if cache_mb else 0), prefetch=True)
+            cache_mb=(cmb if cmb is not None
+                      else (cache_mb if cache_mb else 0)),
+            prefetch=True)
 
     # EFFECTIVE-rate calibration on a 2-block slice before committing
     # to the full size: the raw probe above is a single transfer, but
@@ -618,10 +622,12 @@ def _main_oversize(platform, n, p, k, tol):
     # The slice shares the full-size block shape, so its compiles warm
     # the real run's programs too.
     if on_tpu and not p_user:
-        cal_op = build_op(host_packed, mean, sd)
+        cal_op = build_op(host_packed, mean, sd, cmb=0)
         cal_rows = min(p, 2 * cal_op.block_snps)
+        # cache OFF for the calibration slice: a pinned slice would
+        # serve the timed pass from device and measure eff=0 (review r5)
         cal_op = build_op(host_packed[:cal_rows], mean[:cal_rows],
-                          sd[:cal_rows])
+                          sd[:cal_rows], cmb=0)
         xw = jnp.zeros((n, 16), dtype=cal_op.dtype)
         float(jnp.sum(cal_op.perform_op(xw)))      # compile + 1st pass
         cal_op.reset_stats()
@@ -944,6 +950,12 @@ def main():
     log(f"bench: headline wall {min(_walls):.1f}s (JSON prints at the "
         "END with the tail submetrics; the watchdog emits it early on "
         "a budget stall)")
+    # crash breadcrumb: the stdout contract now prints after the tail,
+    # so a process-fatal tail stage (host OOM-kill, segfault) would
+    # otherwise lose a completed headline -- stderr carries it too
+    log("bench: headline-json " + json.dumps({
+        "metric": _metric_name, "value": round(min(_walls), 2),
+        "unit": "s", "vs_baseline": round(_ref_scaled / min(_walls), 2)}))
     log(f"bench: top eigenvalues d=lam/p: {np.round(res.values, 4)[:5]}")
     log(f"bench: pve: {np.round(res.pve, 5)[:5]} trace={res.trace:.1f}")
 
@@ -1130,6 +1142,10 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
                    min_budget=420)
         _stage("scca/ucca", lambda: measure_scca_ucca(op, n, log),
                min_budget=240)
+        if os.environ.get("FLASHPCA_BENCH_EXTRA") == "1":
+            # before the tall stage: it frees op.packed for HBM room
+            _stage("extra-modes", lambda: measure_extra_modes(op, n, log),
+                   min_budget=120)
 
     # -- tall flagship inside the default run (frees the wide op first:
     # 2 x 12.59 GB cannot co-reside in 16 GB HBM) ----------------------
@@ -1152,14 +1168,6 @@ def _run_tail(op, res, mode, platform, n, p, k, tol):
                min_budget=180)
         _stage("bed-streaming", lambda: measure_bed_streaming(log),
                min_budget=150)
-
-    if (os.environ.get("FLASHPCA_BENCH_EXTRA") == "1" and mode != "tall"
-            and budget_left() > 120):
-        try:
-            measure_extra_modes(op, n, log)
-        except Exception as e:
-            log(f"bench: extra-mode measurement failed: {e!r}")
-
 
 if __name__ == "__main__":
     main()

@@ -1308,6 +1308,21 @@ class StreamingPackedOperator(LinearOperatorBase):
                 max_workers=1, thread_name_prefix="flashpca-stage")
         return self._prefetch_pool
 
+    def close(self) -> None:
+        """Release the prefetch worker thread (idempotent).  Long-lived
+        processes constructing many prefetch-enabled operators should
+        call this (or drop the operator -- ``__del__`` covers it) so
+        idle workers don't accumulate."""
+        pool, self._prefetch_pool = self._prefetch_pool, None
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _blocks(self):
         """Yield (packed_dev, mean_dev, invsd_dev, start, size) per block.
         device_put is async: the next block uploads while the previous
@@ -1338,7 +1353,8 @@ class StreamingPackedOperator(LinearOperatorBase):
         n_cached = self._resolve_cache_blocks()
         reuse = (os.environ.get("FLASHPCA_STAGE_REUSE") == "1"
                  and jax.default_backend() != "cpu")
-        prefetch = self._prefetch and not reuse
+        prefetch = self._prefetch
+        reuse = reuse and not prefetch   # prefetch wins (the safe path)
         if reuse and self._stage is None:
             self._stage = [
                 np.zeros((bs, self.nbytes_pad), dtype=np.uint8)
