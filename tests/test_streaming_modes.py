@@ -261,3 +261,15 @@ class TestStagingStats:
         assert s["staged_bytes"] == s["packed_bytes"]
         op.reset_stats()
         assert op.stats()["staged_bytes"] == 0
+
+    def test_close_releases_prefetch_pool(self, small_plink, rng):
+        op = self._op(small_plink, prefetch=True)
+        x = rng.normal(size=(op.n_samples, 2))
+        y1 = np.asarray(op.perform_op(x))
+        assert op._prefetch_pool is not None
+        op.close()
+        assert op._prefetch_pool is None
+        op.close()   # idempotent
+        # the operator still works after close (pool re-created lazily)
+        y2 = np.asarray(op.perform_op(x))
+        np.testing.assert_allclose(y1, y2, rtol=1e-12, atol=1e-12)
