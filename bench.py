@@ -711,7 +711,9 @@ def _main_oversize(platform, n, p, k, tol):
     # honest data:residency ratio (>= 4x) no longer fits the shrunk
     # size, the memory bound shrinks with it (64 MB floor).
     eff2 = op.stats()["staged_bytes"] / max(warm_dt, 1e-9) / 1e9
-    est_solve = (n_passes - 4) * packed_bytes / 1e9 / max(eff2, 1e-9)
+    # per-pass cost = the warm pass itself (it staged exactly what a
+    # solve pass will: the full data, or the beyond-cache remainder)
+    est_solve = (n_passes - 4) * warm_dt
     room = 0.6 * max(60.0, budget_left() - 120.0)
     if on_tpu and not p_user and est_solve > room:
         p2 = int(room * eff2 * 1e9 / nbytes / (n_passes - 4))
