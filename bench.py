@@ -523,33 +523,74 @@ def measure_extra_modes(op, n, log):
     # (projection timing lives in the default tail's run_projection)
 
 
-def gen_host_packed(n, p, rng, chunk=512):
-    """Host-side Binom(2, maf) packed genotypes (the numpy twin of
-    gen_packed_block).  REALISTIC codes matter: random uint8 bytes
-    against binom2 stats blow the spectrum up ~100x (theta_max 2e9 vs
-    2e6), which inflates the ABSOLUTE check mse past the reference's
-    1e-8 contract even at better relative accuracy -- the r5 1.22 GB
-    oversize run "failed" the contract purely through that scale
-    mismatch."""
+def gen_host_packed(n, p, rng, chunk=256):
+    """Host-side Binom(2, maf) packed genotypes with the SAME 8-way
+    population structure as the on-device generator (the numpy twin of
+    gen_packed_block).  Both the codes and the structure matter:
+    random uint8 bytes against binom2 stats blow the spectrum up ~100x
+    (theta_max 2e9 vs 2e6), inflating the ABSOLUTE check mse past the
+    reference's 1e-8 contract at better relative accuracy; and
+    structure-free Binomial draws give a tight Marchenko-Pastur bulk
+    with no separated leading eigenvalues, grinding the k=20 solve to
+    maxiter (r5: nconv stuck at 1/28 for 26 cycles).
+
+    Implementation notes (all measured on this VM): every FRESH mmap
+    faults at ~26 MB/s while arena reuse is ~4 GB/s, so the per-chunk
+    temporaries are preallocated once and written through out=; the
+    dosage->code map is a uint8 LUT (an np.where chain promotes to
+    int64, 100x slower); thresholds are pre-quantized to uint8 (the
+    f64 fancy gather was 180x slower); randomness comes from
+    rng.bytes (the bounded-int uint8 path of rng.integers pushed a
+    2 GB generation to 711 s)."""
     nbytes = (n + 3) // 4
     maf = rng.uniform(0.05, 0.5, p)
+    delta = rng.normal(0.0, 0.05, size=(p, N_POPS))
+    probs = np.clip(maf[:, None] + delta, 0.02, 0.98)
     packed = np.empty((p, nbytes), dtype=np.uint8)
     sample_idx = (4 * np.arange(nbytes, dtype=np.int64)[:, None]
                   + np.arange(4)[None, :])
+    pop_flat = (sample_idx % N_POPS).astype(np.int64).ravel()
     valid = sample_idx < n
+    # dosage -> PLINK code: 2->0, 1->2, 0->3 (no NA code 1)
+    dos2code = np.array([3, 2, 0], dtype=np.uint8)
+    vmask = (np.uint8(3) * valid).astype(np.uint8)[None]
+    thresh8 = (probs * 256.0).astype(np.uint8)
+
+    chunk = min(chunk, p)
+    shape = (chunk, nbytes, 4)
+    t = np.empty(shape, np.uint8)
+    m1 = np.empty(shape, np.bool_)
+    m2 = np.empty(shape, np.bool_)
+    dos = np.empty(shape, np.uint8)
+    code = np.empty(shape, np.uint8)
+    tmp = np.empty((chunk, nbytes), np.uint8)
     for lo in range(0, p, chunk):
         hi = min(lo + chunk, p)
-        t = (maf[lo:hi, None, None] * 256.0).astype(np.uint8)
-        r1 = rng.integers(0, 256, (hi - lo, nbytes, 4), dtype=np.uint8)
-        r2 = rng.integers(0, 256, (hi - lo, nbytes, 4), dtype=np.uint8)
-        dos = (r1 < t).astype(np.uint8) + (r2 < t).astype(np.uint8)
-        # dosage -> PLINK code: 2->0, 1->2, 0->3 (no NA code 1)
-        code = np.where(dos == 2, 0,
-                        np.where(dos == 1, 2, 3)).astype(np.uint8)
-        code &= np.uint8(3) * valid[None].astype(np.uint8)
-        packed[lo:hi] = (code[..., 0] | (code[..., 1] << 2)
-                         | (code[..., 2] << 4) | (code[..., 3] << 6))
-    return packed, 2.0 * maf, np.sqrt(2.0 * maf * (1.0 - maf))
+        cs = hi - lo
+        # per-(SNP, sample) threshold through the population of sample
+        # 4b+s -- the probs[:, pop] gather the device generator runs
+        np.take(thresh8[lo:hi], pop_flat, axis=1,
+                out=t[:cs].reshape(cs, -1))
+        nb = cs * nbytes * 4
+        r = np.frombuffer(rng.bytes(nb), np.uint8).reshape(cs, nbytes, 4)
+        np.less(r, t[:cs], out=m1[:cs])
+        del r                      # free BEFORE the next same-size alloc
+        r = np.frombuffer(rng.bytes(nb), np.uint8).reshape(cs, nbytes, 4)
+        np.less(r, t[:cs], out=m2[:cs])
+        del r
+        np.add(m1.view(np.uint8)[:cs], m2.view(np.uint8)[:cs],
+               out=dos[:cs])
+        np.take(dos2code, dos[:cs], out=code[:cs])
+        code[:cs] &= vmask
+        pk = packed[lo:hi]
+        np.copyto(pk, code[:cs, :, 0])
+        for j in (1, 2, 3):
+            np.left_shift(code[:cs, :, j], 2 * j, out=tmp[:cs])
+            pk |= tmp[:cs]
+    # binom2 stats from the theoretical pooled allele frequency, like
+    # the device generator (generate_dataset)
+    p_hat = probs.mean(axis=1)
+    return packed, 2.0 * p_hat, np.sqrt(2.0 * p_hat * (1.0 - p_hat))
 
 
 def _main_oversize(platform, n, p, k, tol):
