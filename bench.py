@@ -523,7 +523,7 @@ def measure_extra_modes(op, n, log):
     # (projection timing lives in the default tail's run_projection)
 
 
-def gen_host_packed(n, p, rng, chunk=256):
+def gen_host_packed(n, p, rng, chunk=256, pops=N_POPS):
     """Host-side Binom(2, maf) packed genotypes with the SAME 8-way
     population structure as the on-device generator (the numpy twin of
     gen_packed_block).  Both the codes and the structure matter:
@@ -544,12 +544,12 @@ def gen_host_packed(n, p, rng, chunk=256):
     2 GB generation to 711 s)."""
     nbytes = (n + 3) // 4
     maf = rng.uniform(0.05, 0.5, p)
-    delta = rng.normal(0.0, 0.05, size=(p, N_POPS))
+    delta = rng.normal(0.0, 0.05, size=(p, pops))
     probs = np.clip(maf[:, None] + delta, 0.02, 0.98)
     packed = np.empty((p, nbytes), dtype=np.uint8)
     sample_idx = (4 * np.arange(nbytes, dtype=np.int64)[:, None]
                   + np.arange(4)[None, :])
-    pop_flat = (sample_idx % N_POPS).astype(np.int64).ravel()
+    pop_flat = (sample_idx % pops).astype(np.int64).ravel()
     valid = sample_idx < n
     # dosage -> PLINK code: 2->0, 1->2, 0->3 (no NA code 1)
     dos2code = np.array([3, 2, 0], dtype=np.uint8)
@@ -671,7 +671,12 @@ def _main_oversize(platform, n, p, k, tol):
 
     t0 = time.time()
     rng = np.random.default_rng(13)
-    host_packed, mean, sd = gen_host_packed(n, p, rng)
+    # 32 subpopulations: the k=20 head must be separated structure
+    # eigenvalues (like a real biobank cohort), not the tight
+    # Marchenko-Pastur bulk a small-p random draw would put there --
+    # bulk pairs at p~14k converged ~10x slower than the headline's
+    # p=100k geometry (r5: nconv stalled at 8/28 for 6+ cycles)
+    host_packed, mean, sd = gen_host_packed(n, p, rng, pops=32)
     log(f"bench: host-generated {packed_bytes / 1e9:.2f} GB packed "
         f"(Binom(2, maf) codes) in {time.time() - t0:.1f}s")
 
