@@ -637,9 +637,11 @@ def _main_oversize(platform, n, p, k, tol):
     ms = jax.devices()[0].memory_stats() or {}
     hbm_limit = ms.get("bytes_limit", 16 << 30) if on_tpu else (1 << 30)
 
-    # pass-count model for the sizing: contract solve ~30 passes at
-    # k=20 plus moments/cache-fill and the compensated check
-    n_passes = 36 if k >= 20 else 26
+    # pass-count model for the sizing: the 32-pop structured spectrum
+    # converges in ~8 solver passes + polish + the compensated check
+    # (measured r5: n_ops=8, total ~14 staged passes incl. trace/warm);
+    # 20 keeps ~1.4x headroom for harder links mid-run
+    n_passes = 20 if k >= 20 else 14
     solve_budget = max(120.0, budget_left() - 240.0)
     p_user = bool(p)
     if p:
