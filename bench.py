@@ -961,7 +961,7 @@ def main():
     # nev = k + 8 buffer pairs with the headroom-rule basis; the plain
     # path solves nev = k at the solver-default basis (warming the ff
     # shapes there would leave every timed compile cold, review r4)
-    nev_w = k + 8 if use_ff else k
+    nev_w = k + 4 if use_ff else k   # r5 fixed-schedule buffer
     warm("solver cycle", lambda: eigsh_block(
         mv, op.op_dim, nev_w, block=16, maxiter=1, tol=tol,
         ncv=(nev_w + max(72, (3 * nev_w) // 2)) if use_ff else None,

@@ -610,15 +610,14 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
               and hasattr(op, "gram_ff_permuted")
               and polish == "contract")
     # Buffer pairs beyond ndim, SOLVED alongside the requested ones:
-    # with the boundary pairs' spectral neighbors converged in the
-    # refinement basis, the compensated polish cleans them like
-    # interior ones, meeting the reference's check contract (measured
-    # at 501,760 x 100,352 k=20: mse 2.4e-8 -> 1.6e-9).  Free-Ritz or
-    # loosely-gated buffers were measured insufficient (polish stalls
-    # ~2x above the contract).  Without ff polish the buffer has no
-    # consumer and the plain path stays as before.
+    # with the boundary pairs' spectral neighbors in the refinement
+    # basis, the compensated polish cleans the requested pairs like
+    # interior ones.  4 pairs suffice on the FIXED-SCHEDULE path below
+    # (r4's adaptive path used 8; the r5 probe measured the smaller
+    # buffer + capped solve + measured gate at the same contract).
+    # Without ff polish the buffer has no consumer.
     max_dim = int((min(n, p) - 1) / 2.0)
-    extra = min(8, max(0, max_dim - ndim)) if use_ff else 0
+    extra = min(4, max(0, max_dim - ndim)) if use_ff else 0
     extra = _clamp_buffer(extra, ndim, ncv, panel)
     nev_solve = ndim + extra
     if use_ff and ncv is None:
@@ -632,12 +631,9 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         ncv, extra, nev_solve = _clamp_auto_ncv(
             ncv, ndim, extra, panel, op.op_dim)
     # With the ff polish running, the solver's job is SPAN-building:
-    # the polish refines the returned pairs to ~1e-8 * theta_max
-    # residual (f64-grade, verified by the compensated check)
-    # regardless of how tightly the solver iterated, so driving the
-    # f32 solve past ~1e-4 only burns data passes (measured at the
-    # headline scale: final check mse 1.6e-9 either way, ~1.5x the
-    # passes at 1e-6).
+    # the polish refines the returned pairs regardless of how tightly
+    # the solver iterated, so driving the f32 solve past ~1e-4 only
+    # burns data passes.
     solver_tol = max(tol, 1e-4) if use_ff else tol
 
     if fused:
@@ -649,31 +645,82 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     # columns are nearly free to ~32, and the measured end-to-end
     # sweep (b in {8,16,32} at 500k x 50k, k=20) picked 16 (35%
     # faster than 8; 32 over-restarts on clustered spectra)
+    ckpt = _mid_run_checkpointer(op, state_out, checkpoint_every)
+    # FIXED-SCHEDULE contract path (r5): cap the f32 solve at 8 thick
+    # restarts -- it only needs to build SPAN; the compensated
+    # refinement sets the final accuracy, and its floor is schedule-
+    # determined, NOT spectrum-determined (measured at 501,760 x
+    # 100,352 k=20 across data seeds {7,11,23}, whose adaptive solves
+    # cost 30/46/54 ops: one polish application lands check mse
+    # 5.66-5.82e-9, two land 2.26-2.33e-9 -- near-constant).  The
+    # ff-accurate residual gate below MEASURES the contract instead of
+    # assuming it: accept at mse_est < 7e-9, deepen by one more polish
+    # application if missed, and fall back to the full adaptive solve
+    # (the r4 behavior) if still missed.  Net: n_ops 30 -> 20 at k=20
+    # for the same contract, robustly.
+    cap = min(8, maxiter) if use_ff else maxiter
     res = eigsh_block(
         mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
-        maxiter=maxiter, tol=solver_tol, dtype=dtype, seed=seed,
+        maxiter=cap, tol=solver_tol, dtype=dtype, seed=seed,
         v0=v0, operands=ops_, fused=fused, verbose=verbose,
-        checkpoint_every=checkpoint_every,
-        checkpoint_fn=_mid_run_checkpointer(op, state_out,
-                                            checkpoint_every),
+        checkpoint_every=checkpoint_every, checkpoint_fn=ckpt,
     )
     _save_solver_state(op, res, state_out)
     converged = _gate_convergence(res, ndim, tol)
 
     lam = res.eigenvalues
     U_dev = res.eigenvectors
-    if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+    resid_out = res.residuals[:ndim]
+    if use_ff:
+        ff_gram = op.gram_ff_permuted
+        # contract gate: mse_est is exactly check()'s statistic, from
+        # the refinement's own two-float residuals (no data pass)
+        ok = False
+        for _app in range(2):
+            lam, U_dev, resid = polish_subspace(
+                mv, U_dev, iters=2, operands=ops_, fused=fused,
+                ff_gram=ff_gram, return_resid=True)
+            mse_est = float(np.sum((resid[:ndim] / div) ** 2)
+                            / (n * ndim))
+            if mse_est < 7e-9:
+                ok = True
+                break
+        if not ok and cap < maxiter:
+            # pathological spectrum: the measured estimate missed the
+            # contract -- rerun the r4 adaptive schedule from scratch
+            if verbose:
+                from ..utils.logging import log
+
+                log(f"pca: capped schedule missed the contract "
+                    f"(mse_est {mse_est:.2e}); falling back to the "
+                    "adaptive solve")
+            res = eigsh_block(
+                mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
+                maxiter=maxiter, tol=solver_tol, dtype=dtype,
+                seed=seed, v0=v0, operands=ops_, fused=fused,
+                verbose=verbose, checkpoint_every=checkpoint_every,
+                checkpoint_fn=ckpt,
+            )
+            _save_solver_state(op, res, state_out)
+            converged = _gate_convergence(res, ndim, tol)
+            lam, U_dev, resid = polish_subspace(
+                mv, res.eigenvectors, iters=2, operands=ops_,
+                fused=fused, ff_gram=ff_gram, return_resid=True)
+            mse_est = float(np.sum((resid[:ndim] / div) ** 2)
+                            / (n * ndim))
+            ok = mse_est < 1e-8
+        # post-polish ff residuals are the HONEST convergence evidence
+        # (the solver's own flag reflects the capped schedule, not the
+        # delivered accuracy); report them in the result too
+        converged = bool(ok) or converged
+        resid_out = resid[:ndim]
+    elif jnp.dtype(dtype) == jnp.dtype(jnp.float32):
         # f32 restart cycles accumulate basis drift; fresh subspace
-        # sweeps + host-f64 Rayleigh-Ritz recover near-floor accuracy.
-        # With a compensated (two-float) operator gram available the
-        # final step is the ff-Krylov refinement (block_lanczos), which
-        # pushes the residual BELOW the plain-f32 product noise floor to
-        # meet the reference's f64-pipeline check contract (mse < 1e-8,
-        # README.md:207) -- the buffer pairs solved above exist for it.
+        # sweeps + host-f64 Rayleigh-Ritz recover accuracy near the
+        # plain-f32 product-noise floor (polish='fast', or operators
+        # without a compensated gram)
         lam, U_dev = polish_subspace(
-            mv, U_dev, iters=2, operands=ops_, fused=fused,
-            ff_gram=(getattr(op, "gram_ff_permuted", None)
-                     if use_ff else None))
+            mv, U_dev, iters=2, operands=ops_, fused=fused)
     # drop the buffer pairs: only the requested dimensions are returned
     lam = lam[:ndim]
     U_dev = U_dev[:, :ndim]
@@ -714,7 +761,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         converged=converged,
         n_ops=res.n_ops,
         n_restarts=res.n_restarts,
-        residuals=res.residuals[:ndim],
+        residuals=resid_out,
     )
 
 

@@ -418,7 +418,19 @@ def _ritz_whitened(H, M):
     return theta, W @ S_w
 
 
-def _ff_krylov_refine(ff_gram, U, k, rounds: int = 1):
+@jax.jit
+def _ff_resid_norms_jit(U, y_hi, y_lo, theta):
+    """Per-column ff-accurate residual norms ||A u_i - theta_i u_i||:
+    y = (y_hi, y_lo) is the two-float A U.  The f32 theta*U product
+    adds only ~eps*theta of noise per column -- orders below the
+    post-polish residual (~1e-8 * ||A|| scale * sqrt(n))."""
+    d1 = y_hi - U * theta[None, :]
+    r = d1 + y_lo
+    return jnp.sqrt(jnp.sum(r * r, axis=0))
+
+
+def _ff_krylov_refine(ff_gram, U, k, rounds: int = 1,
+                      return_resid: bool = False):
     """Block-Krylov refinement over the COMPENSATED operator.
 
     The f32-built Krylov basis contains each eigenvector only to
@@ -460,11 +472,19 @@ def _ff_krylov_refine(ff_gram, U, k, rounds: int = 1):
         # pass: combine the stored block images (f32 recombination
         # noise ~eps only steers the next panel, never the answer)
         U, y_hi, y_lo = _combine_pair_jit(B, Yh, Yl, S)
+    if return_resid:
+        # ff-accurate per-pair residuals at exit, no extra data pass --
+        # lets the caller MEASURE the check contract instead of
+        # assuming it (one small device reduction + a k-scalar fetch)
+        resid = np.asarray(_ff_resid_norms_jit(
+            U, y_hi, y_lo, jnp.asarray(theta, dtype=U.dtype)),
+            dtype=np.float64)
+        return theta, U, resid
     return theta, U
 
 
 def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True,
-                    ff_gram=None):
+                    ff_gram=None, return_resid=False):
     """Refine converged Ritz vectors by orthogonal (subspace) iteration
     with a final host-f64 Rayleigh-Ritz.
 
@@ -520,7 +540,8 @@ def polish_subspace(matvec, U, *, iters: int = 2, operands=(), fused=True,
         # and a ~2e-8 stall for refinement-only stacking.
         _, U = _ff_krylov_refine(ff_gram, U, k, rounds=1)
         U = sweep(U, consts)
-        return _ff_krylov_refine(ff_gram, U, k, rounds=1)
+        return _ff_krylov_refine(ff_gram, U, k, rounds=1,
+                                 return_resid=return_resid)
     Y, G = project(U, consts)
     G = np.asarray(G, dtype=np.float64)
     G = 0.5 * (G + G.T)
