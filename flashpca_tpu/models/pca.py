@@ -122,11 +122,17 @@ def pca(
 
     ``polish`` is the accuracy/speed knob for f32 (TPU) runs:
 
-    * ``"contract"`` (default): solve ndim + up-to-8 buffer pairs and
-      finish with the compensated (two-float) ff-Krylov refinement --
-      meets the reference's ``--check`` contract literally
-      (mse < 1e-8, README.md:207; measured ~2e-9 at 501,760 x
-      100,352 k=20) at ~2x the data passes (n_ops 30 vs 15 at k=20).
+    * ``"contract"`` (default): a FIXED-SCHEDULE capped solve (8 thick
+      restarts, ndim + up-to-4 buffer pairs) finished with the
+      compensated (two-float) ff-Krylov refinement, whose accuracy
+      floor is schedule-determined rather than spectrum-determined;
+      an ff-accurate residual gate computes ``check()``'s mse
+      statistic (no extra data pass), accepts under 7e-9, deepens by
+      one more refinement application if missed, and falls back to a
+      full adaptive solve if still missed -- meeting the reference's
+      ``--check`` contract literally and MEASURABLY (mse < 1e-8,
+      README.md:207; measured 2.3-5.8e-9 across data seeds at
+      501,760 x 100,352 k=20, n_ops=20).
     * ``"fast"``: plain f32 solve + f32 subspace polish -- about half
       the passes; the residual floors at the f32 product-noise level
       (check mse ~2.4e-8 at the same scale -- far beyond any
@@ -666,7 +672,11 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         checkpoint_every=checkpoint_every, checkpoint_fn=ckpt,
     )
     _save_solver_state(op, res, state_out)
-    converged = _gate_convergence(res, ndim, tol)
+    # the Spectra-style failure gate applies to ADAPTIVE solves; a
+    # capped span-building solve is EXPECTED to stop short -- its
+    # delivered accuracy is measured by the ff-residual gate below
+    converged = (_gate_convergence(res, ndim, tol)
+                 if not use_ff else res.converged)
 
     lam = res.eigenvalues
     U_dev = res.eigenvectors
