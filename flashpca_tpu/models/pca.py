@@ -132,7 +132,10 @@ def pca(
       full adaptive solve if still missed -- meeting the reference's
       ``--check`` contract literally and MEASURABLY (mse < 1e-8,
       README.md:207; measured 2.3-5.8e-9 across data seeds at
-      501,760 x 100,352 k=20, n_ops=20).
+      501,760 x 100,352 k=20, n_ops=20).  The fixed schedule applies
+      for ndim <= 32 (its validated regime -- restarts get ncv/panel
+      ops wide, so large ndim keeps the r4 adaptive schedule with 8
+      buffer pairs, e.g. k=100 at 80 ops / mse 2.4e-9).
     * ``"fast"``: plain f32 solve + f32 subspace polish -- about half
       the passes; the residual floors at the f32 product-noise level
       (check mse ~2.4e-8 at the same scale -- far beyond any
@@ -615,15 +618,22 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     use_ff = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
               and hasattr(op, "gram_ff_permuted")
               and polish == "contract")
+    # FIXED-SCHEDULE contract regime (r5): validated for ndim <= 32 --
+    # at k=20 a capped 8-restart solve is ~20 ops, but restarts get
+    # ~(ncv/panel) ops WIDE, so at k=100 the "capped" solve already
+    # costs ~100 ops and a gate miss doubles the work (measured:
+    # 163 s vs the adaptive path's 59 s).  Large ndim keeps the r4
+    # adaptive schedule.
+    capped = use_ff and ndim <= 32
     # Buffer pairs beyond ndim, SOLVED alongside the requested ones:
     # with the boundary pairs' spectral neighbors in the refinement
     # basis, the compensated polish cleans the requested pairs like
-    # interior ones.  4 pairs suffice on the FIXED-SCHEDULE path below
-    # (r4's adaptive path used 8; the r5 probe measured the smaller
-    # buffer + capped solve + measured gate at the same contract).
-    # Without ff polish the buffer has no consumer.
+    # interior ones.  4 pairs suffice on the fixed-schedule path
+    # (measured, r5); the adaptive path keeps 8 (the r4 sweep's
+    # cost-minimal contract configuration -- smaller buffers converge
+    # SLOWER adaptively, docs/PERFORMANCE.md).
     max_dim = int((min(n, p) - 1) / 2.0)
-    extra = min(4, max(0, max_dim - ndim)) if use_ff else 0
+    extra = min(4 if capped else 8, max(0, max_dim - ndim)) if use_ff else 0
     extra = _clamp_buffer(extra, ndim, ncv, panel)
     nev_solve = ndim + extra
     if use_ff and ncv is None:
@@ -664,7 +674,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     # application if missed, and fall back to the full adaptive solve
     # (the r4 behavior) if still missed.  Net: n_ops 30 -> 20 at k=20
     # for the same contract, robustly.
-    cap = min(8, maxiter) if use_ff else maxiter
+    cap = min(8, maxiter) if capped else maxiter
     res = eigsh_block(
         mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
         maxiter=cap, tol=solver_tol, dtype=dtype, seed=seed,
@@ -676,7 +686,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     # capped span-building solve is EXPECTED to stop short -- its
     # delivered accuracy is measured by the ff-residual gate below
     converged = (_gate_convergence(res, ndim, tol)
-                 if not use_ff else res.converged)
+                 if not capped else res.converged)
 
     lam = res.eigenvalues
     U_dev = res.eigenvectors
@@ -686,14 +696,14 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         # contract gate: mse_est is exactly check()'s statistic, from
         # the refinement's own two-float residuals (no data pass)
         ok = False
-        for _app in range(2):
+        for _app in range(2 if capped else 1):
             lam, U_dev, resid = polish_subspace(
                 mv, U_dev, iters=2, operands=ops_, fused=fused,
                 ff_gram=ff_gram, return_resid=True)
             mse_est = float(np.sum((resid[:ndim] / div) ** 2)
                             / (n * ndim))
-            if mse_est < 7e-9:
-                ok = True
+            if not capped or mse_est < 7e-9:
+                ok = capped or mse_est < 1e-8 or converged
                 break
         if not ok and cap < maxiter:
             # pathological spectrum: the measured estimate missed the
