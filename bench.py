@@ -497,8 +497,9 @@ def _measure_bed_streaming(log, tmpdir):
 
 
 def measure_extra_modes(op, n, log):
-    """FLASHPCA_BENCH_EXTRA=1: the batched penalty grid and the
-    projection pass (docs/PERFORMANCE.md 'other modes' numbers)."""
+    """FLASHPCA_BENCH_EXTRA=1: the batched penalty grid
+    (docs/PERFORMANCE.md 'other modes'; the projection pass runs in
+    the DEFAULT tail since r5)."""
     from flashpca_tpu.models.scca import scca_grid
 
     rng = np.random.default_rng(11)
@@ -733,7 +734,10 @@ def _main_oversize(platform, n, p, k, tol):
                 cache_mb, memory_mb = 0, 256
                 beyond = False
             p = p_fit
-            host_packed = host_packed[:p]
+            # .copy(): a bare slice is a view pinning the full
+            # generation (up to ~17 GB of dead host RAM) for the
+            # whole solve (review r5)
+            host_packed = host_packed[:p].copy()
             mean, sd = mean[:p], sd[:p]
             packed_bytes = p * nbytes
             beyond = packed_bytes > hbm_limit
@@ -772,7 +776,7 @@ def _main_oversize(platform, n, p, k, tol):
         p2 = max(1024, (p2 // 512) * 512)
         if p2 < p:
             p = p2
-            host_packed = host_packed[:p]
+            host_packed = host_packed[:p].copy()   # drop the big base
             mean, sd = mean[:p], sd[:p]
             packed_bytes = p * nbytes
             beyond = packed_bytes > hbm_limit
@@ -961,11 +965,16 @@ def main():
     # Pallas path (supports_ff False on CPU-no-pallas -> plain polish)
     use_ff = (hasattr(op, "gram_ff_permuted")
               and getattr(op, "supports_ff", True))
-    # warm the cycle program at pca()'s ACTUAL shapes: on the ff path
-    # nev = k + 8 buffer pairs with the headroom-rule basis; the plain
-    # path solves nev = k at the solver-default basis (warming the ff
-    # shapes there would leave every timed compile cold, review r4)
-    nev_w = k + 4 if use_ff else k   # r5 fixed-schedule buffer
+    # warm the cycle program at pca()'s ACTUAL shapes: the wide ff
+    # path at k <= 32 runs the r5 fixed schedule (nev = k + 4); wide
+    # k > 32 and the tall path keep the adaptive schedule (nev = k +
+    # 8); the plain path solves nev = k at the solver-default basis
+    # (mismatched warm shapes leave every timed compile cold --
+    # review r4/r5)
+    if use_ff:
+        nev_w = k + (8 if (mode == "tall" or k > 32) else 4)
+    else:
+        nev_w = k
     warm("solver cycle", lambda: eigsh_block(
         mv, op.op_dim, nev_w, block=16, maxiter=1, tol=tol,
         ncv=(nev_w + max(72, (3 * nev_w) // 2)) if use_ff else None,

@@ -133,9 +133,11 @@ def pca(
       ``--check`` contract literally and MEASURABLY (mse < 1e-8,
       README.md:207; measured 2.3-5.8e-9 across data seeds at
       501,760 x 100,352 k=20, n_ops=20).  The fixed schedule applies
-      for ndim <= 32 (its validated regime -- restarts get ncv/panel
-      ops wide, so large ndim keeps the r4 adaptive schedule with 8
-      buffer pairs, e.g. k=100 at 80 ops / mse 2.4e-9).
+      on the WIDE path for ndim <= 32 (its validated regime --
+      restarts get ncv/panel ops wide, so large ndim keeps the r4
+      adaptive schedule with 8 buffer pairs, e.g. k=100 at 80 ops /
+      mse 2.4e-9; the tall path keeps the adaptive schedule + single
+      compensated polish throughout).
     * ``"fast"``: plain f32 solve + f32 subspace polish -- about half
       the passes; the residual floors at the f32 product-noise level
       (check mse ~2.4e-8 at the same scale -- far beyond any
@@ -691,6 +693,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
     lam = res.eigenvalues
     U_dev = res.eigenvectors
     resid_out = res.residuals[:ndim]
+    n_ops_extra = 0
     if use_ff:
         ff_gram = op.gram_ff_permuted
         # contract gate: mse_est is exactly check()'s statistic, from
@@ -708,12 +711,15 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         if not ok and cap < maxiter:
             # pathological spectrum: the measured estimate missed the
             # contract -- rerun the r4 adaptive schedule from scratch
+            # (the discarded capped attempt's passes stay on the bill:
+            # n_ops is the bench's stable cost metric)
             if verbose:
                 from ..utils.logging import log
 
                 log(f"pca: capped schedule missed the contract "
                     f"(mse_est {mse_est:.2e}); falling back to the "
                     "adaptive solve")
+            n_ops_extra = res.n_ops
             res = eigsh_block(
                 mv, op.op_dim, nev_solve, block=panel, ncv=ncv,
                 maxiter=maxiter, tol=solver_tol, dtype=dtype,
@@ -729,11 +735,28 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
             mse_est = float(np.sum((resid[:ndim] / div) ** 2)
                             / (n * ndim))
             ok = mse_est < 1e-8
+        elif not ok:
+            # user capped maxiter at/below the schedule and the gate
+            # missed: apply the Spectra-style failure semantics the
+            # adaptive path has (raises on a genuinely failed solve;
+            # permits it when the requested pairs converged) -- a
+            # capped run must not silently swallow failure (review r5)
+            converged = _gate_convergence(res, ndim, tol)
         # post-polish ff residuals are the HONEST convergence evidence
         # (the solver's own flag reflects the capped schedule, not the
         # delivered accuracy); report them in the result too
         converged = bool(ok) or converged
         resid_out = resid[:ndim]
+        if capped and ok and state_out is not None and not res.converged:
+            # the persisted state must carry the DELIVERED outcome: a
+            # gate-passing capped run is a successful solve even though
+            # the 8-restart solver itself stopped short of its tol
+            # (resume/inspection consumers read this flag, review r5)
+            from ..solvers.lanczos import save_state
+
+            save_state(state_out,
+                       np.asarray(op.unpermute(res.eigenvectors)),
+                       res.eigenvalues, res.residuals, True)
     elif jnp.dtype(dtype) == jnp.dtype(jnp.float32):
         # f32 restart cycles accumulate basis drift; fresh subspace
         # sweeps + host-f64 Rayleigh-Ritz recover accuracy near the
@@ -779,7 +802,7 @@ def _pca_operator(op, ndim, divisor, maxiter, tol, seed, do_loadings,
         scale=np.asarray(sd, dtype=np.float64),
         loadings=loadings,
         converged=converged,
-        n_ops=res.n_ops,
+        n_ops=res.n_ops + n_ops_extra,
         n_restarts=res.n_restarts,
         residuals=resid_out,
     )
