@@ -676,6 +676,10 @@ def _main_oversize(platform, n, p, k, tol):
         f"cache_mb={cache_mb} memory_mb={memory_mb} "
         f"upload={up:.3f} GB/s budget left {budget_left():.0f}s")
 
+    # backpressure: without periodic forced syncs the lazy-transfer
+    # backlog of a many-pass run OOMs the host (the first 17 GB
+    # beyond-HBM attempt died at ~112 GB RSS; see operator._blocks)
+    os.environ.setdefault("FLASHPCA_STREAM_SYNC_EVERY", "4")
     t0 = time.time()
     rng = np.random.default_rng(13)
     # 32 subpopulations: the k=20 head must be separated structure

@@ -1372,6 +1372,15 @@ class StreamingPackedOperator(LinearOperatorBase):
         # hiding inside the next compute (block_until_ready can return
         # early over remote tunnels -- a computed scalar cannot lie)
         sync = os.environ.get("FLASHPCA_STREAM_SYNC") == "1"
+        # backpressure mode: force completion every M staged blocks.
+        # device_put is lazy and the client pins every staging buffer
+        # until its transfer drains, so a many-pass solve dispatched
+        # ahead of a slow link accumulates unbounded host RAM (r5: a
+        # 17 GB beyond-HBM run OOM-killed at ~112 GB RSS mid-polish).
+        # A periodic computed-scalar sync (~0.1 s) bounds the backlog
+        # to ~M blocks; block_until_ready cannot (it lies there).
+        sync_every = int(os.environ.get(
+            "FLASHPCA_STREAM_SYNC_EVERY", "0") or 0)
         st = self._stage_stats
         pending: dict = {}
 
@@ -1422,11 +1431,12 @@ class StreamingPackedOperator(LinearOperatorBase):
                 mb = jax.device_put(self._mean_pad[lo: lo + bs])
                 ib = jax.device_put(self._invsd_pad[lo: lo + bs])
             st["put_s"] += time.perf_counter() - t0
-            if sync:
+            self.staged_host_blocks += 1
+            if sync or (sync_every
+                        and self.staged_host_blocks % sync_every == 0):
                 t0 = time.perf_counter()
                 float(jnp.sum(pb))
                 st["sync_s"] += time.perf_counter() - t0
-            self.staged_host_blocks += 1
             if pin:
                 self._cache[i] = (pb, mb, ib)
             elif reuse:
