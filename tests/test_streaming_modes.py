@@ -273,3 +273,19 @@ class TestStagingStats:
         # the operator still works after close (pool re-created lazily)
         y2 = np.asarray(op.perform_op(x))
         np.testing.assert_allclose(y1, y2, rtol=1e-12, atol=1e-12)
+
+    def test_sync_every_backpressure_matches(self, small_plink, rng,
+                                             monkeypatch):
+        """FLASHPCA_STREAM_SYNC_EVERY bounds the staging backlog with
+        periodic forced syncs; results must be identical."""
+        monkeypatch.setenv("FLASHPCA_STREAM_SYNC_EVERY", "2")
+        op_s = self._op(small_plink)
+        monkeypatch.delenv("FLASHPCA_STREAM_SYNC_EVERY")
+        op_r = self._op(small_plink)
+        x = rng.normal(size=(op_s.n_samples, 2))
+        monkeypatch.setenv("FLASHPCA_STREAM_SYNC_EVERY", "2")
+        ys = np.asarray(op_s.perform_op(x))
+        monkeypatch.delenv("FLASHPCA_STREAM_SYNC_EVERY")
+        yr = np.asarray(op_r.perform_op(x))
+        np.testing.assert_allclose(ys, yr, rtol=1e-12, atol=1e-12)
+        assert op_s.stats()["sync_s"] >= 0.0
