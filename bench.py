@@ -543,18 +543,37 @@ def gen_host_packed(n, p, rng, chunk=256, pops=N_POPS):
     f64 fancy gather was 180x slower); randomness comes from
     rng.bytes (the bounded-int uint8 path of rng.integers pushed a
     2 GB generation to 711 s)."""
+    nbytes, probs, thresh8, pop_flat, vmask = _gen_prologue(n, p, rng, pops)
+    packed = np.empty((p, nbytes), dtype=np.uint8)
+    _gen_fill_rows(packed, thresh8, pop_flat, vmask, rng, chunk=chunk)
+    # binom2 stats from the theoretical pooled allele frequency, like
+    # the device generator (generate_dataset)
+    p_hat = probs.mean(axis=1)
+    return packed, 2.0 * p_hat, np.sqrt(2.0 * p_hat * (1.0 - p_hat))
+
+
+def _gen_prologue(n, p, rng, pops):
+    """Shared head of the host generators: per-SNP x per-population
+    allele-frequency thresholds + the byte-layout gather/mask tables."""
     nbytes = (n + 3) // 4
     maf = rng.uniform(0.05, 0.5, p)
     delta = rng.normal(0.0, 0.05, size=(p, pops))
     probs = np.clip(maf[:, None] + delta, 0.02, 0.98)
-    packed = np.empty((p, nbytes), dtype=np.uint8)
     sample_idx = (4 * np.arange(nbytes, dtype=np.int64)[:, None]
                   + np.arange(4)[None, :])
     pop_flat = (sample_idx % pops).astype(np.int64).ravel()
     valid = sample_idx < n
     vmask = (np.uint8(3) * valid).astype(np.uint8)[None]
     thresh8 = (probs * 256.0).astype(np.uint8)
+    return nbytes, probs, thresh8, pop_flat, vmask
 
+
+def _gen_fill_rows(packed, thresh8, pop_flat, vmask, rng, chunk=256):
+    """Fill ``packed`` (rows, nbytes) with Binom(2, prob) PLINK codes;
+    ``thresh8`` carries the matching rows.  Pure numpy, self-contained
+    per row-slice, so it is the unit both the serial generator and the
+    multiprocessing workers run."""
+    p, nbytes = packed.shape
     chunk = min(chunk, p)
     shape = (chunk, nbytes, 4)
     t = np.empty(shape, np.uint8)
@@ -592,8 +611,71 @@ def gen_host_packed(n, p, rng, chunk=256, pops=N_POPS):
         for j in (1, 2, 3):
             np.left_shift(code[:cs, :, j], 2 * j, out=tmp[:cs])
             pk |= tmp[:cs]
-    # binom2 stats from the theoretical pooled allele frequency, like
-    # the device generator (generate_dataset)
+
+
+_GEN_CTX = None
+
+
+def _gen_pool_init(shm_name, shape, thresh8, pop_flat, vmask):
+    global _GEN_CTX
+    from multiprocessing import shared_memory
+    shm = shared_memory.SharedMemory(name=shm_name)
+    packed = np.ndarray(shape, dtype=np.uint8, buffer=shm.buf)
+    _GEN_CTX = (shm, packed, thresh8, pop_flat, vmask)
+
+
+def _gen_pool_task(task):
+    lo, hi, seed = task
+    _shm, packed, thresh8, pop_flat, vmask = _GEN_CTX
+    _gen_fill_rows(packed[lo:hi], thresh8[lo:hi], pop_flat, vmask,
+                   np.random.default_rng(seed))
+    return lo
+
+
+def gen_host_packed_parallel(n, p, rng, pops=N_POPS, workers=None,
+                             task_rows=4096):
+    """Multiprocessing twin of :func:`gen_host_packed` for the
+    many-GB oversize datasets: SNP row-slices are statistically
+    independent, so W spawn-workers fill disjoint slices of one
+    shared-memory buffer (serial generation measured ~60 s/GB on this
+    VM -- 17 min of the failed 17.28 GB beyond-HBM attempt's budget
+    went to generation alone).  Each fixed 4096-row task draws its own
+    child seed from ``rng``, so the output is a deterministic function
+    of (seed, n, p, pops) and IDENTICAL for any worker count.  Spawn
+    (not fork) start method: the caller has live JAX/TPU threads.
+    Falls back to the serial generator for tiny p or workers <= 1."""
+    workers = workers if workers is not None else min(16, os.cpu_count() or 1)
+    nbytes = (n + 3) // 4
+    if workers <= 1 or p < 2 * task_rows:
+        return gen_host_packed(n, p, rng, pops=pops)
+    _, probs, thresh8, pop_flat, vmask = _gen_prologue(n, p, rng, pops)
+    bounds = list(range(0, p, task_rows)) + [p]
+    seeds = rng.integers(0, 2**63, size=len(bounds) - 1)
+    tasks = [(lo, hi, int(s))
+             for lo, hi, s in zip(bounds[:-1], bounds[1:], seeds)]
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    from multiprocessing import shared_memory
+    shm = shared_memory.SharedMemory(create=True, size=p * nbytes)
+    try:
+        # ProcessPoolExecutor (not mp.Pool): a failing initializer
+        # raises BrokenProcessPool instead of respawning forever
+        with ProcessPoolExecutor(
+                max_workers=workers, mp_context=mp.get_context("spawn"),
+                initializer=_gen_pool_init,
+                initargs=(shm.name, (p, nbytes), thresh8,
+                          pop_flat, vmask)) as pool:
+            list(pool.map(_gen_pool_task, tasks))
+        packed = np.ndarray((p, nbytes), np.uint8, buffer=shm.buf).copy()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        sys.stderr.write(f"bench: parallel gen failed ({e!r}); "
+                         "falling back to the serial generator\n")
+        shm.close()
+        shm.unlink()
+        return gen_host_packed(n, p, rng, pops=pops)
+    else:
+        shm.close()
+        shm.unlink()
     p_hat = probs.mean(axis=1)
     return packed, 2.0 * p_hat, np.sqrt(2.0 * p_hat * (1.0 - p_hat))
 
@@ -687,7 +769,7 @@ def _main_oversize(platform, n, p, k, tol):
     # Marchenko-Pastur bulk a small-p random draw would put there --
     # bulk pairs at p~14k converged ~10x slower than the headline's
     # p=100k geometry (r5: nconv stalled at 8/28 for 6+ cycles)
-    host_packed, mean, sd = gen_host_packed(n, p, rng, pops=32)
+    host_packed, mean, sd = gen_host_packed_parallel(n, p, rng, pops=32)
     log(f"bench: host-generated {packed_bytes / 1e9:.2f} GB packed "
         f"(Binom(2, maf) codes) in {time.time() - t0:.1f}s")
 

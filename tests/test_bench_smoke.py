@@ -99,3 +99,32 @@ def test_bench_oversize_smoke():
                 "upload_gbps", "check_mse", "n_ops"):
         assert key in sub, key
     assert sub["mode"] in ("beyond_hbm", "bounded_memory")
+
+
+def test_gen_host_packed_parallel_deterministic():
+    """The multiprocessing oversize generator: output is a function of
+    (seed, n, p, pops) alone -- identical for any worker count -- and
+    tiny problems route to the serial generator exactly."""
+    import numpy as np
+    import bench
+    n, p = 4096, 8192  # >= 2*task_rows so the parallel path engages
+    a, m1, s1 = bench.gen_host_packed_parallel(
+        n, p, np.random.default_rng(5), pops=8, workers=2)
+    b, m2, s2 = bench.gen_host_packed_parallel(
+        n, p, np.random.default_rng(5), pops=8, workers=3)
+    assert a.shape == (p, (n + 3) // 4)
+    assert np.array_equal(a, b)
+    assert np.allclose(m1, m2) and np.allclose(s1, s2)
+    # codes are valid PLINK (never 1 = missing-het slot unused here is
+    # allowed; all four 2-bit values decode), stats match the draw
+    codes = np.stack([(a[:32] >> (2 * j)) & 3 for j in range(4)],
+                     -1).reshape(32, -1)[:, :n]
+    dos = np.where(codes == 0, 2.0,
+                   np.where(codes == 2, 1.0,
+                            np.where(codes == 3, 0.0, np.nan)))
+    assert np.nanmax(np.abs(np.nanmean(dos, axis=1) - m1[:32])) < 0.1
+    # tiny p: serial fallback, byte-identical to gen_host_packed
+    c, _, _ = bench.gen_host_packed_parallel(
+        n, 512, np.random.default_rng(5), pops=8, workers=2)
+    d, _, _ = bench.gen_host_packed(n, 512, np.random.default_rng(5), pops=8)
+    assert np.array_equal(c, d)
